@@ -1,0 +1,75 @@
+"""Path-derived enrichment (SURVEY.md §2.4 M1-M4).
+
+The reference's metadata enrichment (watchdog/watchdog.go:328-385) and the
+BSI business-path parser (plugins/BSI.go:23-74), as pure column expressions
+over the ``binaryFile`` source's ``_metadata``-style columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# testID suffix format: 2017-06-07_16_15_42_797 (BSI.go:59-74)
+BSI_TIME_RE = r"(\d{4}-\d{2}-\d{2}_\d{2}_\d{2}_\d{2}_\d{3})$"
+BSI_TIME_FMT = "yyyy-MM-dd_HH_mm_ss_SSS"
+
+
+def sub_dir(path: Column, root: Column) -> Column:
+    """Path relative to the watch root, slash-normalized, no leading slash
+    (watchdog.go:337-347)."""
+    rel = F.regexp_replace(
+        F.regexp_replace(path, r"\\", "/"),
+        F.concat(F.lit("^"), F.regexp_replace(root, r"\\", "/"), F.lit("/?")),
+        F.lit(""),
+    )
+    return rel
+
+
+def filename(path: Column) -> Column:
+    return F.substring_index(F.regexp_replace(path, r"\\", "/"), "/", -1)
+
+
+def extension(path: Column) -> Column:
+    """Lowercased extension without the dot; '' when none (watchdog.go:373-384)."""
+    name = filename(path)
+    return F.when(
+        name.contains("."), F.lower(F.substring_index(name, ".", -1))
+    ).otherwise(F.lit(""))
+
+
+def folder(path_sub_dir: Column) -> Column:
+    """Directory part of sub_dir ('' for top-level files)."""
+    return F.when(
+        path_sub_dir.contains("/"),
+        F.regexp_replace(path_sub_dir, r"/[^/]*$", ""),
+    ).otherwise(F.lit(""))
+
+
+def bsi_parse(df: DataFrame, sub_dir_col: str = "sub_dir") -> DataFrame:
+    """BSI Transform (plugins/BSI.go:23-57): split sub_dir on '/', require
+    4 or 5 segments (<family>/<model>/<date>/<test_id>[/...]); testID = the
+    4th segment; folder_time parsed from its trailing timestamp; file_time
+    (create_time) overridden by folder_time so re-created files keep a
+    stable key (BSI.go:30-32,52-54). Non-conforming paths pass through
+    unchanged (BSI.go:46-49)."""
+    segs = F.split(F.col(sub_dir_col), "/")
+    n = F.size(segs)
+    conforms = (n >= 4) & (n <= 5)
+    test_id = F.element_at(segs, 4)
+    ts_str = F.regexp_extract(test_id, BSI_TIME_RE, 1)
+    folder_time = F.when(
+        conforms & (ts_str != ""), F.to_timestamp(ts_str, BSI_TIME_FMT)
+    ).otherwise(F.lit(None).cast("timestamp"))
+    out = (
+        df.withColumn("bsi_family", F.when(conforms, F.element_at(segs, 1)))
+        .withColumn("bsi_model", F.when(conforms, F.element_at(segs, 2)))
+        .withColumn("bsi_test_id", F.when(conforms, test_id))
+        .withColumn("folder_time", folder_time)
+    )
+    if "create_time" in df.columns:
+        # M4 business-time override (BSI.go:52-54)
+        out = out.withColumn(
+            "create_time", F.coalesce(folder_time, F.col("create_time"))
+        )
+    return out

@@ -1,0 +1,354 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame plans (no Python UDFs — every hash is the
+JVM-side ``md5`` builtin, so the same computation is expressible in the
+DuckDB oracle and the plan stays inside whole-stage codegen):
+
+- exact:          group by content hash (the reference stores an md5
+                  checksum per record precisely to enable this —
+                  watchdog/handler/kafka.go:277).
+- n-gram Jaccard: exact pairwise similarity on character-shingle sets.
+                  Quadratic in the candidate set → bounded input; at scale
+                  this is only ever run on LSH candidate pairs.
+- MinHash + LSH:  the 100 TB path. Shingle → k minhashes (lexicographic min
+                  of md5(shingle ⊕ perm)) → b bands → band-bucket equi-join.
+                  No all-pairs comparison; the only shuffles are the
+                  groupBy(doc, perm) and the band self-join, both on keys
+                  with bounded fan-in.
+- SimHash:        bit-vote fingerprint over token hashes; near-dups =
+                  fingerprints within small Hamming distance.
+
+The fixture corpus has no natural duplicates (verified), so the query
+wrappers plant deterministic duplicates/near-duplicates by unioning a
+mutated copy of a slice of `documents` — the operator itself is generic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+SHINGLE_LEN = 8
+NUM_PERMS = 16
+NUM_BANDS = 4  # → 4 rows per band
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Corpus helpers
+# ---------------------------------------------------------------------------
+def with_planted_dups(docs: DataFrame, n_exact: int = 50, n_near: int = 100) -> DataFrame:
+    """Union `docs` with deterministic exact dups (doc_id+1_000_000) and
+    near-dups (doc_id+2_000_000, last 15 chars dropped)."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") < n_exact).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") < n_near).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 15, 1))").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+PLANTED_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 15, 1)) AS text
+  FROM documents WHERE doc_id < 100
+"""
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_LEN) -> DataFrame:
+    """(doc_id, shingle) — distinct character n-gram shingles per document.
+
+    Built-ins only: sequence → transform → array_distinct → explode. Docs
+    shorter than the shingle length contribute their whole text as the one
+    shingle (so they still participate).
+    """
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, n),
+        )
+    )
+    return docs.select("doc_id", F.explode(arr).alias("shingle"))
+
+
+def _shingles_sql(src: str, n: int = SHINGLE_LEN) -> str:
+    # DuckDB 1.0 can't lateral-join generate_series on a column; unnest the
+    # list-valued scalar form instead.
+    return f"""
+  SELECT DISTINCT doc_id, substring(text, i, {n}) AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS i
+    FROM ({src})
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: exact dedup by content hash.
+# Scale: one shuffle on the 128-bit hash; group sizes = duplicate
+# multiplicity (bounded); representative = min doc_id.
+# ---------------------------------------------------------------------------
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("checksum"))
+        .groupBy("checksum")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    return exact_duplicates(docs)
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5(text) AS checksum, MIN(doc_id) AS representative, COUNT(*) AS n_copies
+FROM ({PLANTED_DUPS_SQL})
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: exact n-gram Jaccard on a bounded candidate set.
+# inter(a,b) via self-join on shingle; union = |A| + |B| - inter.
+# Scale: ONLY for candidate pairs (LSH output); the all-pairs form below is
+# deliberately restricted to a small slice.
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    # Bound the all-pairs candidate set: originals <100 plus their variants.
+    docs = docs.filter(F.col("doc_id") % 1_000_000 < 100)
+    return ngram_jaccard_pairs(docs)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS (
+  SELECT * FROM ({PLANTED_DUPS_SQL}) WHERE doc_id % 1000000 < 100
+), sh AS ({_shingles_sql("SELECT * FROM corpus")}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: MinHash + LSH banding — the scale path.
+# minhash(doc, perm) = MIN(md5(perm || '|' || shingle)) — lexicographic min
+# of a keyed hash is a valid minhash family and is engine-portable.
+# band hash = md5 over the band's perm-ordered minhashes.
+# Candidates = pairs sharing any (band_id, band_hash) bucket.
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash) — one row per doc per permutation."""
+    sh = shingles(docs)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id",
+            "perm",
+            F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    rows_per_band = num_perms // num_bands
+    sig = minhash_signatures(docs, num_perms)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(docs)
+
+
+_ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+sh AS ({_shingles_sql("SELECT * FROM corpus")}),
+perms AS (
+  SELECT unnest(generate_series(0, {NUM_PERMS - 1})) AS perm
+), sig AS (
+  SELECT doc_id, perm, MIN(md5(perm || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm
+), bands AS (
+  -- integer division (//): CAST(x/4 AS INT) would ROUND and split bands
+  -- differently from Spark's truncating (perm / n).cast('int')
+  SELECT doc_id, CAST(perm // {_ROWS_PER_BAND} AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(perm // {_ROWS_PER_BAND} AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: SimHash fingerprint (16-bit here; width-parametric).
+# Per token take 16 bits of md5; per bit position, vote +1/-1 across tokens;
+# fingerprint bit = 1 iff vote >= 0. Built-ins only (conv/shiftright/&).
+# Scale: explode(tokens) × bits is a narrow map; one shuffle on doc_id.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # first 4 hex chars of md5(tok) → 16-bit int
+    toks = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select("doc_id", "h", bit)
+        # shiftright/shiftleft builtins take a literal count — use expr for
+        # the column-valued shift
+        .select(
+            "doc_id",
+            "bit",
+            F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("votes") >= 0, F.expr("shiftleft(1, bit)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, {SIMHASH_BITS // 4}))::UBIGINT AS BIGINT) AS h
+  FROM toks
+), bits AS (
+  SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit
+), votes AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS votes
+  FROM hashed CROSS JOIN bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN votes >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

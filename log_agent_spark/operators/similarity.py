@@ -1,0 +1,219 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two strategies:
+
+- Brute-force cosine top-k — the correctness baseline. The query set is
+  broadcast (tiny); the candidate scan is embarrassingly parallel; top-k is a
+  per-query-key window over scored pairs. Dot products use the JVM-side
+  higher-order functions (``aggregate``/``zip_with``) in double precision —
+  no Python in the loop.
+- Sign-LSH bucketed ANN — the scale path: hash every vector to a bucket from
+  the sign pattern of its first ``n`` dimensions (a fixed random-hyperplane
+  family degenerates to coordinate hyperplanes here; deterministic and
+  oracle-portable), equi-join query buckets to candidate buckets, then score
+  only within the bucket. At 100 TB the equi-join replaces the full cross
+  product; recall is tunable via multi-probe (hamming-adjacent buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from log_agent_spark.sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 10
+LSH_SIGN_DIMS = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k: queries × candidates, score, rank per query.
+# ---------------------------------------------------------------------------
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """queries: (query_id, q_emb array<double>); candidates: (vec_id, emb).
+
+    Returns (query_id, neighbor_id, rank) — the float score is deliberately
+    not in the output so value hashes are float-order-proof; rank is computed
+    at full double precision with vec_id tie-break.
+    """
+    q = F.broadcast(queries)
+    pairs = q.crossJoin(candidates).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return brute_force_topk(queries, candidates)
+
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed ANN: bucket = sign bits of the first n dims.
+# ---------------------------------------------------------------------------
+def sign_bucket(emb: Column, n_dims: int = LSH_SIGN_DIMS) -> Column:
+    bits = [
+        F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_dims)
+    ]
+    return F.concat(*bits)
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    bucketed = emb.select("vec_id", "emb", sign_bucket(F.col("emb")).alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "bucket",
+    )
+    candidates = bucketed.filter(F.col("vec_id") >= N_QUERIES)
+    pairs = queries.join(candidates, "bucket").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {emb}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(LSH_SIGN_DIMS)
+    )
+    return f"({bits})"
+
+
+ORACLE_ANN_LSH_BUCKETED = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM b WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, emb, bucket FROM b WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q JOIN c USING (bucket)
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vector norms / label centroids — aggregate over array columns.
+# ---------------------------------------------------------------------------
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    return (
+        emb.select("label", _norm(F.col("emb")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(norm), 4) AS avg_norm,
+       ROUND(MAX(norm), 4) AS max_norm
+FROM (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
+    "embedding_norms": ORACLE_EMBEDDING_NORMS,
+}

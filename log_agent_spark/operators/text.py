@@ -1,0 +1,260 @@
+"""Text-analysis operators over the ``documents`` corpus.
+
+Training-data-pipeline primitives, all as JVM-side column expressions
+(split / filter / transform / regexp — whole-stage codegen, no Python UDFs):
+
+- token counting (whitespace tokenizer + distinct tokens)
+- quality scoring (token stats, stopword ratio, char-class ratios)
+- language-ID heuristic (character-class + stopword-profile scores)
+- document fingerprinting (bottom-k shingle sketch)
+- corpus profiling (per-language aggregates, global token frequencies)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from log_agent_spark.operators.dedup import shingles
+from log_agent_spark.sources.tables import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+FINGERPRINT_K = 3
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# Token counting: per-document token totals and distincts.
+# ---------------------------------------------------------------------------
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+         AS n_distinct_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: the length/stopword/char-class heuristics a pretraining
+# filter would run (ratios rounded to 4dp for the oracle hash).
+# ---------------------------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+        (
+            (n_tokens >= 10)
+            & (n_stop / n_tokens < 0.5)
+            & (alpha_chars / F.length("text") > 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_STOPS = "('" + "','".join(STOPWORDS) + "')"
+
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       n_tokens,
+       ROUND(n_chars_len * 1.0 / n_tokens, 4) AS avg_token_len,
+       ROUND(n_stop * 1.0 / n_tokens, 4)      AS stopword_ratio,
+       ROUND(alpha_chars * 1.0 / n_chars_len, 4) AS alpha_ratio,
+       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens < 0.5
+        AND alpha_chars * 1.0 / n_chars_len > 0.5) AS passes_quality
+FROM (
+  SELECT doc_id,
+         len({_SQL_TOKS}) AS n_tokens,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPS})) AS n_stop,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         length(text) AS n_chars_len
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-profile voting. Each language has a tiny
+# profile set; predicted = argmax hit-count (ties → 'und'). On this synthetic
+# corpus the profiles are stand-ins; the operator shape (per-language token
+# voting via array intersections) is the real deliverable.
+# ---------------------------------------------------------------------------
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "fast", "slow"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "de", "que", "por"],
+    "fr": ["le", "la", "les", "et", "pour"],
+}
+
+
+def _lang_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: _lang_hits(toks, ws) for lang, ws in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # deterministic priority order on ties: later wins ordering is fixed by
+    # iterating in reverse so 'en' (first profile) has highest precedence.
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    cols = [hits[lang].alias(f"hits_{lang}") for lang in LANG_PROFILES]
+    return d.select("doc_id", "lang", *cols, pred.alias("predicted_lang"))
+
+
+def _sql_hits(words: list[str]) -> str:
+    ws = "('" + "','".join(words) + "')"
+    return f"len(list_filter({_SQL_TOKS}, t -> t IN {ws}))"
+
+
+_HIT_EXPRS = ",\n       ".join(
+    f"{_sql_hits(ws)} AS hits_{lang}" for lang, ws in LANG_PROFILES.items()
+)
+_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in LANG_PROFILES) + ")"
+_PRED_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN hits_{l} = {_BEST} AND {_BEST} > 0 THEN '{l}'" for l in LANG_PROFILES
+    )
+    + " ELSE 'und' END"
+)
+
+ORACLE_LANGID_HEURISTIC = f"""
+SELECT doc_id, lang, {", ".join(f"hits_{l}" for l in LANG_PROFILES)},
+       {_PRED_CASE} AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+       {_HIT_EXPRS}
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: bottom-k sketch — the k lexicographically smallest
+# shingle hashes, concatenated and re-hashed. A compact near-dup-stable id.
+# ---------------------------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d).select("doc_id", F.md5("shingle").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("h")
+    bottom_k = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FINGERPRINT_K)
+        .groupBy("doc_id")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("h")))).alias("fingerprint"))
+    )
+    return bottom_k
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(substring(text, i, 8)) AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+    FROM documents
+  )
+), ranked AS (
+  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM sh
+)
+SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
+FROM ranked WHERE rn <= {FINGERPRINT_K}
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile: per-language aggregates.
+# ---------------------------------------------------------------------------
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+ORACLE_LANG_PROFILE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       SUM(len({_SQL_TOKS})) AS total_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global token frequency: top-20 tokens (deterministic tie-break on token).
+# Scale: explode → two-phase agg; the shuffle carries one row per distinct
+# token per partition thanks to partial aggregation.
+# ---------------------------------------------------------------------------
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_FREQUENCY = f"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_score": q_quality_score,
+    "text_langid_heuristic": q_langid_heuristic,
+    "text_doc_fingerprint": q_doc_fingerprint,
+    "text_lang_profile": q_lang_profile,
+    "text_token_frequency": q_token_frequency,
+}
+
+ORACLES = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality_score": ORACLE_QUALITY_SCORE,
+    "text_langid_heuristic": ORACLE_LANGID_HEURISTIC,
+    "text_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "text_lang_profile": ORACLE_LANG_PROFILE,
+    "text_token_frequency": ORACLE_TOKEN_FREQUENCY,
+}

@@ -1,0 +1,129 @@
+"""Driver-runnable demos of the agent-specific (non-SQL-oracle-able)
+operators: whole-file binary ingest, zip explode, gzip gate, GBK transcode,
+Kafka envelope. Inputs are synthesized deterministically (fixed bytes, fixed
+mtimes) so row counts and values are stable across runs; the byte-level
+golden assertions live in tests/.
+
+These run as ``queries()`` entries WITHOUT oracle SQL — the driver records
+the weaker rows-only check (DuckDB cannot unzip or gzip).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.functions.envelope import to_kafka_records
+from log_agent_spark.plans.ingest import ingest_tree
+
+_EPOCH = dt.datetime(2017, 6, 7, 16, 15, 42, tzinfo=dt.timezone.utc)
+
+
+class _RawNameInfo(zipfile.ZipInfo):
+    """ZipInfo that stores the name's raw bytes WITHOUT the UTF-8 flag —
+    how legacy Windows archivers wrote GBK names (the case handler.go:48-56
+    transcodes). The filename is carried as its cp437 decoding."""
+
+    def _encodeFilenameFlags(self):  # noqa: D401 (CPython private hook)
+        return self.filename.encode("cp437"), 0
+
+
+def _make_zip(entries: dict[str, bytes], gbk_name: str | None = None) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("nested/", b"")  # dir entry — must be skipped
+        for name, content in entries.items():
+            zf.writestr(name, content)
+        if gbk_name:
+            raw = gbk_name.encode("gbk")
+            info = _RawNameInfo(raw.decode("cp437"))
+            zf.writestr(info, b"gbk named content")
+    return buf.getvalue()
+
+
+def build_fixture_tree(base: str) -> None:
+    """Deterministic BSI-style directory tree (FIXTURES.md B3/B4/B5)."""
+    bsi_dir = os.path.join(
+        base,
+        "LOUP/1395T2936101/2017-06-07/MBBIVS171700094_1W_1_2017-06-07_16_15_42_797",
+    )
+    os.makedirs(bsi_dir, exist_ok=True)
+    flat_dir = os.path.join(base, "flat")
+    os.makedirs(flat_dir, exist_ok=True)
+
+    files: dict[str, bytes] = {
+        # compression-gate matrix (B5): small text (no gzip), big text
+        # (gzip), big "jpg" (never-compress ext)
+        os.path.join(bsi_dir, "small.log"): b"tiny log line",
+        os.path.join(bsi_dir, "big.log"): b"spark " * 400,  # 2400 B > 1024
+        os.path.join(flat_dir, "photo.jpg"): b"\xff\xd8" + b"j" * 2000,
+        os.path.join(flat_dir, "empty.dat"): b"",
+        # zip with nested dir (skipped), GBK-named member, empty member
+        os.path.join(bsi_dir, "FLOWLOG.zip"): _make_zip(
+            {"inner/result.txt": b"pass", "empty.txt": b""}, gbk_name="中文名.txt"
+        ),
+        # zero-byte zip — dropped with zero rows (kafka.go:210-216)
+        os.path.join(flat_dir, "broken.zip"): b"",
+    }
+    for path, content in files.items():
+        with open(path, "wb") as f:
+            f.write(content)
+        ts = _EPOCH.timestamp()
+        os.utime(path, (ts, ts))
+
+
+def _fixture_root() -> str:
+    """Create (once per process) the fixture tree under a stable tmp dir."""
+    base = os.path.join(tempfile.gettempdir(), "log_agent_spark_fixture_v1")
+    marker = os.path.join(base, ".complete")
+    if not os.path.exists(marker):
+        build_fixture_tree(base)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+def q_ingest_logfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Phase-1 ingest over the fixture tree → logfile rows.
+
+    Exercises S3 listing, F1/F2 filters, M1 enrichment, M2-M4 BSI parse,
+    M5-M6 zip explode + GBK, M7 checksum, M8 gzip gate, M10 projections.
+    (sf_dir unused — input is the synthesized tree.)
+    """
+    root = _fixture_root()
+    df = ingest_tree(spark, root, host="fixturehost")
+    # drop wall-clock upload_time and raw content for a stable, compact result
+    return df.select(
+        "folder",
+        "pack",
+        "name",
+        "size",
+        "compress",
+        "compress_size",
+        "checksum",
+        F.date_format("file_time", "yyyy-MM-dd HH:mm:ss").alias("file_time_str"),
+    ).orderBy("folder", "pack", "name")
+
+
+def q_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope + key construction (M9-M12) over the ingested rows."""
+    root = _fixture_root()
+    df = ingest_tree(spark, root, host="fixturehost").withColumn(
+        "upload_time", F.to_timestamp(F.lit("2017-06-08 00:00:00"))
+    )
+    return to_kafka_records(df).orderBy("key")
+
+
+QUERIES = {
+    "ingest_logfile_tree": q_ingest_logfile,
+    "kafka_envelope": q_kafka_envelope,
+}
+
+# deliberately no ORACLES — rows-only driver check; byte goldens in tests/
+ORACLES: dict[str, str] = {}

@@ -1,0 +1,265 @@
+"""Event-stream semantics over the ``events`` fixture (SURVEY.md §2.3).
+
+These are the batch (re-runnable, oracle-checkable) forms of the reference's
+stateful dataflow operators:
+
+- T1 per-key debounce ("collapse an event storm to the last event per key
+  per quiescence window") → sessionization via gaps-and-islands + keep-last.
+  The true processing-time streaming form lives in
+  ``log_agent_spark/streaming/debounce.py``; this module proves the
+  semantics against a SQL oracle.
+- T3 intra-batch keep-latest dedup → row_number() over desc order.
+- Tumbling-window aggregation / watermark-style bucketing (SURVEY §2.7).
+- M10 date/epoch projections (kafka.go:329-343).
+
+All timestamps are compared as epoch millis so Spark (UTC session TZ) and
+DuckDB hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from log_agent_spark.sources.tables import load_table
+
+# Debounce gap for the batch sessionize demo. The reference default is 3 s
+# (plugins/plugin.go:122); the fixture's event cadence is minutes, so the
+# demo gap is 30 min — the operator is gap-parametric either way.
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation: per (hour, event_type) counts and sums.
+# Scale: single shuffle on (hour, type); map-side partial aggs shrink it.
+# ---------------------------------------------------------------------------
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_TUMBLING_WINDOW = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       event_type,
+       COUNT(*)                 AS n_events,
+       ROUND(SUM(value), 2)     AS sum_value,
+       COUNT(DISTINCT user_id)  AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured access: JSON property extraction (props is a JSON string).
+# Scale: get_json_object is JVM-side; no Python in the path.
+# ---------------------------------------------------------------------------
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       ROUND(AVG(k), 4) AS avg_k,
+       MAX(k)           AS max_k,
+       COUNT(*)         AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands): the batch form of per-key debounce T1.
+# A new session starts when the gap to the previous event of the same key
+# exceeds the quiescence window. Scale: one shuffle on user_id; the running
+# flag-sum is a window over the already-partitioned data.
+# ---------------------------------------------------------------------------
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    return e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _sessionized(spark, sf_dir)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_ms").alias("max_session_ms"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+               OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_ms,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(duration_ms) AS max_session_ms
+FROM per_session GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Debounce keep-last (T1 exact shape, batch form): within each session
+# (quiescence window), emit ONLY the last event — watchdog.go:193-251
+# semantics ("timer resets per event; on fire, forward the final event").
+# ---------------------------------------------------------------------------
+def q_debounce_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _sessionized(spark, sf_dir)
+    w = W.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_seq", "event_id", "ts_ms")
+    )
+
+
+ORACLE_DEBOUNCE_KEEP_LAST = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+               OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_ms,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, event_id, ts_ms
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM sess
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Intra-batch keep-latest dedup (T3, watchdog.go:314-326): newest event per
+# key wins. Key here = (user_id, event_type); "newest" = max ts, tie-broken
+# by event_id (the reference iterates in reverse arrival order).
+# ---------------------------------------------------------------------------
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc(F.unix_millis(F.col("ts"))), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round(F.col("value"), 2).alias("value"),
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT user_id, event_type, event_id, ROUND(value, 2) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M10 date/epoch projections (kafka.go:329-343): business-date string and
+# epoch-millis timestamps — the Kafka wire projections.
+# ---------------------------------------------------------------------------
+def q_epoch_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("file_date"),
+        F.unix_millis(F.col("ts")).alias("file_time_ms"),
+        F.hour(F.col("ts")).alias("hour_of_day"),
+        F.dayofweek(F.col("ts")).alias("dow"),
+    )
+
+
+# DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 → +1 aligns them.
+ORACLE_EPOCH_PROJECTIONS = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d')    AS file_date,
+       epoch_ms(ts)                AS file_time_ms,
+       CAST(hour(ts) AS INT)       AS hour_of_day,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow
+FROM events
+WHERE event_id < 1000
+"""
+
+
+QUERIES = {
+    "events_tumbling_window": q_tumbling_window,
+    "events_json_extract": q_json_extract,
+    "events_sessionize": q_sessionize,
+    "debounce_keep_last": q_debounce_keep_last,
+    "dedup_keep_latest": q_dedup_keep_latest,
+    "epoch_projections": q_epoch_projections,
+}
+
+ORACLES = {
+    "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
+    "events_json_extract": ORACLE_JSON_EXTRACT,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "debounce_keep_last": ORACLE_DEBOUNCE_KEEP_LAST,
+    "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,
+    "epoch_projections": ORACLE_EPOCH_PROJECTIONS,
+}

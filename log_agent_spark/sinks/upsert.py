@@ -1,0 +1,70 @@
+"""Keyed upsert sink — the Cassandra-INSERT-as-upsert semantics (K2).
+
+The reference relies on Cassandra primary-key overwrite for idempotent
+replay ("if the key exists, update the historical record",
+cassandra.go:212). Without a Delta/Iceberg jar in this image, the same
+contract is an anti-join + union rewrite over a keyed parquet table:
+
+    merged = incoming ∪ (existing ⟕̸anti incoming-on-key)
+
+which is what MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT produces for
+full-row updates. At 100 TB the table is partitioned (by file_date — the
+Cassandra partition key) and only the partitions present in the incoming
+batch are rewritten, so upsert I/O is bounded by the batch's date spread,
+not the table size.
+
+Parquet can't be read and overwritten in one job (Spark rejects the
+self-overwrite), so the merge materializes through a staging directory —
+the scale-path replacement is a transactional format's MERGE; the staging
+dance is confined to this module.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.schemas import LOGFILE_KEY
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_dir: str,
+    key: list[str] | None = None,
+    partition_col: str | None = "file_date",
+) -> None:
+    """Upsert ``incoming`` into the parquet table at ``table_dir`` on key."""
+    key = key or LOGFILE_KEY
+    # collapse within-batch duplicates so replays are idempotent
+    incoming = incoming.dropDuplicates(key)
+    partitioned = bool(partition_col) and partition_col in incoming.columns
+
+    def _write(df: DataFrame, path: str, dynamic: bool = False) -> None:
+        writer = df.write.mode("overwrite")
+        if partitioned:
+            writer = writer.partitionBy(partition_col)
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(path)
+
+    if not os.path.isdir(table_dir):
+        _write(incoming, table_dir)
+        return
+
+    existing = spark.read.parquet(table_dir)
+    if partitioned:
+        # touch only the partitions present in this batch (bounded I/O)
+        parts = [r[0] for r in incoming.select(partition_col).distinct().collect()]
+        existing = existing.filter(F.col(partition_col).isin(parts))
+    merged = incoming.unionByName(
+        existing.join(incoming.select(key), on=key, how="left_anti")
+    )
+
+    staging = table_dir.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    _write(spark.read.parquet(staging), table_dir, dynamic=partitioned)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,63 @@
+"""Fixture-table loading (TESTDATA.md parquet star schema).
+
+Pure ``spark.read.parquet`` — Catalyst gets full pushdown/pruning on these
+scans. Two portability shims are applied at load time (not left to session
+construction, since the driver may pass its own SparkSession):
+
+- ``inferTimestampNTZ=false``: the fixtures carry isAdjustedToUTC=false
+  timestamps; we read them as TIMESTAMP under a UTC session so epoch math
+  matches the DuckDB oracle.
+- ``nanosAsLong=true`` + explicit conversion: ``events.ts`` is
+  TIMESTAMP(NANOS), which Spark's parquet reader rejects natively; we read
+  the raw int64 nanos and convert to TIMESTAMP via timestamp_micros(ns/1000)
+  — lossless for the fixture's µs-precision data, truncation semantics
+  identical to DuckDB's ns→µs cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_READER_CONFS = {
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _READER_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # nanos-as-long columns → TIMESTAMP (µs), e.g. events.ts
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div — double division would lose ulp precision at ns scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the fixture tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in tables or FIXTURE_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

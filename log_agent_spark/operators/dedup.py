@@ -10,11 +10,12 @@ DuckDB oracle and the plan stays inside whole-stage codegen):
 - n-gram Jaccard: exact pairwise similarity on character-shingle sets.
                   Quadratic in the candidate set → bounded input; at scale
                   this is only ever run on LSH candidate pairs.
-- MinHash + LSH:  the 100 TB path. Shingle → k minhashes (lexicographic min
-                  of md5(shingle ⊕ perm)) → b bands → band-bucket equi-join.
+- MinHash + LSH:  the 100 TB path. One md5 per shingle (28-bit prefix int),
+                  k affine permutations (a·x+b mod 2^31-1) as k codegen
+                  min() aggregates with map-side combine → b bands →
+                  band-bucket equi-join with forced exchange reuse.
                   No all-pairs comparison; the only shuffles are the
-                  groupBy(doc, perm) and the band self-join, both on keys
-                  with bounded fan-in.
+                  per-doc signature agg and the band self-join.
 - SimHash:        bit-vote fingerprint over token hashes; near-dups =
                   fingerprints within small Hamming distance.
 
@@ -184,24 +185,65 @@ WHERE inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter) >= {JACCARD_THRESHOL
 
 # ---------------------------------------------------------------------------
 # Tier 3: MinHash + LSH banding — the scale path.
-# minhash(doc, perm) = MIN(md5(perm || '|' || shingle)) — lexicographic min
-# of a keyed hash is a valid minhash family and is engine-portable.
-# band hash = md5 over the band's perm-ordered minhashes.
+# One md5 per DISTINCT shingle (28-bit prefix → int), then the k "hash
+# permutations" are affine maps h_i(x) = (a_i·x + b_i) mod P (P = 2^31-1),
+# the classic universal-hash minhash family. The whole signature is computed
+# in ONE traversal of the per-doc shingle array (F.aggregate keeping a
+# running array of k minima) — a narrow map with NO explode and NO shuffle;
+# the only shuffle in the operator is the band-bucket self-join, which is
+# the theoretical minimum. band hash = md5 over the band's minhashes.
 # Candidates = pairs sharing any (band_id, band_hash) bucket.
 # ---------------------------------------------------------------------------
-def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash) — one row per doc per permutation."""
-    sh = shingles(docs)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
-    return (
-        sh.select("doc_id", "shingle", perms)
+_MERSENNE_P = 2_147_483_647  # 2^31 - 1; a·x stays < 2^59 (no int64 overflow)
+
+# Deterministic affine coefficients (Weyl-sequence on the golden ratio —
+# fixed literals shared verbatim by the Spark plan and the DuckDB oracle).
+_PERM_A = [(i * 0x9E3779B1 + 0x85EBCA6B) % _MERSENNE_P or 1 for i in range(1, NUM_PERMS + 1)]
+_PERM_B = [(i * 0xC2B2AE35 + 0x27D4EB2F) % _MERSENNE_P for i in range(1, NUM_PERMS + 1)]
+
+
+def _minhash_wide(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) — whole-stage-codegen minhash signatures.
+
+    Shape chosen for 100 TB: explode(shingle positions) → md5 → k min()
+    aggregates. Hash-aggregate does map-side partial combine, so the only
+    shuffle carries ≈ one row per doc per partition regardless of doc
+    length. The up-front repartition on doc_id spreads the md5 work evenly
+    across all cores (and pre-aligns partitioning with the groupBy, so the
+    aggregation itself needs no second exchange).
+    """
+    n = SHINGLE_LEN
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
         .select(
             "doc_id",
-            "perm",
-            F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))).alias("h"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            ).alias("i"),
+            "text",
         )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(text, i, {n})")), 1, 7), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A[:num_perms], _PERM_B[:num_perms]))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, sig: array<long>[num_perms]) — one row per doc."""
+    wide = _minhash_wide(docs, num_perms)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_perms)]).alias("sig")
     )
 
 
@@ -209,24 +251,34 @@ def lsh_candidate_pairs(
     docs: DataFrame, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS
 ) -> DataFrame:
     rows_per_band = num_perms // num_bands
-    sig = minhash_signatures(docs, num_perms)
-    bands = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    sig = _minhash_wide(docs, num_perms)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(num_bands)
+        ]
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_hash"
+    )
+    # Self-join on an expensive intermediate: force a shuffle (merge) join so
+    # both sides hit the SAME exchange and Spark plans a ReusedExchange — the
+    # signature pipeline runs once. AQE would otherwise broadcast one side,
+    # which *re-computes* the whole pipeline into the broadcast (2× work
+    # locally; at 100 TB the bands table is far too big to broadcast at all).
+    a = bands.hint("merge").alias("a")
+    b = bands.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -246,21 +298,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 
+_MH_EXPRS = ",\n         ".join(
+    f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MERSENNE_P})) AS mh{i}"
+    for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_hash FROM sig".format(
+        band=band,
+        cols=", ".join(f"mh{band * _ROWS_PER_BAND + j}" for j in range(_ROWS_PER_BAND)),
+    )
+    for band in range(NUM_BANDS)
+)
+
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH corpus AS ({PLANTED_DUPS_SQL}),
-sh AS ({_shingles_sql("SELECT * FROM corpus")}),
-perms AS (
-  SELECT unnest(generate_series(0, {NUM_PERMS - 1})) AS perm
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM corpus
 ), sig AS (
-  SELECT doc_id, perm, MIN(md5(perm || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN perms
-  GROUP BY doc_id, perm
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
 ), bands AS (
-  -- integer division (//): CAST(x/4 AS INT) would ROUND and split bands
-  -- differently from Spark's truncating (perm / n).cast('int')
-  SELECT doc_id, CAST(perm // {_ROWS_PER_BAND} AS INT) AS band,
-         md5(string_agg(minhash, ',' ORDER BY perm)) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(perm // {_ROWS_PER_BAND} AS INT)
+{_BAND_SELECTS}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b

@@ -1,0 +1,107 @@
+"""Upsert semantics (K2), multi-sink priority/fail-fast (K6-K8), and the
+incremental (path, mtime) state source (S2/T4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from log_agent_spark.sinks.multi import MultiSink, Sink
+from log_agent_spark.sinks.upsert import upsert_parquet
+from log_agent_spark.sources.incremental import commit_state, delta_since, read_state
+
+
+# ---------------------------------------------------------------------------
+# K2: keyed upsert
+# ---------------------------------------------------------------------------
+def test_upsert_insert_then_update(spark, tmp_path):
+    table = str(tmp_path / "logfile")
+    cols = ["file_date", "file_time", "folder", "pack", "name", "size"]
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d0 = dt.date(2024, 1, 1)
+    first = spark.createDataFrame(
+        [(d0, t0, "f", "", "a.log", 1), (d0, t0, "f", "", "b.log", 2)], cols
+    )
+    upsert_parquet(spark, first, table)
+    assert spark.read.parquet(table).count() == 2
+
+    # same key, new size → overwrite; new key → insert (cassandra.go:212)
+    second = spark.createDataFrame(
+        [(d0, t0, "f", "", "a.log", 99), (d0, t0, "f", "", "c.log", 3)], cols
+    )
+    upsert_parquet(spark, second, table)
+    rows = {r.name: r.size for r in spark.read.parquet(table).collect()}
+    assert rows == {"a.log": 99, "b.log": 2, "c.log": 3}
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    table = str(tmp_path / "logfile")
+    cols = ["file_date", "file_time", "folder", "pack", "name", "size"]
+    batch = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), dt.datetime(2024, 1, 1), "f", "", "a.log", 1)], cols
+    )
+    upsert_parquet(spark, batch, table)
+    upsert_parquet(spark, batch, table)  # replay after simulated failure
+    assert spark.read.parquet(table).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# K6-K8: multi-sink chain
+# ---------------------------------------------------------------------------
+def test_multisink_priority_order_and_commit(spark):
+    df = spark.range(3)
+    calls: list[str] = []
+    chain = MultiSink(
+        [
+            Sink(name="low", write=lambda d: calls.append("low"), priority=1),
+            Sink(name="high", write=lambda d: calls.append("high"), priority=9),
+        ],
+        on_success=lambda d: calls.append("commit"),
+    )
+    chain(df)
+    assert calls == ["high", "low", "commit"]  # watchdog.go:98 desc order, K8 last
+
+
+def test_multisink_fail_fast_no_commit(spark):
+    df = spark.range(3)
+    calls: list[str] = []
+
+    def boom(d):
+        raise RuntimeError("sink down")
+
+    chain = MultiSink(
+        [
+            Sink(name="first", write=boom, priority=9),
+            Sink(name="second", write=lambda d: calls.append("second"), priority=1),
+        ],
+        on_success=lambda d: calls.append("commit"),
+    )
+    with pytest.raises(RuntimeError):
+        chain(df)
+    assert calls == []  # remaining sinks aborted, state NOT committed
+
+
+# ---------------------------------------------------------------------------
+# S2/T4: incremental state
+# ---------------------------------------------------------------------------
+def test_delta_since_and_commit_roundtrip(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 2, 10)
+
+    listing = spark.createDataFrame(
+        [("/a", t1), ("/b", t1)], ["path", "mtime"]
+    )
+    state = read_state(spark, state_dir)
+    assert state.count() == 0
+    # first run: everything is new
+    assert delta_since(listing, state).count() == 2
+    commit_state(listing, state_dir)
+
+    # second run: /a unchanged, /b touched, /c new  (fspolling.go:44-59)
+    listing2 = spark.createDataFrame(
+        [("/a", t1), ("/b", t2), ("/c", t1)], ["path", "mtime"]
+    )
+    delta = delta_since(listing2, read_state(spark, state_dir))
+    assert sorted(r.path for r in delta.collect()) == ["/b", "/c"]

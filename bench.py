@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "text_quality_score",
     "text_token_frequency",
+    "media_decode_meta",
+    "media_frame_sample",
     "ingest_logfile_tree",
 ]
 

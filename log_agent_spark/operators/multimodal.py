@@ -1,0 +1,329 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample operators.
+
+North-star extension (BASELINE.json; no analog in the reference — its only
+binary-column handling is FileMeta.Content, handler.go:22): a training-data
+pipeline treats media exactly like the reference treats log blobs — opaque
+bytes plus metadata — and runs per-blob Python only in Arrow-batched
+``mapInPandas`` stages.
+
+Spark-side plumbing is REAL (schemas, binary columns, Arrow batch iteration,
+1→N frame explode, partition-parallel); the codec layer is a STUB, because
+image/audio libs aren't in this container:
+
+- ``decode_media_meta`` / ``extract_features`` / ``sample_frames`` use a
+  clearly-marked DETERMINISTIC FAKE codec — md5-arithmetic over the blob —
+  so outputs are stable, engine-portable, and every query below has a full
+  DuckDB oracle (the fake is reproducible in ANSI SQL).
+- ``decode_image`` / ``resize_image`` are the real-codec entry points and
+  raise ``NotImplementedError`` unless PIL is importable.
+
+The fake corpus derives from the ``documents`` fixture: content = UTF-8
+bytes of ``text`` (so Spark ``md5(content)`` == DuckDB ``md5(text)``), kind
+round-robins image/audio/video.
+
+Scale shape: every operator is a narrow map over Arrow batches — no
+shuffle, no driver collect; at 100 TB parallelism equals input splits, and
+memory is bounded by (spark.sql.execution.arrow.maxRecordsPerBatch ×
+max blob size), same bound the reference enforces with its 16 MiB cap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+FEATURE_DIM = 8
+FRAME_STRIDE_CHARS = 50
+FRAME_LEN_CHARS = 100
+FRAME_EVERY_MS = 200
+MAX_FRAMES = 8
+
+KINDS = ["image", "audio", "video"]
+
+
+# ---------------------------------------------------------------------------
+# Fake media corpus over the documents fixture.
+# ---------------------------------------------------------------------------
+def media_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, kind, content binary, duration_ms) — deterministic corpus."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    duration = F.when(
+        F.col("doc_id") % 3 != 0, (1000 + (F.col("doc_id") % 60) * 500).cast("long")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        duration.alias("duration_ms"),
+    )
+
+
+MEDIA_CORPUS_SQL = """
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text,
+         CASE WHEN doc_id % 3 <> 0 THEN 1000 + (doc_id % 60) * 500 END AS duration_ms
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# FAKE codec (deterministic, md5-arithmetic). Clearly a stub: real decoders
+# plug in at decode_image() below when the codec libs exist.
+# ---------------------------------------------------------------------------
+def _h16(digest: str, off: int) -> int:
+    return int(digest[off : off + 4], 16)
+
+
+def _fake_decode(blob: bytes, kind: str) -> dict:
+    d = hashlib.md5(blob).hexdigest()
+    meta = {"width": None, "height": None, "channels": None, "sample_rate": None}
+    if kind in ("image", "video"):
+        meta["width"] = 64 + _h16(d, 0) % 1856
+        meta["height"] = 64 + _h16(d, 4) % 1024
+        meta["channels"] = 3 if kind == "video" else 1 + _h16(d, 8) % 4
+    if kind == "audio":
+        meta["sample_rate"] = 8000 + (_h16(d, 8) % 12) * 4000
+    return meta
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """(media_id, kind, width, height, channels, sample_rate, n_bytes).
+
+    mapInPandas over Arrow batches: the real shape for a codec stage —
+    per-partition, streaming one record batch at a time.
+    """
+    schema = (
+        "media_id long, kind string, width int, height int, "
+        "channels int, sample_rate int, n_bytes long"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                rec = {"media_id": row["media_id"], "kind": row["kind"]}
+                rec.update(_fake_decode(blob, row["kind"]))
+                rec["n_bytes"] = len(blob)
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "channels", "sample_rate", "n_bytes",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "channels": "Int32", "sample_rate": "Int32",
+                }
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(_decode, schema)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(media_id, features array<double>[dim]) — FAKE embedding: md5 chain,
+    values in [0, 1). Real extractors (CLIP et al.) replace _feat()."""
+
+    def _feat(blob: bytes) -> list[float]:
+        d = hashlib.md5(blob).hexdigest()
+        return [
+            (int(hashlib.md5((d + str(j)).encode()).hexdigest()[:8], 16) % 10000)
+            / 10000.0
+            for j in range(dim)
+        ]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": pdf["content"].map(lambda b: _feat(bytes(b))),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, "media_id long, features array<double>"
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    stride: int = FRAME_STRIDE_CHARS,
+    frame_len: int = FRAME_LEN_CHARS,
+    every_ms: int = FRAME_EVERY_MS,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """video rows → one row per sampled frame (1→N, like zip explode M5).
+
+    (media_id, frame_idx, frame_ts_ms, frame_md5, frame_bytes) — FAKE
+    frames are text slices; a real codec would emit decoded image bytes.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                text = bytes(row["content"]).decode("utf-8")
+                n = min(1 + len(text) // frame_len, max_frames)
+                for j in range(n):
+                    frame = text[j * stride : j * stride + frame_len].encode("utf-8")
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": j,
+                            "frame_ts_ms": j * every_ms,
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms", "frame_md5", "frame_bytes",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(
+            _frames,
+            "media_id long, frame_idx int, frame_ts_ms long, "
+            "frame_md5 string, frame_bytes long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec entry points — NotImplemented until the libs exist.
+# ---------------------------------------------------------------------------
+def decode_image(blob: bytes):  # pragma: no cover - env-dependent
+    """Real image decode. STUB: PIL is not in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(blob))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs PIL; use decode_media_meta (fake codec) "
+            "for pipeline plumbing"
+        ) from exc
+
+
+def resize_image(blob: bytes, width: int, height: int):  # pragma: no cover
+    """Real image resize. STUB: PIL is not in this container."""
+    img = decode_image(blob)
+    return img.resize((width, height))
+
+
+# ---------------------------------------------------------------------------
+# queries() entries + oracles
+# ---------------------------------------------------------------------------
+def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    return decode_media_meta(media)
+
+
+ORACLE_MEDIA_DECODE_META = f"""
+WITH m AS ({MEDIA_CORPUS_SQL}),
+d AS (SELECT media_id, kind, md5(text) AS dg, octet_length(encode(text)) AS n_bytes FROM m)
+SELECT media_id, kind,
+       CASE WHEN kind IN ('image','video')
+            THEN CAST(64 + ('0x' || substring(dg, 1, 4))::UBIGINT % 1856 AS INT) END AS width,
+       CASE WHEN kind IN ('image','video')
+            THEN CAST(64 + ('0x' || substring(dg, 5, 4))::UBIGINT % 1024 AS INT) END AS height,
+       CASE WHEN kind = 'video' THEN 3
+            WHEN kind = 'image'
+            THEN CAST(1 + ('0x' || substring(dg, 9, 4))::UBIGINT % 4 AS INT) END AS channels,
+       CASE WHEN kind = 'audio'
+            THEN CAST(8000 + (('0x' || substring(dg, 9, 4))::UBIGINT % 12) * 4000 AS INT)
+            END AS sample_rate,
+       n_bytes
+FROM d
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+ORACLE_MEDIA_FEATURES = f"""
+WITH m AS ({MEDIA_CORPUS_SQL})
+SELECT media_id,
+       list_transform(
+         generate_series(0, {FEATURE_DIM - 1}),
+         j -> (('0x' || substring(md5(md5(text) || j), 1, 8))::UBIGINT % 10000) / 10000.0
+       ) AS features
+FROM m
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media)
+
+
+ORACLE_MEDIA_FRAME_SAMPLE = f"""
+WITH m AS ({MEDIA_CORPUS_SQL}),
+v AS (SELECT media_id, text FROM m WHERE kind = 'video'),
+idx AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, least(1 + length(text) // {FRAME_LEN_CHARS},
+                                         {MAX_FRAMES}) - 1)) AS j
+  FROM v
+)
+SELECT media_id, CAST(j AS INT) AS frame_idx,
+       j * {FRAME_EVERY_MS} AS frame_ts_ms,
+       md5(substring(text, j * {FRAME_STRIDE_CHARS} + 1, {FRAME_LEN_CHARS})) AS frame_md5,
+       octet_length(encode(substring(text, j * {FRAME_STRIDE_CHARS} + 1, {FRAME_LEN_CHARS})))
+         AS frame_bytes
+FROM idx
+"""
+
+
+def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = q_media_decode_meta(spark, sf_dir)
+    return meta.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("sample_rate"), 2).alias("avg_sample_rate"),
+    )
+
+
+ORACLE_MEDIA_KIND_STATS = f"""
+SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+       ROUND(AVG(width), 2) AS avg_width,
+       ROUND(AVG(sample_rate), 2) AS avg_sample_rate
+FROM ({ORACLE_MEDIA_DECODE_META})
+GROUP BY kind
+"""
+
+
+QUERIES = {
+    "media_decode_meta": q_media_decode_meta,
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+    "media_kind_stats": q_media_kind_stats,
+}
+
+ORACLES = {
+    "media_decode_meta": ORACLE_MEDIA_DECODE_META,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
+    "media_kind_stats": ORACLE_MEDIA_KIND_STATS,
+}

@@ -81,7 +81,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    candidates = emb.filter(F.col("vec_id") >= N_QUERIES)
+    # spread the dot-product scan across all cores — the fixture parquet is a
+    # single split; on a real cluster input splits provide this for free
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return brute_force_topk(queries, candidates)
 
 
@@ -120,8 +124,10 @@ def sign_bucket(emb: Column, n_dims: int = LSH_SIGN_DIMS) -> Column:
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bucketed = emb.select("vec_id", "emb", sign_bucket(F.col("emb")).alias("bucket"))
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(

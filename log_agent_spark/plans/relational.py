@@ -485,8 +485,124 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 forecast revenue — the pure-pushdown showcase: all three
+# predicates and both referenced columns reach the parquet scan; the agg is
+# a single scalar with map-side partial sums, so the shuffle is one row per
+# partition no matter the input size.
+# ---------------------------------------------------------------------------
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q06 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form behind rollup/cube; one Expand + one
+# shuffle regardless of how many sets are requested.
+# ---------------------------------------------------------------------------
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-column exact DISTINCT aggregation — exercises Spark's Expand-based
+# multi-distinct plan (each distinct column gets its own dedup branch before
+# the final merge; still a single pass over the input).
+# ---------------------------------------------------------------------------
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery pattern: parts larger than their brand's average size.
+# Spark decorrelates to an agg + equi-join; the per-brand average table is
+# tiny → broadcast, so the big side never shuffles.
+# ---------------------------------------------------------------------------
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(F.avg("p_size").alias("avg_size"))
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_size") > F.col("avg_size"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+ORACLE_SUBQUERY_ABOVE_AVG = """
+SELECT p_brand, COUNT(*) AS n_above_avg, MAX(p_size) AS max_size
+FROM part p
+WHERE p_size > (SELECT AVG(p_size) FROM part q WHERE q.p_brand = p.p_brand)
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_distinct": q_agg_distinct,
+    "subquery_above_avg": q_subquery_above_avg,
     "q03_shipping_priority": q03_shipping_priority,
     "q05_local_supplier_volume": q05_local_supplier_volume,
     "join_broadcast": q_join_broadcast,
@@ -505,6 +621,10 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
+    "q06_forecast_revenue": ORACLE_Q06,
+    "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
+    "agg_distinct": ORACLE_AGG_DISTINCT,
+    "subquery_above_avg": ORACLE_SUBQUERY_ABOVE_AVG,
     "q03_shipping_priority": ORACLE_Q03,
     "q05_local_supplier_volume": ORACLE_Q05,
     "join_broadcast": ORACLE_JOIN_BROADCAST,

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality_score",

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.operators.similarity import _bucket_sql as _similarity_bucket_sql
 from log_agent_spark.sources.tables import load_table
 
 SHINGLE_LEN = 8
@@ -404,8 +405,88 @@ FROM votes GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Tier 5: embedding-cosine near-dup — semantic dedup over array<float>.
+# Scale path: sign-LSH bucket equi-join (similarity.sign_bucket) replaces
+# the all-pairs cross join; cosine >= threshold filters within buckets.
+# The fixture corpus is random (no natural near-dups, verified), so the
+# query plants perturbed copies (vec_id+1_000_000, +0.05·sin(dim_index)) —
+# cosine ≈ 0.96 vs ≈ 0 for random pairs.
+# ---------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.95
+_N_PLANTED_EMB = 100
+
+
+def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with same sign-bucket AND cosine >= threshold.
+
+    vectors: (vec_id, emb array<double>).
+    """
+    from log_agent_spark.operators.similarity import cosine, sign_bucket
+
+    b = vectors.select("vec_id", "emb", sign_bucket(F.col("emb")).alias("bucket"))
+    lhs = b.alias("a")
+    rhs = b.alias("b")
+    return (
+        lhs.hint("merge")
+        .join(
+            rhs.hint("merge"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.similarity import as_double
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    planted = emb.filter(F.col("vec_id") < _N_PLANTED_EMB).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("emb"), lambda x, i: x + 0.05 * F.sin((i + 1).cast("double"))
+        ).alias("emb"),
+    )
+    return embedding_near_dups(emb.unionByName(planted))
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(list_zip(emb, generate_series(1, len(emb))),
+                        t -> t[1] + 0.05 * sin(t[2]::DOUBLE)) AS emb
+  FROM base WHERE vec_id < {_N_PLANTED_EMB}
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), b AS (
+  SELECT vec_id, emb, {_similarity_bucket_sql("emb")} AS bucket FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             4) AS cos
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+            4) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -413,6 +494,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

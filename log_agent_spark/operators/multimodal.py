@@ -59,7 +59,10 @@ def media_corpus(docs: DataFrame) -> DataFrame:
     duration = F.when(
         F.col("doc_id") % 3 != 0, (1000 + (F.col("doc_id") % 60) * 500).cast("long")
     )
-    return docs.select(
+    # spread codec stages across all cores — the fixture parquet is a couple
+    # of splits; real media tables get this from their own input splits
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.col("text").cast("binary").alias("content"),
@@ -110,10 +113,12 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                blob = bytes(row["content"])
-                rec = {"media_id": row["media_id"], "kind": row["kind"]}
-                rec.update(_fake_decode(blob, row["kind"]))
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                blob = bytes(content)
+                rec = {"media_id": mid, "kind": kind}
+                rec.update(_fake_decode(blob, kind))
                 rec["n_bytes"] = len(blob)
                 out.append(rec)
             yield pd.DataFrame(
@@ -174,14 +179,14 @@ def sample_frames(
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                text = bytes(row["content"]).decode("utf-8")
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                text = bytes(content).decode("utf-8")
                 n = min(1 + len(text) // frame_len, max_frames)
                 for j in range(n):
                     frame = text[j * stride : j * stride + frame_len].encode("utf-8")
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": j,
                             "frame_ts_ms": j * every_ms,
                             "frame_md5": hashlib.md5(frame).hexdigest(),

@@ -241,8 +241,41 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pretokenizer regex (word runs, digit
+# runs, punctuation runs, each absorbing one leading space) — the standard
+# cheap proxy for "how many subword tokens will this doc cost". Pure
+# regexp_extract_all; stays in codegen, no Python.
+# ---------------------------------------------------------------------------
+BPE_TOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_TOKEN_RE}', 0))")
+    ws = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe / ws, 4).alias("bpe_per_word"),
+    )
+
+
+ORACLE_TOKEN_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+       ROUND(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) * 1.0 /
+             len(list_filter(string_split(text, ' '), t -> t <> '')), 4)
+         AS bpe_per_word
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "text_token_bpe": q_token_bpe,
     "text_quality_score": q_quality_score,
     "text_langid_heuristic": q_langid_heuristic,
     "text_doc_fingerprint": q_doc_fingerprint,
@@ -252,6 +285,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_token_bpe": ORACLE_TOKEN_BPE,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_langid_heuristic": ORACLE_LANGID_HEURISTIC,
     "text_doc_fingerprint": ORACLE_DOC_FINGERPRINT,

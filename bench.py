@@ -52,10 +52,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # JVM + parquet-footer warmup so q1 doesn't pay session startup.
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup, and a
+    # trivial mapInPandas so the first Pandas-UDF query doesn't pay Python
+    # worker-pool startup (one interpreter per core).
     qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

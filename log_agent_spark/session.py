@@ -24,7 +24,13 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # LOCAL setting: the fixture parquet files are 0.3-11 MB, so the cluster
+    # default (128 MB) puts each whole table in one scan task and leaves 31
+    # cores idle. 4 MB splits engage all cores (2.5x on scan-bound queries).
+    # On a real cluster at 100 TB keep 128 MB — inputs have thousands of
+    # row-group-sized splits and per-task overhead dominates below that.
+    "spark.sql.files.maxPartitionBytes": "4194304",
+    "spark.sql.files.openCostInBytes": "1048576",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # Fixture parquet has isAdjustedToUTC=false timestamps; read them as

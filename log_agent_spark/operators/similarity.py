@@ -183,6 +183,95 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+# assign every vector to its nearest centroid cell, then search only the
+# query's cell. Here the coarse "training" is deterministic (centroids :=
+# the first N_CENTROIDS vectors) so the whole operator — assignment via a
+# dot-product argmax window, cell-equi-join, in-cell top-k — is declarative
+# and oracle-checkable; a production deploy swaps the trainer for
+# pyspark.ml KMeans on a sample without touching the search plan.
+# Scale: assignment is a broadcast-join + window over n_vectors×k rows with
+# map-side pruning; search shuffles only on the (tiny) cell key.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 16
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vectors (vec_id, emb) × centroids (centroid_id, c_emb) → (vec_id, emb,
+    cell): nearest centroid by dot product (vectors are unit-norm ⇒ same as
+    cosine), ties to the lowest centroid_id."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id", "emb", "centroid_id", _dot(F.col("emb"), F.col("c_emb")).alias("dot")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "emb", F.col("centroid_id").alias("cell"))
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    cells = ivf_assign(emb, centroids)
+    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
+    )
+    candidates = cells.filter(F.col("vec_id") >= N_QUERIES)
+    pairs = queries.join(candidates, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, emb, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cell FROM assigned WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, emb, cell FROM assigned WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q JOIN c USING (cell)
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vector norms / label centroids — aggregate over array columns.
 # ---------------------------------------------------------------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,11 +304,13 @@ GROUP BY label
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
     "embedding_norms": q_embedding_norms,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
+    "ann_ivf": ORACLE_ANN_IVF,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,
 }

@@ -83,6 +83,50 @@ def test_multisink_fail_fast_no_commit(spark):
 
 
 # ---------------------------------------------------------------------------
+# K3: file-copy sink
+# ---------------------------------------------------------------------------
+def test_file_copy_sink_writes_and_preserves_mtime(spark, tmp_path):
+    import os
+
+    from log_agent_spark.sinks.filecopy import file_copy_sink
+
+    dest = str(tmp_path / "dest")
+    mtime = dt.datetime(2017, 6, 7, 16, 15, 42)
+    df = spark.createDataFrame(
+        [
+            ("sub/a", "a.log", bytearray(b"alpha"), mtime),
+            ("", "top.log", bytearray(b"top"), mtime),
+        ],
+        ["sub_dir", "filename", "content", "modify_time"],
+    )
+    file_copy_sink(dest).write(df)
+    with open(os.path.join(dest, "sub/a/a.log"), "rb") as f:
+        assert f.read() == b"alpha"
+    with open(os.path.join(dest, "top.log"), "rb") as f:
+        assert f.read() == b"top"
+    # Chtimes parity (file.go:79-88): mtime restored on the copy
+    assert os.path.getmtime(os.path.join(dest, "sub/a/a.log")) == mtime.timestamp()
+
+
+def test_file_copy_sink_custom_path_skip(spark, tmp_path):
+    import os
+
+    from log_agent_spark.sinks.filecopy import file_copy_sink
+
+    dest = str(tmp_path / "dest2")
+    df = spark.createDataFrame(
+        [("s", "keep.log", bytearray(b"k"), None), ("s", "skip.log", bytearray(b"s"), None)],
+        "sub_dir string, filename string, content binary, modify_time timestamp",
+    )
+    sink = file_copy_sink(
+        dest, path_func=lambda r: "" if r["filename"] == "skip.log" else r["filename"]
+    )
+    sink.write(df)
+    assert os.path.exists(os.path.join(dest, "keep.log"))
+    assert not os.path.exists(os.path.join(dest, "skip.log"))  # '' ⇒ skip (file.go:49-54)
+
+
+# ---------------------------------------------------------------------------
 # S2/T4: incremental state
 # ---------------------------------------------------------------------------
 def test_delta_since_and_commit_roundtrip(spark, tmp_path):

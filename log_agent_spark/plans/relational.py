@@ -597,9 +597,87 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4 (adapted: no commit/receipt dates in the fixture → the EXISTS
+# predicate is "has a returned lineitem"). Order-priority counts over a
+# quarter with an EXISTS semi-join — Catalyst plans LeftSemi, so lineitem
+# rows are only probed, never duplicated into the aggregate.
+# ---------------------------------------------------------------------------
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue per customer, top 20. Fact-side joins
+# shuffle on orderkey/custkey; nation broadcasts; the global top-k is a
+# sort-limit (Spark's TakeOrderedAndProject — no full sort materialized).
+# ---------------------------------------------------------------------------
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q04_order_priority": q04_order_priority,
     "q06_forecast_revenue": q06_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_distinct": q_agg_distinct,
     "subquery_above_avg": q_subquery_above_avg,
@@ -621,7 +699,9 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
+    "q04_order_priority": ORACLE_Q04,
     "q06_forecast_revenue": ORACLE_Q06,
+    "q10_returned_items": ORACLE_Q10,
     "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
     "agg_distinct": ORACLE_AGG_DISTINCT,
     "subquery_above_avg": ORACLE_SUBQUERY_ABOVE_AVG,

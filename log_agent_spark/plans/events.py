@@ -246,7 +246,58 @@ WHERE event_id < 1000
 """
 
 
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup (continuous-aggregate pattern):
+# the hour level is computed FROM the minute level, not from raw events —
+# at 100 TB this is the difference between re-scanning the fact table per
+# resolution and an incremental cascade where each coarser level reads the
+# (orders-of-magnitude smaller) finer aggregate. Rounding happens per
+# output level only; the cascade runs on unrounded partials.
+# ---------------------------------------------------------------------------
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value_raw"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_raw").alias("sum_value_raw"),
+    )
+    out_cols = [
+        F.unix_millis("bucket").alias("bucket_ms"),
+        "n_events",
+        F.round(F.col("sum_value_raw"), 2).alias("sum_value"),
+    ]
+    return minute.select(F.lit("minute").alias("resolution"), *out_cols).unionByName(
+        hour.select(F.lit("hour").alias("resolution"), *out_cols)
+    )
+
+
+ORACLE_HYPERTABLE_ROLLUP = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket,
+         COUNT(*) AS n_events, SUM(value) AS sum_value_raw
+  FROM events GROUP BY 1
+), hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket,
+         SUM(n_events) AS n_events, SUM(sum_value_raw) AS sum_value_raw
+  FROM minute GROUP BY 1
+)
+SELECT 'minute' AS resolution, epoch_ms(bucket) AS bucket_ms,
+       n_events, ROUND(sum_value_raw, 2) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour' AS resolution, epoch_ms(bucket) AS bucket_ms,
+       n_events, ROUND(sum_value_raw, 2) AS sum_value FROM hour
+"""
+
+
 QUERIES = {
+    "events_hypertable_rollup": q_hypertable_rollup,
     "events_tumbling_window": q_tumbling_window,
     "events_json_extract": q_json_extract,
     "events_sessionize": q_sessionize,
@@ -256,6 +307,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "events_json_extract": ORACLE_JSON_EXTRACT,
     "events_sessionize": ORACLE_SESSIONIZE,

@@ -42,15 +42,21 @@ def run_event_pipeline(
     events: DataFrame,
     multi_sink: MultiSink,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    validate: Callable[[DataFrame], DataFrame] | None = None,
+    dead_letter: Callable[[DataFrame], None] | None = None,
     debounce_ms: int | None = 3000,
     checkpoint_dir: str | None = None,
     trigger: str = MICRO_BATCH_TICK,
 ) -> StreamingQuery:
     """Start the standing pipeline over a streaming event DataFrame.
 
-    ``transform`` is the per-biz plugin hook (P4: validate/transform) applied
-    inside each micro-batch; identity when None (the SPI plugin precedent,
-    plugins/SPI.go:1-11).
+    ``transform`` is the per-biz plugin hook (P4: Transform) applied inside
+    each micro-batch; identity when None (the SPI plugin precedent,
+    plugins/SPI.go:1-11). ``validate`` returns a DataFrame with a boolean
+    ``_valid`` column (P4 CheckFile, plugin.go:84-98); rows failing it go to
+    ``dead_letter`` instead of the sink chain — the Spark-native form of the
+    reference's abort-record-on-error + Handle404Error paths
+    (watchdog.go:394-409).
     """
     stream = events
     if debounce_ms:  # T7: debounce=0 bypasses T1 (watchdog.go:157-161)
@@ -58,9 +64,20 @@ def run_event_pipeline(
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         batch = keep_latest_per_path(batch)
-        if transform is not None:
-            batch = transform(batch)
-        multi_sink(batch, epoch_id)
+        flagged = None
+        if validate is not None:
+            flagged = validate(batch).persist()  # one materialization, 2 branches
+            quarantined = flagged.filter(~F.col("_valid")).drop("_valid")
+            if dead_letter is not None:
+                dead_letter(quarantined)
+            batch = flagged.filter(F.col("_valid")).drop("_valid")
+        try:
+            if transform is not None:
+                batch = transform(batch)
+            multi_sink(batch, epoch_id)
+        finally:
+            if flagged is not None:
+                flagged.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -19,6 +19,38 @@ def _event(path, op, sec):
     return (path, op, "BSI", "/root", t, t, False)
 
 
+def test_pipeline_quarantine_branch(spark, tmp_path):
+    """P4 CheckFile failure → dead-letter, not the sink chain."""
+    src = str(tmp_path / "events_q")
+    spark.createDataFrame(
+        [_event("/ok", "CREATE", 1), _event("/bad", "CREATE", 1)], EVENT_SCHEMA
+    ).write.parquet(src)
+
+    delivered: list[str] = []
+    quarantined: list[str] = []
+    chain = MultiSink(
+        [Sink(name="rec", write=lambda df: delivered.extend(r.path for r in df.collect()))]
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = run_event_pipeline(
+        stream,
+        chain,
+        validate=lambda df: df.withColumn("_valid", ~F.col("path").startswith("/bad")),
+        dead_letter=lambda df: quarantined.extend(r.path for r in df.collect()),
+        debounce_ms=None,  # T7 bypass
+        checkpoint_dir=str(tmp_path / "ckpt_q"),
+        trigger="1 second",
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not (delivered and quarantined):
+            time.sleep(1)
+        assert delivered == ["/ok"]
+        assert quarantined == ["/bad"]
+    finally:
+        q.stop()
+
+
 def test_event_pipeline_end_to_end(spark, tmp_path):
     src = str(tmp_path / "events")
     spark.createDataFrame(

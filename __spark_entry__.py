@@ -13,10 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from log_agent_spark.operators import dedup, multimodal, similarity, temporal, text
+from log_agent_spark.operators import dedup, multimodal, similarity, skew, temporal, text
 from log_agent_spark.plans import agentdemo, events, relational
 
-_MODULES = [relational, events, temporal, dedup, similarity, text, multimodal, agentdemo]
+_MODULES = [
+    relational, events, temporal, dedup, similarity, text, multimodal, skew, agentdemo,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -25,11 +25,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
+    "q04_order_priority",
     "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
     "window_topk_per_group",
     "agg_cube",
     "events_tumbling_window",
     "events_sessionize",
+    "events_hypertable_rollup",
+    "events_asof_join",
+    "events_range_join",
     "debounce_keep_last",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -37,8 +43,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "skew_salted_distinct",
     "text_quality_score",
     "text_token_frequency",
+    "text_token_bpe",
     "media_decode_meta",
     "media_frame_sample",
     "ingest_logfile_tree",

@@ -154,12 +154,56 @@ GROUP BY e.event_id
 """
 
 
+FUNNEL_WINDOW_S = 300
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: share of clicks preceded by a view within 5 min —
+    the as-of join as a conversion metric."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    attributed = asof_join(clicks, views, keys=["user_id"], payload_cols=["event_id"])
+    converted = (
+        F.col("asof_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("asof_ts") <= FUNNEL_WINDOW_S * 1_000_000)
+    ).cast("long")
+    return attributed.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(converted).alias("n_converted"),
+        F.round(F.sum(converted) / F.count("*"), 4).alias("conversion_rate"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH attributed AS (
+  SELECT c.user_id,
+         CASE WHEN v.ts IS NOT NULL
+                   AND date_diff('microsecond', v.ts, c.ts) <= {FUNNEL_WINDOW_S} * 1000000
+              THEN 1 ELSE 0 END AS converted
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT user_id, COUNT(*) AS n_clicks,
+       SUM(converted) AS n_converted,
+       ROUND(SUM(converted) * 1.0 / COUNT(*), 4) AS conversion_rate
+FROM attributed GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_attribution,
     "events_range_join": q_events_range_join,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }

@@ -162,13 +162,45 @@ def build_batch_ingest(spark: SparkSession, cfg: BizConfig) -> DataFrame:
     return df
 
 
+def read_file_events(spark: SparkSession, cfg: BizConfig) -> DataFrame:
+    """S1 live source from config: the custom file_events DataSource with
+    the Rule's filters (F1/F2/F5) pushed into the walk, projected to
+    EVENT_SCHEMA so it feeds debounce/pipeline unchanged (the watcher
+    callback's Biz/RootPath stamping, watcher/fsnotify.go:49-54)."""
+    from pyspark.sql import functions as F
+
+    from log_agent_spark.sources.file_events_stream import FileEventsDataSource
+
+    spark.dataSource.register(FileEventsDataSource)
+    reader = spark.readStream.format("file_events").option("path", cfg.watch)
+    if cfg.patterns not in ("", ".*"):
+        reader = reader.option("pattern", cfg.patterns)
+    if cfg.ignores:
+        reader = reader.option("ignore", cfg.ignores)
+    if cfg.max_nesting_level:
+        reader = reader.option("max_nesting_level", str(cfg.max_nesting_level))
+    raw = reader.load()
+    return raw.select(
+        "path",
+        "op",
+        F.lit(cfg.plugin).alias("biz"),
+        F.lit(cfg.watch).alias("root_path"),
+        F.col("mod_time").alias("ts"),
+        "mod_time",
+        F.lit(False).alias("is_dir"),
+    )
+
+
 def build_stream_pipeline(
     events: DataFrame,
     cfg: BizConfig,
     multi_sink,
     checkpoint_dir: str | None = None,
 ):
-    """AutoInit for the live path (S1 → T1 → K6): starts the standing query."""
+    """AutoInit for the live path (S1 → T1 → K6): starts the standing query.
+
+    ``events`` usually comes from ``read_file_events(spark, cfg)``.
+    """
     from log_agent_spark.streaming.pipeline import run_event_pipeline
 
     return run_event_pipeline(

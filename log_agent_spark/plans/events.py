@@ -296,8 +296,42 @@ SELECT 'hour' AS resolution, epoch_ms(bucket) AS bucket_ms,
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-framed window: per event, total value over the trailing 5 minutes
+# for the same user — a value-range frame (rangeBetween), not a row count.
+# One shuffle on user_id; the frame scan is a sliding aggregate per
+# partition.
+# ---------------------------------------------------------------------------
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300 * 1_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_5m_value"),
+        F.count("*").over(w).alias("trailing_5m_events"),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 2) AS trailing_5m_value,
+       COUNT(*) OVER w AS trailing_5m_events
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_hypertable_rollup": q_hypertable_rollup,
+    "window_range_frame": q_window_range_frame,
     "events_tumbling_window": q_tumbling_window,
     "events_json_extract": q_json_extract,
     "events_sessionize": q_sessionize,
@@ -308,6 +342,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
+    "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "events_json_extract": ORACLE_JSON_EXTRACT,
     "events_sessionize": ORACLE_SESSIONIZE,

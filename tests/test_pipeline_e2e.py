@@ -51,6 +51,39 @@ def test_pipeline_quarantine_branch(spark, tmp_path):
         q.stop()
 
 
+def test_config_driven_pipeline_from_file_events(spark, tmp_path):
+    """AutoInit parity: ini-style BizConfig → custom file_events source →
+    standing pipeline, end to end on a real directory."""
+    from log_agent_spark.config import BizConfig, build_stream_pipeline, read_file_events
+
+    watch = tmp_path / "watched"
+    watch.mkdir()
+    (watch / "a.log").write_bytes(b"hello")
+    (watch / "skip.tmp").write_bytes(b"nope")
+
+    cfg = BizConfig(
+        name="SPI.TEST", watch=str(watch), patterns=r"\.log$", debounce_ms=0
+    )
+    delivered: list[tuple] = []
+    chain = MultiSink(
+        [Sink(name="rec", write=lambda df: delivered.extend(
+            (r.path, r.op, r.biz) for r in df.collect()))]
+    )
+    q = build_stream_pipeline(
+        read_file_events(spark, cfg),
+        cfg,
+        chain,
+        checkpoint_dir=str(tmp_path / "ckpt_cfg"),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not delivered:
+            time.sleep(1)
+        assert delivered == [(str(watch / "a.log"), "CREATE", "SPI")]
+    finally:
+        q.stop()
+
+
 def test_event_pipeline_end_to_end(spark, tmp_path):
     src = str(tmp_path / "events")
     spark.createDataFrame(

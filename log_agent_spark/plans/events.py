@@ -329,9 +329,26 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch aggregates: HLL distinct + approximate quantiles. At 100 TB these
+# replace exact distinct/percentile when the answer needs one pass and
+# bounded memory (mergeable partial sketches → tiny shuffle). Engine
+# sketches differ, so there is no value-level oracle — the driver records
+# rows-only and tests/test_sketches.py bounds the error against exact.
+# ---------------------------------------------------------------------------
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "events_hypertable_rollup": q_hypertable_rollup,
     "window_range_frame": q_window_range_frame,
+    "events_approx_sketches": q_approx_sketches,
     "events_tumbling_window": q_tumbling_window,
     "events_json_extract": q_json_extract,
     "events_sessionize": q_sessionize,

@@ -19,6 +19,8 @@ bucket metadata lives there; plain parquet paths can't carry it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,6 +41,34 @@ def write_bucketed(
 
 def write_date_partitioned(df: DataFrame, path: str, date_col: str = "file_date") -> None:
     df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a parquet directory's small files toward ``target_file_bytes``.
+
+    Streaming micro-batch sinks accrete small files (one per trigger per
+    partition); at scale that degrades every later scan (footer/open cost
+    per file — the reason openCostInBytes exists). Rewrite through a
+    staging dir sized by current bytes / target. Returns the new file count.
+
+    A transactional table format would do this as OPTIMIZE; on plain
+    parquet the staging swap is the portable equivalent.
+    """
+    import glob
+    import shutil
+
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    staging = path.rstrip("/") + "__compact"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
 def bucketed_join(

@@ -6,7 +6,7 @@ import __spark_entry__ as entrymod
 
 # Genuinely non-SQL-expressible entries (the driver records a weaker
 # rows-only check for these — SURVEY.md §5).
-ROWS_ONLY = {"ingest_logfile_tree", "kafka_envelope"}
+ROWS_ONLY = {"ingest_logfile_tree", "kafka_envelope", "events_approx_sketches"}
 
 
 def test_entry_flagship(spark):

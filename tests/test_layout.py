@@ -40,6 +40,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from log_agent_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "smallfiles")
+    # simulate micro-batch accretion: 16 tiny files
+    spark.range(10_000).repartition(16).write.parquet(path)
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    assert before >= 16
+    after = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
 def test_date_partition_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "logfile_by_date")
     o = load_table(spark, sf_dir, "orders").select(

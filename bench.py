@@ -36,6 +36,10 @@ HEADLINE = [
     "events_hypertable_rollup",
     "events_asof_join",
     "events_range_join",
+    "events_funnel",
+    "events_pivot",
+    "window_range_frame",
+    "events_approx_sketches",
     "debounce_keep_last",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -48,6 +52,7 @@ HEADLINE = [
     "text_quality_score",
     "text_token_frequency",
     "text_token_bpe",
+    "text_tfidf_topterms",
     "media_decode_meta",
     "media_frame_sample",
     "ingest_logfile_tree",

@@ -273,9 +273,64 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: tf = in-doc count, idf = ln(N / df). Two shuffles
+# (term-per-doc counts, then doc frequencies joined back); the df table is
+# vocabulary-sized → broadcast. Top-3 terms per doc via ranked window with
+# lexicographic tie-break.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_N = 3
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, computed once (cheap count-star over parquet)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = f"""
+WITH toks AS (
+  SELECT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, ROUND(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_N}
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_token_bpe": q_token_bpe,
+    "text_tfidf_topterms": q_tfidf_topterms,
     "text_quality_score": q_quality_score,
     "text_langid_heuristic": q_langid_heuristic,
     "text_doc_fingerprint": q_doc_fingerprint,
@@ -286,6 +341,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_bpe": ORACLE_TOKEN_BPE,
+    "text_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_langid_heuristic": ORACLE_LANGID_HEURISTIC,
     "text_doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -345,10 +345,41 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pivot: one row per user, one column per event type. Explicit value list →
+# single-pass plan (no extra distinct-values job); unknown types would need
+# the two-pass form. Oracle uses the equivalent conditional aggregation.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_hypertable_rollup": q_hypertable_rollup,
     "window_range_frame": q_window_range_frame,
     "events_approx_sketches": q_approx_sketches,
+    "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
     "events_json_extract": q_json_extract,
     "events_sessionize": q_sessionize,
@@ -360,6 +391,7 @@ QUERIES = {
 ORACLES = {
     "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "events_json_extract": ORACLE_JSON_EXTRACT,
     "events_sessionize": ORACLE_SESSIONIZE,

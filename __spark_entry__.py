@@ -14,10 +14,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from log_agent_spark.operators import dedup, multimodal, similarity, skew, temporal, text
-from log_agent_spark.plans import agentdemo, events, relational
+from log_agent_spark.plans import agentdemo, events, relational, tpch_extra
 
 _MODULES = [
-    relational, events, temporal, dedup, similarity, text, multimodal, skew, agentdemo,
+    relational, tpch_extra, events, temporal, dedup, similarity, text, multimodal,
+    skew, agentdemo,
 ]
 
 

@@ -14,11 +14,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from log_agent_spark.operators import dedup, multimodal, similarity, skew, temporal, text
-from log_agent_spark.plans import agentdemo, events, relational, tpch_extra
+from log_agent_spark.plans import (
+    agentdemo,
+    complex_types,
+    events,
+    relational,
+    tpch_extra,
+)
 
 _MODULES = [
-    relational, tpch_extra, events, temporal, dedup, similarity, text, multimodal,
-    skew, agentdemo,
+    relational, tpch_extra, complex_types, events, temporal, dedup, similarity,
+    text, multimodal, skew, agentdemo,
 ]
 
 

@@ -1,0 +1,159 @@
+"""Complex-type and remaining-join relational coverage (SURVEY.md §2.7).
+
+The reference's only non-scalar value is the zip-entry expansion
+(`watchdog/handler/kafka.go:209-274` — one archive record → N member
+records); these queries exercise the general Spark forms of that shape —
+ArrayType columns, lateral explode (1 row → N rows), FULL OUTER join, and
+exact interpolated percentiles — all absent from the reference and
+provided by Catalyst built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Array functions over a derived array column: split the document text into
+# a token array, then size / distinct-size / first / last — all JVM-side
+# array builtins (no UDF, whole-stage codegen). Scale: embarrassingly
+# parallel map; only `text` is read (column pruning).
+# ---------------------------------------------------------------------------
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+ORACLE_ARRAY_OPS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       string_split(text, ' ')[-1] AS last_token
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode — the relational generalization of the reference's zip
+# explode (1 archive row → N member rows, kafka.go:209-274): per-document
+# token multiplicities for a doc_id slice. Scale: explode multiplies rows
+# BEFORE the shuffle, so the doc_id filter must (and does) push below it;
+# the per-(doc,token) aggregation is map-side-combined.
+# ---------------------------------------------------------------------------
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+ORACLE_LATERAL_EXPLODE = """
+SELECT doc_id, token, COUNT(*) AS n_occurrences
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 40) t
+WHERE token <> ''
+GROUP BY doc_id, token
+"""
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: per-nation customer vs supplier counts, keeping nations
+# that have only one side. Scale: both inputs are pre-aggregated to at most
+# |nation| rows BEFORE the join — the full-outer shuffle touches dozens of
+# rows regardless of fact size.
+# ---------------------------------------------------------------------------
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+    )
+
+
+ORACLE_JOIN_FULL_OUTER = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (Spark `percentile` ==
+# PostgreSQL/DuckDB `quantile_cont` semantics). Scale note: exact
+# percentiles need the full value multiset per group — at 100 TB use
+# `approx_percentile` (t-digest, mergeable sketch, map-side combined); the
+# exact form here doubles as that variant's correctness anchor.
+# ---------------------------------------------------------------------------
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+ORACLE_AGG_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "array_ops": q_array_ops,
+    "lateral_explode": q_lateral_explode,
+    "join_full_outer": q_join_full_outer,
+    "agg_percentiles": q_agg_percentiles,
+}
+
+ORACLES = {
+    "array_ops": ORACLE_ARRAY_OPS,
+    "lateral_explode": ORACLE_LATERAL_EXPLODE,
+    "join_full_outer": ORACLE_JOIN_FULL_OUTER,
+    "agg_percentiles": ORACLE_AGG_PERCENTILES,
+}

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from log_agent_spark.operators import dedup, multimodal, similarity, skew, temporal, text
 from log_agent_spark.plans import (
     agentdemo,
+    analytics,
     complex_types,
     events,
     relational,
@@ -23,8 +24,8 @@ from log_agent_spark.plans import (
 )
 
 _MODULES = [
-    relational, tpch_extra, complex_types, events, temporal, dedup, similarity,
-    text, multimodal, skew, agentdemo,
+    relational, tpch_extra, complex_types, analytics, events, temporal, dedup,
+    similarity, text, multimodal, skew, agentdemo,
 ]
 
 

@@ -28,7 +28,13 @@ HEADLINE = [
     "q04_order_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q09_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "lateral_explode",
+    "events_gaps_islands",
+    "events_retention_cohort",
     "window_topk_per_group",
     "agg_cube",
     "events_tumbling_window",

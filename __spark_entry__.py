@@ -13,19 +13,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from log_agent_spark.operators import dedup, multimodal, similarity, skew, temporal, text
+from log_agent_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 from log_agent_spark.plans import (
     agentdemo,
     analytics,
     complex_types,
     events,
     relational,
+    sampling,
     tpch_extra,
 )
 
 _MODULES = [
-    relational, tpch_extra, complex_types, analytics, events, temporal, dedup,
-    similarity, text, multimodal, skew, agentdemo,
+    relational, tpch_extra, complex_types, analytics, sampling, events,
+    temporal, dedup, graph, similarity, text, multimodal, skew, agentdemo,
 ]
 
 

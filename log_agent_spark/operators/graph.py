@@ -1,0 +1,124 @@
+"""Connected components over a candidate-pair graph — the grouping step a
+real dedup pipeline runs AFTER pair generation (operators/dedup.py emits the
+pairs; this module resolves them into duplicate clusters and picks the
+canonical member = min id).
+
+Spark-first shape: iterative min-label propagation expressed as DataFrame
+joins — each round every node adopts the smallest component id among itself
+and its neighbors; convergence in O(graph diameter) rounds. The driver loop
+carries only a single scalar (the label-sum) per round for the convergence
+test; all data stays distributed, and ``localCheckpoint`` truncates the
+lineage each round so plans don't grow unboundedly.
+
+Scale: at 100 TB the dup graph is sparse (pairs come from LSH buckets, so
+|E| ≈ |dup docs|), and diameter of near-dup clusters is small (dups of a doc
+are dups of each other), so a handful of rounds suffice. For adversarial
+graphs (long chains), swap the step for the large-star/small-star rounds of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
+same join primitives, provably O(log n) rounds. The reference has no graph
+op (SURVEY.md §2.7 absent categories); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node → component) where component = min node id reachable.
+
+    ``edges`` may be directed; it is symmetrized here. Isolated nodes keep
+    themselves as their component.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease → the sum is a monotone convergence
+        # witness; one scalar to the driver per round, no row comparison.
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Query: duplicate clusters from edit-distance candidate pairs (same edge
+# definition as plans/analytics.py dedup_levenshtein, so the pair semantics
+# are already oracle-verified) resolved to components. Output is per-doc:
+# (doc_id, component = min doc_id of its cluster).
+# ---------------------------------------------------------------------------
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("prefix"))
+    )
+    a = d.select(F.col("doc_id").alias("src"), "lang", F.col("prefix").alias("ap"))
+    b = d.select(F.col("doc_id").alias("dst"), "lang", F.col("prefix").alias("bp"))
+    edges = (
+        a.join(b, "lang")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("ap", "bp") <= 24)
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", max_iter=25
+    )
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+ORACLE_DEDUP_CONNECTED_COMPONENTS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, substring(text, 1, 40) AS prefix
+  FROM documents WHERE doc_id < 120
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= 24
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+QUERIES = {
+    "dedup_connected_components": q_dedup_connected_components,
+}
+
+ORACLES = {
+    "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
+}

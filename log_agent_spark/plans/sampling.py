@@ -1,0 +1,388 @@
+"""Training-data sampling / reshaping / time-series idioms (BASELINE.json
+north-star extensions): deterministic hash splits, stratified caps, unpivot,
+histograms, z-score anomaly flags, gap-fill + LOCF, and time-weighted
+averages — the operations a 100 TB training-data pipeline runs between ingest
+(plans/ingest.py) and model consumption. The reference has no query layer
+(SURVEY.md §2.7); these are the Spark-built-in shapes it would gain.
+
+Scale notes are per-query; the common thread is that every sample/split here
+is DETERMINISTIC (content-hash driven, never rand()), so reruns, retries and
+cross-engine oracles all agree — the property that makes a split reproducible
+across a 1000-executor cluster and a laptop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from log_agent_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# md5-derived bucket in [0, 100): first 8 hex chars → int → mod. Stable
+# across engines, Spark versions, and partitionings — unlike rand(seed),
+# which is partition-layout dependent and irreproducible after a repartition.
+def _hash_bucket(col, n: int = 100):
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % n)
+
+
+def _oracle_bucket(expr: str, n: int = 100) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {n})"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (80/10/10) by content-addressed hash.
+# Scale: narrow projection + map-side expression, one tiny agg shuffle; no
+# data movement to assign splits — the assignment can be recomputed anywhere.
+# ---------------------------------------------------------------------------
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), bucket.alias("bucket"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("bucket").alias("min_bucket"),
+            F.max("bucket").alias("max_bucket"),
+        )
+    )
+
+
+ORACLE_SAMPLE_HASH_SPLIT = f"""
+WITH b AS (
+  SELECT {_oracle_bucket('doc_id')} AS bucket, n_chars FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total,
+       MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+FROM b GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified per-class cap: at most 50 docs per language, chosen by hash
+# order (deterministic "random"). Scale: one shuffle on lang for the window;
+# at 100 TB with few huge classes the same shape runs per (lang, salt) with
+# per-salt quotas — the hash-order property is what makes quota-splitting
+# across salts still uniform.
+# ---------------------------------------------------------------------------
+def q_sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(order_key)
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED_CAP = """
+WITH ranked AS (
+  SELECT lang, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS n_chars_total,
+       MIN(doc_id) AS min_doc_id
+FROM ranked WHERE rn <= 50 GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): lineitem measures melted to (metric, value) rows,
+# re-aggregated per (returnflag, metric). Spark's native `unpivot` is a
+# zero-shuffle map-side expansion. Decimal-sum-then-round per the
+# cross-engine float rule (q09_product_profit precedent).
+# ---------------------------------------------------------------------------
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+WITH long AS (
+  SELECT l_returnflag, metric, value
+  FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+        FROM lineitem)
+  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+)
+SELECT l_returnflag, metric, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+FROM long GROUP BY l_returnflag, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bound histogram of order totals: 24 buckets over [0, 600000).
+# Bucket arithmetic is written identically on both engines (DuckDB lacks
+# width_bucket); bounds and width are exact doubles so the floor() agrees.
+# Scale: pure map-side expression + one agg shuffle on a 26-value key.
+# ---------------------------------------------------------------------------
+_H_LO, _H_HI, _H_N = 0.0, 600000.0, 24
+_H_W = (_H_HI - _H_LO) / _H_N  # 25000.0, exact
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x < _H_LO, F.lit(0))
+        .when(x >= _H_HI, F.lit(_H_N + 1))
+        .otherwise(F.floor((x - _H_LO) / _H_W) + 1)
+        .cast("int")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM_TOTALPRICE = f"""
+WITH b AS (
+  SELECT CAST(CASE WHEN o_totalprice < {_H_LO} THEN 0
+              WHEN o_totalprice >= {_H_HI} THEN {_H_N + 1}
+              ELSE FLOOR((o_totalprice - {_H_LO}) / {_H_W}) + 1 END AS INTEGER)
+           AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM b GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flags: per event_type mean/stddev, events with |z| > 2.5.
+# Scale: the per-type stats table is tiny → computed with one agg shuffle
+# and BROADCAST back onto the fact scan (no second shuffle of the 100 TB
+# side); stddev_samp matches DuckDB's.
+# ---------------------------------------------------------------------------
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_anomalies"),
+            F.round(F.min("z"), 3).alias("min_z"),
+            F.round(F.max("z"), 3).alias("max_z"),
+        )
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type, (e.value - s.mu) / s.sigma AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type, COUNT(*) AS n_anomalies,
+       ROUND(MIN(z), 3) AS min_z, ROUND(MAX(z), 3) AS max_z
+FROM z WHERE ABS(z) > 2.5 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + last-observation-carried-forward (the TimescaleDB
+# time_bucket_gapfill/locf idiom): a dense hourly grid per event_type,
+# observed hourly averages joined on, missing hours filled by the previous
+# observation. Scale: the grid is sequence()+explode (no driver loop); the
+# LOCF window shuffles once on event_type — the same single-shuffle shape at
+# any scale, and the grid size is (types × hours), independent of row count.
+# ---------------------------------------------------------------------------
+_GRID_START, _GRID_END = "2024-01-01 00:00:00", "2024-01-30 23:00:00"
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    observed = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    grid_hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(_GRID_START)),
+                F.to_timestamp(F.lit(_GRID_END)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = grid_hours.crossJoin(F.broadcast(types))
+    w = W.partitionBy("event_type").orderBy("hour")
+    return (
+        grid.join(observed, ["event_type", "hour"], "left")
+        .withColumn("filled", F.last("avg_value", ignorenulls=True).over(w))
+        .select(
+            "event_type",
+            F.unix_millis("hour").alias("hour_ms"),
+            F.round("filled", 4).alias("filled_value"),
+            F.col("avg_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+ORACLE_GAPFILL_LOCF = f"""
+WITH e AS (
+  SELECT event_type, ts, value FROM events WHERE user_id < 40
+), observed AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, AVG(value) AS avg_value
+  FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      TIMESTAMP '{_GRID_START}', TIMESTAMP '{_GRID_END}',
+      INTERVAL 1 HOUR)) AS hour) g
+)
+SELECT grid.event_type,
+       CAST(epoch_ms(grid.hour) AS BIGINT) AS hour_ms,
+       ROUND(LAST_VALUE(observed.avg_value IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour), 4)
+         AS filled_value,
+       observed.avg_value IS NULL AS was_gap
+FROM grid LEFT JOIN observed
+  ON grid.event_type = observed.event_type AND grid.hour = observed.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular samples → duration-weighted mean): each
+# observation weighted by the seconds until the next one, per event_type.
+# Scale: one window shuffle on event_type computes lead(); the weighted agg
+# reuses the same partitioning (no second exchange under AQE).
+# ---------------------------------------------------------------------------
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    w = W.partitionBy("event_type").orderBy("ts", "value")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1_000_000.0)
+    return (
+        e.withColumn("dt", dt)
+        .filter(F.col("dt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+            ).alias("twa_value"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH d AS (
+  SELECT event_type, value,
+         (epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, value))
+          - epoch_us(ts)) / 1000000.0 AS dt
+  FROM events
+)
+SELECT event_type,
+       ROUND(SUM(value * dt) / SUM(dt), 4) AS twa_value,
+       COUNT(*) AS n_intervals
+FROM d WHERE dt IS NOT NULL GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL text interface: the engine's spark.sql() surface over registered
+# views — same ANSI text shape as the oracle (SURVEY §2.7 "SQL text
+# interface"). Top-2 spenders per nation with their share of nation revenue.
+# ---------------------------------------------------------------------------
+_SQL_INTERFACE = """
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_name,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_spend
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_name
+), ranked AS (
+  SELECT c_nationkey, c_name, total_spend,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY total_spend DESC, c_name) AS rk,
+         SUM(total_spend) OVER (PARTITION BY c_nationkey) AS nation_spend
+  FROM spend
+)
+SELECT n.n_name, r.c_name, r.total_spend,
+       ROUND(r.total_spend / r.nation_spend, 6) AS nation_share, r.rk
+FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE r.rk <= 2
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    return spark.sql(_SQL_INTERFACE)
+
+
+QUERIES = {
+    "sample_hash_split": q_sample_hash_split,
+    "sample_stratified_cap": q_sample_stratified_cap,
+    "unpivot_measures": q_unpivot_measures,
+    "histogram_totalprice": q_histogram_totalprice,
+    "anomaly_zscore": q_anomaly_zscore,
+    "gapfill_locf": q_gapfill_locf,
+    "time_weighted_avg": q_time_weighted_avg,
+    "sql_interface": q_sql_interface,
+}
+
+ORACLES = {
+    "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
+    "sample_stratified_cap": ORACLE_SAMPLE_STRATIFIED_CAP,
+    "unpivot_measures": ORACLE_UNPIVOT_MEASURES,
+    "histogram_totalprice": ORACLE_HISTOGRAM_TOTALPRICE,
+    "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
+    "gapfill_locf": ORACLE_GAPFILL_LOCF,
+    "time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
+    "sql_interface": _SQL_INTERFACE,
+}

@@ -1,0 +1,85 @@
+"""Event-time streaming analytics the reference lacks (SURVEY.md §2.7
+"Watermarks / late data" and "Tumbling/sliding windows" — absent in the
+reference, Spark built-ins here): sliding-window aggregation, stream-stream
+interval joins, and watermarked streaming dedup.
+
+Scale notes: all three are Spark's native stateful operators — state lives
+in the executor state store (RocksDB-backed on a real cluster), partitioned
+by grouping/join key, and watermarks bound state size. Nothing here holds
+per-key state on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 minute",
+    slide: str = "30 seconds",
+    watermark: str = "10 seconds",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping-window counts: each event lands in duration/slide
+    windows. Output: (w_start, w_end, *extra_keys, n)."""
+    keys = [F.window(F.col(ts_col), duration, slide).alias("w")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            *(extra_keys or []),
+            "n",
+        )
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Inner stream-stream join: same key, right event within
+    [left_ts, left_ts + tolerance]. Watermarks on BOTH sides + the interval
+    condition let Spark evict join state (unbounded otherwise).
+
+    Columns from ``right`` are suffixed ``_r``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{c}_r") for c in rw.columns])
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (
+            F.col(f"{right_ts}_r")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def dedup_events_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked exactly-once-per-key dedup: duplicates arriving within
+    the watermark horizon are dropped; state for keys older than the
+    watermark is evicted (the streaming analog of the reference's
+    cross-run mtime dedup, fspolling.go:71-87 — but event-time bounded)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

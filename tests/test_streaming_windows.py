@@ -1,0 +1,123 @@
+"""Sliding windows, stream-stream interval join, and watermarked dedup —
+the §2.7 streaming categories absent in the reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+import uuid
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from log_agent_spark.streaming.windows import (
+    dedup_events_stream,
+    sliding_counts,
+    stream_stream_interval_join,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows(triples):
+    return [(i, k, T0 + dt.timedelta(seconds=s)) for i, k, s in triples]
+
+
+def _poll(spark, table, want, timeout=90):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(rows) >= want:
+            return rows
+        time.sleep(1)
+    return rows
+
+
+def _start(df, table, tmp_path, mode):
+    return (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{table}"))
+        .trigger(processingTime="1 second")
+        .outputMode(mode)
+        .start()
+    )
+
+
+def test_sliding_window_overlap(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = f"slide_{uuid.uuid4().hex[:8]}"
+    # one event at 00:00:45 → must appear in the [00:00:00, 00:01:00) AND
+    # [00:00:30, 00:01:30) windows of a 1min/30s slide
+    spark.createDataFrame(
+        _rows([(1, "a", 45)]), SCHEMA
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = _start(sliding_counts(stream), table, tmp_path, "complete")
+    try:
+        rows = _poll(spark, table, want=2)
+        starts = sorted(r.w_start for r in rows)
+        assert starts == [
+            T0,
+            T0 + dt.timedelta(seconds=30),
+        ], rows
+        assert all(r.n == 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    # left@10s: right@20s joins (within 30s tolerance), right@70s does not;
+    # key mismatch never joins
+    spark.createDataFrame(
+        _rows([(1, "a", 10), (2, "b", 10)]), SCHEMA
+    ).write.mode("overwrite").parquet(lsrc)
+    spark.createDataFrame(
+        _rows([(101, "a", 20), (102, "a", 70), (103, "c", 20)]), SCHEMA
+    ).write.mode("overwrite").parquet(rsrc)
+
+    left = spark.readStream.schema(SCHEMA).parquet(lsrc)
+    right = spark.readStream.schema(SCHEMA).parquet(rsrc)
+    joined = stream_stream_interval_join(left, right, key="key")
+    q = _start(joined, table, tmp_path, "append")
+    try:
+        rows = _poll(spark, table, want=1)
+        pairs = {(r.event_id, r.event_id_r) for r in rows}
+        assert pairs == {(1, 101)}, rows
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dsrc")
+    table = f"ddw_{uuid.uuid4().hex[:8]}"
+    # same key twice within the horizon → one survivor; distinct key kept
+    spark.createDataFrame(
+        _rows([(1, "a", 10), (2, "a", 15), (3, "b", 12)]), SCHEMA
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = _start(dedup_events_stream(stream, ["key"]), table, tmp_path, "append")
+    try:
+        rows = _poll(spark, table, want=2)
+        assert {r.key for r in rows} == {"a", "b"}, rows
+        assert len(rows) == 2, rows
+    finally:
+        q.stop()

@@ -35,6 +35,13 @@ HEADLINE = [
     "lateral_explode",
     "events_gaps_islands",
     "events_retention_cohort",
+    "sample_hash_split",
+    "unpivot_measures",
+    "histogram_totalprice",
+    "anomaly_zscore",
+    "gapfill_locf",
+    "time_weighted_avg",
+    "sql_interface",
     "window_topk_per_group",
     "agg_cube",
     "events_tumbling_window",
@@ -48,6 +55,7 @@ HEADLINE = [
     "events_approx_sketches",
     "debounce_keep_last",
     "dedup_exact",
+    "dedup_connected_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -49,6 +49,49 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (batch form of streaming/windows.py
+# sliding_counts): 2-hour windows every hour — each event lands in two.
+# Scale: F.window's slide expansion is a map-side generator (duration/slide
+# rows per input row) feeding the same single partial-agg shuffle as the
+# tumbling case; no self-join against a window-spine table.
+# ---------------------------------------------------------------------------
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS w_start
+  FROM events
+)
+SELECT CAST(epoch_ms(w_start) AS BIGINT) AS w_start_ms, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 ORACLE_TUMBLING_WINDOW = """
 SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
        event_type,
@@ -381,6 +424,7 @@ QUERIES = {
     "events_approx_sketches": q_approx_sketches,
     "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
+    "events_sliding_window": q_sliding_window,
     "events_json_extract": q_json_extract,
     "events_sessionize": q_sessionize,
     "debounce_keep_last": q_debounce_keep_last,
@@ -393,6 +437,7 @@ ORACLES = {
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
+    "events_sliding_window": ORACLE_SLIDING_WINDOW,
     "events_json_extract": ORACLE_JSON_EXTRACT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "debounce_keep_last": ORACLE_DEBOUNCE_KEEP_LAST,

@@ -333,6 +333,61 @@ FROM d WHERE dt IS NOT NULL GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Training-batch manifest: the cross-modal assembly step — documents joined
+# to their embeddings, quality-filtered, split-assigned, summarized per
+# (split, lang). Scale: doc↔embedding is an equi-join on the shared id (at
+# 100 TB both sides bucketed on it → no exchange, sources/layout.py); the
+# norm is a JVM-side F.aggregate over the array, no Python.
+# ---------------------------------------------------------------------------
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.similarity import _norm, as_double
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            split.alias("split"),
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            _norm(F.col("emb")).alias("norm"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+ORACLE_TRAINING_MANIFEST = f"""
+WITH joined AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           AS norm,
+         {_oracle_bucket('d.doc_id')} AS bucket
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.n_chars >= 50
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_total,
+       ROUND(AVG(norm), 4) AS avg_norm, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM joined GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # SQL text interface: the engine's spark.sql() surface over registered
 # views — same ANSI text shape as the oracle (SURVEY §2.7 "SQL text
 # interface"). Top-2 spenders per nation with their share of nation revenue.
@@ -373,10 +428,12 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "gapfill_locf": q_gapfill_locf,
     "time_weighted_avg": q_time_weighted_avg,
+    "training_manifest": q_training_manifest,
     "sql_interface": q_sql_interface,
 }
 
 ORACLES = {
+    "training_manifest": ORACLE_TRAINING_MANIFEST,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "sample_stratified_cap": ORACLE_SAMPLE_STRATIFIED_CAP,
     "unpivot_measures": ORACLE_UNPIVOT_MEASURES,

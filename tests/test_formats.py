@@ -1,0 +1,48 @@
+"""Format round-trips: the engine reads/writes csv, json, and orc with
+identical results to its native parquet scans (§2.7 scans row). The checksum
+is an order-insensitive aggregate so partitioning/ordering differences
+between formats can't mask or cause a failure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fingerprint(df):
+    # order-insensitive: sum of per-row hashes over stringified columns
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in df.columns]
+    return (
+        df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+        .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+        .first()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_orders_roundtrip(spark, tmp_path, fmt):
+    src = load_table(spark, SF_DIR, "orders")
+    # csv/json have no native date/timestamp fidelity guarantees across
+    # writers — normalize temporal cols to ISO strings before the trip
+    norm = src.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = str(tmp_path / f"orders_{fmt}")
+    writer = norm.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(out)
+
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").schema(norm.schema)
+    elif fmt == "json":
+        reader = reader.schema(norm.schema)
+    back = reader.load(out)
+
+    assert back.columns == norm.columns
+    assert _fingerprint(back) == _fingerprint(norm)

@@ -484,8 +484,51 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) /
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup at ingest: new batch anti-joined against the prior
+# corpus's content hashes (the streaming T4 "(path, mtime) seen-state"
+# pattern, fspolling.go:71-87, lifted to content addressing). Scale: only
+# HASHES of the prior corpus move — 16 bytes/doc, broadcast when they fit,
+# hash-partitioned anti-join when they don't; the 100 TB of prior text is
+# never rescanned.
+# ---------------------------------------------------------------------------
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(F.broadcast(prior), "h", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH prior AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+), incoming AS (
+  SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id >= 250
+)
+SELECT lang, COUNT(*) AS n_new,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM incoming WHERE h NOT IN (SELECT h FROM prior)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -494,6 +537,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,

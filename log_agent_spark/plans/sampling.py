@@ -333,6 +333,53 @@ FROM d WHERE dt IS NOT NULL GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Winsorized statistics: per-type p5/p95 clipping before the mean — the
+# standard outlier-robust cleaning step. Exact linear-interpolation
+# percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). Scale: the
+# per-type quantile table is tiny → broadcast back; the fact side is scanned
+# twice (once for quantiles, once for the clipped agg) — at 100 TB cache or
+# checkpoint the projected (type, value) columns between the passes, or
+# switch to approx_percentile and one pass.
+# ---------------------------------------------------------------------------
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .select("event_type", "value", clipped.alias("clipped"), "p5", "p95")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("clipped"), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.min("p5"), 4).alias("p5"),
+            F.round(F.min("p95"), 4).alias("p95"),
+        )
+    )
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p5,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       ROUND(AVG(LEAST(GREATEST(e.value, q.p5), q.p95)), 4)
+         AS winsorized_mean,
+       ROUND(AVG(e.value), 4) AS raw_mean,
+       ROUND(MIN(q.p5), 4) AS p5, ROUND(MIN(q.p95), 4) AS p95
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-batch manifest: the cross-modal assembly step — documents joined
 # to their embeddings, quality-filtered, split-assigned, summarized per
 # (split, lang). Scale: doc↔embedding is an equi-join on the shared id (at
@@ -428,11 +475,13 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "gapfill_locf": q_gapfill_locf,
     "time_weighted_avg": q_time_weighted_avg,
+    "winsorized_stats": q_winsorized_stats,
     "training_manifest": q_training_manifest,
     "sql_interface": q_sql_interface,
 }
 
 ORACLES = {
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "sample_stratified_cap": ORACLE_SAMPLE_STRATIFIED_CAP,

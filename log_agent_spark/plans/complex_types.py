@@ -144,8 +144,54 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Python UDTF + LATERAL join (§2.7 "UDAF/UDTF" surface): a user-defined
+# table function splitting text into (word, pos) rows, consumed via SQL
+# LATERAL — the general form of the reference's one-record→N-records zip
+# expansion as a USER extension point. Per-row Python is deliberately the
+# slow path (SCALE.md): built-in explode/split (q_array_ops) or mapInPandas
+# (ziputil.py) carry the hot path; the UDTF exists for semantics Spark
+# can't express — so the input here is capped small.
+# ---------------------------------------------------------------------------
+def q_text_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "lang", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_words,
+               COUNT(DISTINCT s.word) AS n_distinct_words,
+               MAX(s.pos) AS max_pos
+        FROM udtf_docs d, LATERAL split_words(d.text) s
+        GROUP BY d.lang
+        """
+    )
+
+
+ORACLE_TEXT_UDTF_WORDS = """
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents WHERE doc_id < 50
+)
+SELECT lang, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct_words,
+       MAX(pos) AS max_pos
+FROM words GROUP BY lang
+"""
+
+
 QUERIES = {
     "array_ops": q_array_ops,
+    "text_udtf_words": q_text_udtf_words,
     "lateral_explode": q_lateral_explode,
     "join_full_outer": q_join_full_outer,
     "agg_percentiles": q_agg_percentiles,
@@ -153,6 +199,7 @@ QUERIES = {
 
 ORACLES = {
     "array_ops": ORACLE_ARRAY_OPS,
+    "text_udtf_words": ORACLE_TEXT_UDTF_WORDS,
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
     "join_full_outer": ORACLE_JOIN_FULL_OUTER,
     "agg_percentiles": ORACLE_AGG_PERCENTILES,

@@ -1,0 +1,62 @@
+"""Plan-shape assertions for the sampling/reshaping/graph family — the
+100 TB viability properties SCALE.md claims: small sides broadcast, no
+cartesian blowups, column-pruned scans, map-side partial aggregation.
+Row values are covered by the oracle gate; these tests pin the PLAN."""
+
+from __future__ import annotations
+
+from log_agent_spark.operators import dedup
+from log_agent_spark.plans import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_split_no_shuffle_before_agg(spark):
+    plan = _plan(sampling.q_sample_hash_split(spark, SF))
+    # split assignment is a pure map: exactly one exchange (the final agg)
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    plan = _plan(sampling.q_anomaly_zscore(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorized_broadcasts_quantiles(spark):
+    plan = _plan(sampling.q_winsorized_stats(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gapfill_grid_is_generated_not_joined(spark):
+    plan = _plan(sampling.q_gapfill_locf(spark, SF))
+    # the hour spine comes from sequence()+explode (Generate), not a scan
+    assert "Generate" in plan, plan
+    # types table broadcast onto the grid
+    assert "Broadcast" in plan, plan
+
+
+def test_unpivot_is_map_side(spark):
+    plan = _plan(sampling.q_unpivot_measures(spark, SF))
+    # unpivot = Expand (map-side row expansion); one agg shuffle after
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_manifest_scans_prune_columns(spark):
+    plan = _plan(sampling.q_training_manifest(spark, SF))
+    # documents scan must not read `source`; embeddings must not read `label`
+    assert "source" not in plan.split("ReadSchema")[1][:400], plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_incremental_dedup_is_broadcast_anti(spark):
+    plan = _plan(dedup.q_dedup_incremental(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan

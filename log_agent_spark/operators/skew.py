@@ -80,5 +80,47 @@ GROUP BY event_type
 """
 
 
-QUERIES = {"skew_salted_distinct": q_skew_salted_distinct}
-ORACLES = {"skew_salted_distinct": ORACLE_SKEW_SALTED_DISTINCT}
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-tiny-dim join on a 5-value (maximally skewed) key via the
+    salt-replicated join: the dim is exploded over 16 salts so each hot key
+    spreads across 16 reducers instead of hot-spotting one. Result is
+    verified identical to the plain join."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    joined = salted_join(e, dim, ["event_type"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)")), 2
+        )
+        .cast("double")
+        .alias("weighted_sum"),
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CAST(length(event_type) AS DOUBLE) AS weight
+  FROM events
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(e.value * d.weight AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS weighted_sum
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+QUERIES = {
+    "skew_salted_distinct": q_skew_salted_distinct,
+    "skew_salted_join": q_skew_salted_join,
+}
+ORACLES = {
+    "skew_salted_distinct": ORACLE_SKEW_SALTED_DISTINCT,
+    "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+}

@@ -189,9 +189,49 @@ FROM words GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Pandas grouped-agg UDAF (§2.7 "UDAF/UDTF" surface, aggregate half): a
+# user-defined geometric mean over Arrow-batched numpy — the extension
+# point for aggregates Catalyst lacks. Arrow transfer + vectorized numpy,
+# never row-at-a-time Python; still the slow path vs exp(avg(ln(x))) in
+# built-ins, which is what the oracle uses and what production would ship.
+# ---------------------------------------------------------------------------
+def q_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns the
+    # (pd.Series -> float) hints into strings, which signature inference
+    # rejects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg, so the
+    # row count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy("lang").agg(
+        F.round(geomean(F.col("n_chars")), 4).alias("geomean_chars"),
+        n_rows(F.col("n_chars")).alias("n_docs"),
+    )
+
+
+ORACLE_PANDAS_UDAF_GEOMEAN = """
+SELECT lang, ROUND(EXP(AVG(LN(CAST(n_chars AS DOUBLE)))), 4)
+         AS geomean_chars,
+       COUNT(*) AS n_docs
+FROM documents WHERE n_chars > 0 GROUP BY lang
+"""
+
+
 QUERIES = {
     "array_ops": q_array_ops,
     "text_udtf_words": q_text_udtf_words,
+    "pandas_udaf_geomean": q_pandas_udaf_geomean,
     "lateral_explode": q_lateral_explode,
     "join_full_outer": q_join_full_outer,
     "agg_percentiles": q_agg_percentiles,
@@ -200,6 +240,7 @@ QUERIES = {
 ORACLES = {
     "array_ops": ORACLE_ARRAY_OPS,
     "text_udtf_words": ORACLE_TEXT_UDTF_WORDS,
+    "pandas_udaf_geomean": ORACLE_PANDAS_UDAF_GEOMEAN,
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
     "join_full_outer": ORACLE_JOIN_FULL_OUTER,
     "agg_percentiles": ORACLE_AGG_PERCENTILES,

@@ -41,6 +41,13 @@ _LOCAL_DEFAULTS = {
     # reader rejects; read nanos as LongType and convert at the source
     # (sources/tables.py) — lossless for the fixture's µs-precision data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # StreamExecution.isInterruptionException matches py4j error text with a
+    # `((.|\r\n|\r|\n)*)` regex that recurses per character; on a long stack
+    # trace it overflows the default thread stack and kills the stream
+    # execution thread. A deeper stack makes interrupt classification (and
+    # deep Catalyst plan recursion generally) safe. JVM-launch-time option —
+    # a no-op when attaching to an already-running session.
+    "spark.driver.extraJavaOptions": "-Xss16m",
 }
 
 

@@ -126,7 +126,10 @@ def test_event_pipeline_end_to_end(spark, tmp_path):
     )
     try:
         deadline = time.time() + 120
-        while time.time() < deadline and sum(len(r) for r in seen) < 2:
+        # Poll on `committed` (the LAST step of the batch callback), not
+        # `seen` — asserting between the sink write and the commit hook
+        # races q.stop() against the in-flight count() job.
+        while time.time() < deadline and sum(committed) < 2:
             time.sleep(1)
         rows = {r.path: r for batch in seen for r in batch}
         # T1: the /a storm collapsed to its last event; /b passed through

@@ -60,11 +60,16 @@ def brute_force_topk(
     not in the output so value hashes are float-order-proof; rank is computed
     at full double precision with vec_id tie-break.
     """
-    q = F.broadcast(queries)
-    pairs = q.crossJoin(candidates).select(
+    # Hoist the norms out of the pair loop: the higher-order-function dot
+    # product is interpreted (no codegen), so computing 3 aggregates per
+    # PAIR (dot + both norms) costs 3x one. Same doubles — sqrt(dot(v,v))
+    # is a pure function of the row — so ranking is unchanged.
+    q = F.broadcast(queries.withColumn("q_norm", _norm(F.col("q_emb"))))
+    c = candidates.withColumn("c_norm", _norm(F.col("emb")))
+    pairs = q.crossJoin(c).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -136,10 +141,15 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     candidates = bucketed.filter(F.col("vec_id") >= N_QUERIES)
-    pairs = queries.join(candidates, "bucket").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    # norms hoisted out of the per-pair score (see brute_force_topk)
+    pairs = (
+        queries.withColumn("q_norm", _norm(F.col("q_emb")))
+        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "bucket")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -225,10 +235,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
     )
     candidates = cells.filter(F.col("vec_id") >= N_QUERIES)
-    pairs = queries.join(candidates, "cell").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+    # norms hoisted out of the per-pair score (see brute_force_topk)
+    pairs = (
+        queries.withColumn("q_norm", _norm(F.col("q_emb")))
+        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

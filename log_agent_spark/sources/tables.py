@@ -41,13 +41,27 @@ def _ensure_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+# Analyzed-DataFrame cache, keyed by (session, sf_dir, table) — the
+# engine's (static) catalog. spark.read.parquet re-lists files and re-reads
+# footers for the schema on every call; across a many-query workload that
+# is pure planner overhead. Fixture tables are immutable, so the cached
+# logical plan is always current. Scale note: this caches PLANS (KB-sized),
+# not data — nothing is pinned in executor memory.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanos-as-long columns → TIMESTAMP (µs), e.g. events.ts
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div — double division would lose ulp precision at ns scale
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

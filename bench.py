@@ -33,6 +33,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_volume",
     "lateral_explode",
+    "recursive_tree_rollup",
     "events_gaps_islands",
     "events_retention_cohort",
     "sample_hash_split",

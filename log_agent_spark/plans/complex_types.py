@@ -228,6 +228,41 @@ FROM documents WHERE n_chars > 0 GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE, Spark 4 UnionLoop execution): iterative
+# hierarchy traversal expressed declaratively — the SQL-native form of the
+# driver-loop iteration in operators/graph.py. The hierarchy is a synthetic
+# ternary tree over doc_ids (parent(d) = floor((d-1)/3)) so the query is
+# deterministic on any corpus; output is the per-depth rollup. The SAME SQL
+# text runs on Spark and on the DuckDB oracle (ANSI recursive-CTE syntax).
+# Scale: each recursion level is one distributed join; Spark materializes
+# level N and feeds it to level N+1 — depth is log3(n_docs), so a 10^11-doc
+# corpus recurses ~23 levels of broadcast-sized frontiers.
+# ---------------------------------------------------------------------------
+_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE tree(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1
+  FROM documents d JOIN tree t
+    ON CAST(FLOOR((d.doc_id - 1) / 3.0) AS BIGINT) = t.doc_id
+  WHERE d.doc_id > 0
+)
+SELECT depth, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM tree GROUP BY depth
+"""
+
+
+def q_recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+ORACLE_RECURSIVE_TREE_ROLLUP = _RECURSIVE_TREE_SQL
+
+
 QUERIES = {
     "array_ops": q_array_ops,
     "text_udtf_words": q_text_udtf_words,
@@ -235,6 +270,7 @@ QUERIES = {
     "lateral_explode": q_lateral_explode,
     "join_full_outer": q_join_full_outer,
     "agg_percentiles": q_agg_percentiles,
+    "recursive_tree_rollup": q_recursive_tree_rollup,
 }
 
 ORACLES = {
@@ -244,4 +280,5 @@ ORACLES = {
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
     "join_full_outer": ORACLE_JOIN_FULL_OUTER,
     "agg_percentiles": ORACLE_AGG_PERCENTILES,
+    "recursive_tree_rollup": ORACLE_RECURSIVE_TREE_ROLLUP,
 }

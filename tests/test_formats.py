@@ -46,3 +46,24 @@ def test_orders_roundtrip(spark, tmp_path, fmt):
 
     assert back.columns == norm.columns
     assert _fingerprint(back) == _fingerprint(norm)
+
+
+def test_orders_roundtrip_xml(spark, tmp_path):
+    """Built-in XML source (Spark 4): the natural wire format for factory
+    test logs (the reference's ICT/BSI domain, conf/logagent.ini:11-117).
+    Options differ from the tabular formats (rowTag is mandatory), so the
+    trip is its own test rather than a parametrize case."""
+    src = load_table(spark, SF_DIR, "orders")
+    norm = src.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = str(tmp_path / "orders_xml")
+    norm.write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(norm.schema)
+        .load(out)
+    )
+    assert back.columns == norm.columns
+    assert _fingerprint(back) == _fingerprint(norm)

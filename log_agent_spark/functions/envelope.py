@@ -83,3 +83,22 @@ def to_kafka_records(df: DataFrame) -> DataFrame:
     )
     key = kafka_key(F.col("folder"), F.col("pack"), F.col("name"))
     return df.select(key.alias("key"), value.alias("value"))
+
+
+def confluent_frame(schema_id: int, body: Column) -> Column:
+    """Confluent Schema-Registry wire framing: magic byte 0x00 + 4-byte
+    big-endian schema ID + serialized body (the encoder the reference keeps
+    live even though its Avro wiring is dormant, kafka.go:449-473: magic 0
+    at :457-459, binary.BigEndian 4-byte ID at :461-464, body appended).
+
+    Pure built-ins — unhex(lpad(hex(id), 8, '0')) materializes the 4-byte
+    big-endian integer — so the frame stays codegen'd; the body stays
+    format-agnostic (Avro, JSON bytes, ...), exactly like the reference's
+    ``[]byte`` append."""
+    if not 0 <= schema_id <= 0xFFFFFFFF:
+        raise ValueError(f"schema_id out of uint32 range: {schema_id}")
+    return F.concat(
+        F.lit(bytes([0])),
+        F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0")),
+        body.cast("binary"),
+    )

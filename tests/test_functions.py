@@ -224,3 +224,17 @@ def test_kafka_key_skips_empty_pack(meta_df):
     with_pack = meta_df.withColumn("pack", F.lit("arc.zip"))
     key2 = E.to_kafka_records(with_pack).collect()[0].key
     assert key2 == "BSI/arc.zip/log1.txt"
+
+
+def test_confluent_frame_bytes(spark):
+    """Wire framing golden (kafka.go:449-473): magic 0x00 + 4-byte
+    big-endian schema ID + body, byte-for-byte."""
+    df = spark.createDataFrame([(b"abc",)], "body binary")
+    out = df.select(
+        E.confluent_frame(7, F.col("body")).alias("lo"),
+        E.confluent_frame(0x01020304, F.col("body")).alias("hi"),
+        E.confluent_frame(0, F.lit(b"")).alias("empty"),
+    ).collect()[0]
+    assert bytes(out.lo) == b"\x00\x00\x00\x00\x07abc"
+    assert bytes(out.hi) == b"\x00\x01\x02\x03\x04abc"
+    assert bytes(out.empty) == b"\x00\x00\x00\x00\x00"

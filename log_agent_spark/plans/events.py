@@ -133,6 +133,41 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured access, VARIANT form (Spark 4 VariantType): parse the JSON
+# once into the binary variant encoding, then typed path extraction. At
+# scale this is the column to STORE (parquet variant shredding makes the
+# paths column-prunable); get_json_object re-parses the string per access.
+# The oracle sees the identical values through DuckDB's JSON path functions.
+# ---------------------------------------------------------------------------
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even_k"),
+            F.min("k").alias("min_k"),
+            F.round(F.stddev_samp("k"), 4).alias("sd_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_even_k,
+       MIN(k) AS min_k,
+       ROUND(STDDEV_SAMP(k), 4) AS sd_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (gaps-and-islands): the batch form of per-key debounce T1.
 # A new session starts when the gap to the previous event of the same key
 # exceeds the quiescence window. Scale: one shuffle on user_id; the running
@@ -426,6 +461,7 @@ QUERIES = {
     "events_tumbling_window": q_tumbling_window,
     "events_sliding_window": q_sliding_window,
     "events_json_extract": q_json_extract,
+    "events_variant_extract": q_variant_extract,
     "events_sessionize": q_sessionize,
     "debounce_keep_last": q_debounce_keep_last,
     "dedup_keep_latest": q_dedup_keep_latest,
@@ -439,6 +475,7 @@ ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "events_sliding_window": ORACLE_SLIDING_WINDOW,
     "events_json_extract": ORACLE_JSON_EXTRACT,
+    "events_variant_extract": ORACLE_VARIANT_EXTRACT,
     "events_sessionize": ORACLE_SESSIONIZE,
     "debounce_keep_last": ORACLE_DEBOUNCE_KEEP_LAST,
     "dedup_keep_latest": ORACLE_DEDUP_KEEP_LATEST,

@@ -673,7 +673,57 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality audit on the line sequence number: a well-formed order's
+# l_linenumber values are contiguous 1..n, so max(linenumber) == count(*).
+# The same audit pattern the agent domain needs for test-log completeness
+# (did every sequence arrive before shipping the batch downstream?).
+# Scale: one shuffle on l_orderkey with map-side partial agg, then a tiny
+# re-agg on the 3-value status key.
+# ---------------------------------------------------------------------------
+def q_lineitem_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_lineno"),
+        F.min("l_linenumber").alias("min_lineno"),
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(
+                    (F.col("max_lineno") != F.col("n_lines"))
+                    | (F.col("min_lineno") != 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_gapped"),
+            F.max("n_lines").alias("max_lines_per_order"),
+        )
+    )
+
+
+ORACLE_LINEITEM_SEQUENCE_AUDIT = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         MAX(l_linenumber) AS max_lineno, MIN(l_linenumber) AS min_lineno
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN max_lineno <> n_lines OR min_lineno <> 1 THEN 1 ELSE 0 END)
+         AS n_gapped,
+       MAX(n_lines) AS max_lines_per_order
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "lineitem_sequence_audit": q_lineitem_sequence_audit,
     "q01_pricing_summary": q01_pricing_summary,
     "q04_order_priority": q04_order_priority,
     "q06_forecast_revenue": q06_forecast_revenue,
@@ -698,6 +748,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_sequence_audit": ORACLE_LINEITEM_SEQUENCE_AUDIT,
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
     "q06_forecast_revenue": ORACLE_Q06,

@@ -70,3 +70,23 @@ class BatchMetricsListener(StreamingQueryListener):
     def total_rows(self) -> int:
         with self._lock:
             return sum(b.num_input_rows for b in self.batches)
+
+
+def observed(df, name: str, *metric_cols):
+    """Attach named in-flight metrics to a BATCH plan (pyspark Observation):
+    the batch-side twin of BatchMetricsListener. Metrics are computed by the
+    tasks that already process the data — no second pass, no collect — and
+    become available on the returned Observation after the first action.
+
+        df, obs = observed(df, "ingest", F.count(F.lit(1)).alias("rows"),
+                           F.sum("size").alias("bytes"))
+        df.write.parquet(...)
+        obs.get  # {"rows": ..., "bytes": ...}
+
+    Parity: the reference's per-batch accounting (watchdog.go:309) without
+    instrumenting the operators themselves.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metric_cols), obs

@@ -108,3 +108,19 @@ def test_range_join_band_and_bucket_edges(spark):
         r.r_event_id for r in time_range_join(left, right, window_s=60).collect()
     )
     assert got == [10, 11]
+
+
+def test_decode_media_meta_arrow_equivalent(spark, sf_dir):
+    """mapInArrow codec stage produces exactly the mapInPandas results."""
+    from log_agent_spark.operators.multimodal import (
+        decode_media_meta,
+        decode_media_meta_arrow,
+        media_corpus,
+    )
+    from log_agent_spark.sources.tables import load_table
+
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    a = {r.media_id: r for r in decode_media_meta(media).collect()}
+    b = {r.media_id: r for r in decode_media_meta_arrow(media).collect()}
+    assert len(a) == len(b) > 0
+    assert all(a[k] == b[k] for k in a)

@@ -63,3 +63,26 @@ def test_listener_counts_rows_and_rocksdb_state(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_batch_observation_metrics(spark, sf_dir):
+    """observed(): metrics ride along with the action (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from log_agent_spark.sources.tables import load_table
+    from log_agent_spark.streaming.metrics import observed
+
+    docs = load_table(spark, sf_dir, "documents")
+    df, obs = observed(
+        docs,
+        "doc_ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_chars").alias("chars"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expected = docs.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars")
+    ).first()
+    assert got["rows"] == expected["rows"]
+    assert got["chars"] == expected["chars"]

@@ -32,6 +32,8 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_volume",
+    "lineitem_sequence_audit",
+    "events_variant_extract",
     "lateral_explode",
     "recursive_tree_rollup",
     "events_gaps_islands",

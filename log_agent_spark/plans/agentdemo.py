@@ -120,10 +120,81 @@ def q_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_kafka_records(df).orderBy("key")
 
 
+def q_ingest_text_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-archive text subset of the ingest — the slice whose every
+    projection (folder parse, BSI time override, size, md5, gzip GATE
+    decision) is reproducible in ANSI SQL over the same raw files, giving
+    this part of the pipeline a full value-hash oracle (read_blob) instead
+    of the rows-only check. Zip members and compressed/binary payloads stay
+    golden-tested (DuckDB cannot unzip/gzip, and its md5 is VARCHAR-only)."""
+    root = _fixture_root()
+    df = ingest_tree(spark, root, host="fixturehost")
+    return df.filter(
+        (F.col("pack") == "") & ~F.col("name").rlike(r"\.(jpg|jpeg|gif|png)$")
+    ).select(
+        "folder",
+        "name",
+        "size",
+        "compress",
+        "checksum",
+        F.date_format("file_time", "yyyy-MM-dd HH:mm:ss").alias("file_time_str"),
+    )
+
+
+_BSI_TS_RE = r"(\d{4}-\d{2}-\d{2}_\d{2}_\d{2}_\d{2}_\d{3})$"
+
+# NOTE: the oracle reads the SAME raw fixture files DuckDB-side; the tree is
+# (re)built when ORACLES is accessed (module __getattr__ below), so the SQL
+# is valid regardless of whether Spark or DuckDB runs first.
+_ORACLE_INGEST_TEXT_FILES = f"""
+WITH raw AS (
+  SELECT replace(filename, '{{root}}/', '') AS rel, content, size, last_modified
+  FROM read_blob('{{root}}/**')
+  WHERE filename NOT LIKE '%.zip' AND filename NOT LIKE '%.complete'
+    AND regexp_matches(filename, '\\.(jpg|jpeg|gif|png)$') = false
+), parsed AS (
+  SELECT rel,
+         regexp_extract(rel, '([^/]*)$', 1) AS name,
+         CASE WHEN rel LIKE '%/%' THEN regexp_replace(rel, '/[^/]*$', '') ELSE '' END AS folder,
+         string_split(rel, '/') AS segs,
+         content, size, last_modified
+  FROM raw
+), timed AS (
+  SELECT *,
+         CASE WHEN len(segs) BETWEEN 4 AND 5
+              AND regexp_extract(segs[4], '{_BSI_TS_RE}', 1) <> ''
+              THEN strptime(regexp_extract(segs[4], '{_BSI_TS_RE}', 1),
+                            '%Y-%m-%d_%H_%M_%S_%g')
+         END AS folder_time
+  FROM parsed
+)
+SELECT folder, name, size,
+       size > 1024 AND regexp_matches(lower(name), '\\.(jpg|jpeg|gif|png|wmv|flv|zip|gz)$') = false
+         AS compress,
+       md5(content::VARCHAR) AS checksum,
+       strftime(COALESCE(folder_time, last_modified), '%Y-%m-%d %H:%M:%S') AS file_time_str
+FROM timed
+"""
+
+
 QUERIES = {
     "ingest_logfile_tree": q_ingest_logfile,
+    "ingest_text_files": q_ingest_text_files,
     "kafka_envelope": q_kafka_envelope,
 }
 
-# deliberately no ORACLES — rows-only driver check; byte goldens in tests/
-ORACLES: dict[str, str] = {}
+# ingest_logfile_tree / kafka_envelope: rows-only driver check (DuckDB
+# cannot unzip or gzip); byte goldens in tests/. ingest_text_files carries
+# a real read_blob oracle, materialized lazily so the fixture tree exists
+# whichever side (Spark or DuckDB) executes first.
+_STATIC_ORACLES: dict[str, str] = {}
+
+
+def __getattr__(name: str):
+    if name == "ORACLES":
+        root = _fixture_root()
+        return {
+            **_STATIC_ORACLES,
+            "ingest_text_files": _ORACLE_INGEST_TEXT_FILES.replace("{root}", root),
+        }
+    raise AttributeError(name)

@@ -45,6 +45,12 @@ def read_binary_tree(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(root)
+    # binaryFile plans one partition per byte range, so ZERO-byte files can
+    # never surface from it. The reference ships empty files (content "0x"
+    # on the wire, kafka.go:323-325), so recover them with a listing pass —
+    # the same driver-side FS metadata walk Spark's own file index does —
+    # and union metadata-only rows (content = x'').
+    df = df.unionByName(_empty_file_rows(spark, root, glob))
     if pattern and pattern not in (".*", ""):
         df = df.filter(F.col("path").rlike(pattern))  # F1 fsnotify.go:184-190
     if ignore:
@@ -54,6 +60,56 @@ def read_binary_tree(
         depth = F.size(F.split(rel, "/"))
         df = df.filter(depth <= max_nesting_level)  # F5 fsnotify.go:174-179
     return df
+
+
+def _empty_file_rows(spark: SparkSession, root: str, glob: str | None) -> DataFrame:
+    """Zero-byte files under ``root`` in the binaryFile row shape.
+
+    Uses the Hadoop FileSystem API (any supported FS — local, HDFS, S3A);
+    only METADATA of empty files reaches the driver, bounded by the count
+    of empty files, not the tree size. Hidden files ('.'/'_' prefixes) are
+    skipped to match Hadoop's listing filter; ``glob`` applies to the
+    filename like pathGlobFilter does.
+    """
+    import datetime as dt
+    import fnmatch
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getLen() != 0:
+            continue
+        name = st.getPath().getName()
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        if glob and not fnmatch.fnmatch(name, glob):
+            continue
+        mtime = dt.datetime.fromtimestamp(
+            st.getModificationTime() / 1000.0, tz=dt.timezone.utc
+        ).replace(tzinfo=None)
+        rows.append((st.getPath().toString(), mtime, 0, bytearray(b"")))
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def enrich_file_meta(df: DataFrame, root: str, host: str | None = None) -> DataFrame:

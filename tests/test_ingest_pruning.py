@@ -27,3 +27,27 @@ def test_file_date_partition_pruning(spark, tmp_path):
     assert picked.count() == back.count() > 0
     none = back.filter(F.col("file_date") == "1999-01-01")
     assert none.count() == 0
+
+
+def test_zero_byte_files_are_ingested(spark, tmp_path):
+    """binaryFile cannot plan splits for 0-byte files; the listing-recovery
+    pass must surface them — the reference ships empty files (the '0x' wire
+    convention exists for exactly this, kafka.go:323-325)."""
+    from log_agent_spark.sources.binary_files import read_binary_tree
+
+    tree = tmp_path / "tree"
+    (tree / "sub").mkdir(parents=True)
+    (tree / "sub" / "empty.log").write_bytes(b"")
+    (tree / "sub" / "full.log").write_bytes(b"x")
+    (tree / "sub" / ".hidden").write_bytes(b"")  # hidden stays hidden
+
+    df = read_binary_tree(spark, str(tree))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"empty.log", "full.log"}
+    assert rows["empty.log"].length == 0
+    assert bytes(rows["empty.log"].content) == b""
+    assert rows["empty.log"].modificationTime is not None
+
+    # glob applies to recovered empties exactly like pathGlobFilter
+    only_log = read_binary_tree(spark, str(tree), glob="*.log")
+    assert only_log.count() == 2

@@ -502,6 +502,79 @@ GROUP BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q21 suppliers who kept orders waiting (adapted: no l_commitdate /
+# l_receiptdate → "late" = shipped more than 60 days after the order date).
+# The classic form is two correlated subqueries over lineitem (EXISTS a
+# second supplier on the order, NOT EXISTS a second LATE supplier); the
+# Spark plan rewrites both as window counts over l_orderkey — ONE shuffle
+# on the fact instead of two self-join semi/anti shuffles, with per-order
+# state bounded by lines-per-order (~7), so it holds at any order count.
+# supplier/nation stay broadcast dims.
+# ---------------------------------------------------------------------------
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin([f"NATION_{i}" for i in range(5)])
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60).cast(
+        "timestamp"
+    )
+    ll = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    # EXISTS other-supplier  ⇄  distinct suppliers on the order >= 2
+    # NOT EXISTS other-late  ⇄  distinct LATE suppliers == 1 (this row is late,
+    # so its supplier is the one)
+    flagged = (
+        ll.withColumn("supp_cnt", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "late_cnt",
+            F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("supp_cnt") >= 2) & (F.col("late_cnt") == 1))
+    )
+    return (
+        flagged.join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+ORACLE_Q21 = """
+WITH ll AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM ll l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.is_late
+  AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+  AND EXISTS (SELECT 1 FROM ll l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ll l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
@@ -513,6 +586,7 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_volume": q18_large_volume,
     "q19_banded_revenue": q19_banded_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_sales_opportunity": q22_sales_opportunity,
 }
 
@@ -527,5 +601,6 @@ ORACLES = {
     "q17_small_qty_revenue": ORACLE_Q17,
     "q18_large_volume": ORACLE_Q18,
     "q19_banded_revenue": ORACLE_Q19,
+    "q21_waiting_suppliers": ORACLE_Q21,
     "q22_sales_opportunity": ORACLE_Q22,
 }

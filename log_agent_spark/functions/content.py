@@ -83,7 +83,11 @@ def apply_compression(size: Column, ext: Column, content: Column) -> dict[str, C
     ``when`` short-circuits the UDF input to NULL otherwise).
     """
     gate = should_compress(size, ext)
-    out_content = F.when(gate, gzip_compress(content)).otherwise(content)
+    # Pandas UDFs are extracted into an ArrowEvalPython stage and run on the
+    # WHOLE batch before the `when` projection picks a branch — so null out
+    # non-gated inputs first, or every never-compress blob (jpgs, zips, 16 MiB
+    # media) gets gzipped and thrown away.
+    out_content = F.when(gate, gzip_compress(F.when(gate, content))).otherwise(content)
     # uncompressed rows: compress_size == size == length(content), so a single
     # length() over the output column covers both branches (compress.go:22-24,44)
     return {

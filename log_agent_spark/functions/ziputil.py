@@ -91,23 +91,54 @@ def explode_zip_entries(
 
 
 def with_zip_members(df: DataFrame) -> DataFrame:
-    """Union: non-zip rows pass through (pack=''), zip rows are replaced by
-    their exploded members — the reference's dispatch shape (kafka.go:170-185).
+    """Single pass: non-zip rows pass through (pack=''), zip rows are
+    replaced by their exploded members — the reference's dispatch shape
+    (kafka.go:170-185).
 
-    Expects FileMeta-like columns: filepath, filename, ext, size, content.
+    One ``mapInPandas`` over the whole scan rather than a filter/explode/
+    union of two branches: the branched plan re-reads every file's CONTENT
+    twice (the ext predicate is path-derived, not pushable to the binaryFile
+    reader), which at 100 TB doubles source IO — and downstream the gzip
+    gate crosses all content into Python anyway, so the single pass adds no
+    new Arrow transfer. Pass-through rows are handled vectorized (one
+    column assignment per batch); only actual archives are exploded
+    row-wise.
+
+    Expects FileMeta-like columns: filepath, filename, ext, size, content,
+    and the enrichment's pack='' default (overwritten for members).
     """
-    is_zip = F.col("ext") == "zip"
-    passthrough = df.filter(~is_zip).withColumn("pack", F.lit(""))
-    members = (
-        explode_zip_entries(
-            df.filter(is_zip),
-            keep_cols=[c for c in df.columns if c not in ("content", "pack")],
-        )
-        .withColumn("filename", F.col("entry_name"))
-        .withColumn("size", F.col("entry_size"))
-        .withColumn("content", F.col("entry_content"))
-        .drop("entry_name", "entry_size", "entry_content")
+    has_pack = "pack" in df.columns
+    out_cols = list(df.columns) + ([] if has_pack else ["pack"])
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ([] if has_pack else ["pack string"])
     )
-    return passthrough.unionByName(members, allowMissingColumns=False).select(
-        *passthrough.columns
-    )
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_zip = pdf["ext"] == "zip"
+            passthrough = pdf[~is_zip].copy()
+            passthrough["pack"] = ""
+            frames = [passthrough]
+            for _, row in pdf[is_zip].iterrows():
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(row["content"])))
+                    infos = zf.infolist()
+                except zipfile.BadZipFile:
+                    continue  # kafka.go:210-216: invalid/empty zip → dropped
+                recs = []
+                for info in infos:
+                    if info.is_dir():  # kafka.go:230-232
+                        continue
+                    rec = row.to_dict()
+                    rec["pack"] = row["filename"]  # kafka.go:243-255
+                    rec["filename"] = _decode_name(info)
+                    rec["size"] = info.file_size
+                    rec["content"] = zf.read(info)
+                    recs.append(rec)
+                if recs:
+                    frames.append(pd.DataFrame(recs, columns=out_cols))
+            out = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            yield out[out_cols]
+
+    return df.mapInPandas(_process, schema=out_schema)

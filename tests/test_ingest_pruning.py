@@ -57,6 +57,47 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert j.count() == fact.filter(F.col("file_date").isin("2017-06-07", "2017-06-08")).count()
 
 
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """When neither join side broadcasts (the fact-fact case at 100 TB),
+    Spark can still semi-join-reduce the big side before the shuffle by
+    injecting a bloom filter built from the selective side. Local fixture
+    sizes are below the production thresholds, so lower them for the test;
+    at scale the defaults (10 MB creation / 10 GB application) fire on
+    their own."""
+    from log_agent_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the filter is a pre-shuffle reduction, never a semantics change
+        with_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert with_bloom == l.join(o, l.l_orderkey == o.o_orderkey).count()
+
+
 def test_zero_byte_files_are_ingested(spark, tmp_path):
     """binaryFile cannot plan splits for 0-byte files; the listing-recovery
     pass must surface them — the reference ships empty files (the '0x' wire

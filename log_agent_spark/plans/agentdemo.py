@@ -141,6 +141,29 @@ def q_ingest_text_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode to the Kafka wire, decode back, project the same slice as
+    ingest_text_files — and check against the SAME read_blob oracle. A
+    value-hash match proves the wire format is lossless end-to-end
+    (envelope JSON, epoch-millis times, '0x' hex blobs) on top of the
+    ingest itself being right."""
+    from log_agent_spark.sources.kafka_source import from_kafka_records
+
+    root = _fixture_root()
+    df = ingest_tree(spark, root, host="fixturehost")
+    decoded = from_kafka_records(to_kafka_records(df))
+    return decoded.filter(
+        (F.col("pack") == "") & ~F.col("name").rlike(r"\.(jpg|jpeg|gif|png)$")
+    ).select(
+        "folder",
+        "name",
+        "size",
+        "compress",
+        "checksum",
+        F.date_format("file_time", "yyyy-MM-dd HH:mm:ss").alias("file_time_str"),
+    )
+
+
 _BSI_TS_RE = r"(\d{4}-\d{2}-\d{2}_\d{2}_\d{2}_\d{2}_\d{3})$"
 
 # NOTE: the oracle reads the SAME raw fixture files DuckDB-side; the tree is
@@ -181,6 +204,7 @@ QUERIES = {
     "ingest_logfile_tree": q_ingest_logfile,
     "ingest_text_files": q_ingest_text_files,
     "kafka_envelope": q_kafka_envelope,
+    "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
 }
 
 # ingest_logfile_tree / kafka_envelope: rows-only driver check (DuckDB
@@ -196,5 +220,7 @@ def __getattr__(name: str):
         return {
             **_STATIC_ORACLES,
             "ingest_text_files": _ORACLE_INGEST_TEXT_FILES.replace("{root}", root),
+            # same truth: the wire round trip must be the identity
+            "kafka_wire_roundtrip": _ORACLE_INGEST_TEXT_FILES.replace("{root}", root),
         }
     raise AttributeError(name)

@@ -41,6 +41,40 @@ def sliding_counts(
     )
 
 
+def session_collapse(
+    events: DataFrame,
+    key_col: str = "path",
+    ts_col: str = "ts",
+    gap: str = "3 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Event-time session windows per key: a burst of events with no gap
+    larger than ``gap`` collapses to one row carrying the burst's last
+    event time and count.
+
+    This is the DECLARATIVE twin of the T1 debounce (watchdog.go:193-251):
+    same quiescence-window semantics, but driven by event time + watermark
+    instead of processing-time timers — the form to prefer when events
+    carry their own timestamps, because late data is handled exactly and
+    state is evicted by watermark, not wall clock. The exact
+    processing-time port lives in streaming/debounce.py.
+
+    Output: (key, session_start, session_end, last_ts, n_events).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.max(ts_col).alias("last_ts"), F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -81,6 +81,40 @@ def test_sliding_window_overlap(spark, tmp_path):
         q.stop()
 
 
+def test_session_collapse_bursts(spark, tmp_path):
+    """Event-time sessionization (the declarative debounce twin): a burst
+    with gaps < 3s collapses to one row; a quiet period opens a new
+    session; keys never merge."""
+    from log_agent_spark.streaming.windows import session_collapse
+
+    src = str(tmp_path / "sess_src")
+    table = f"sess_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        _rows([(1, "a", 0), (2, "a", 1), (3, "a", 2),   # one burst
+               (4, "a", 10),                            # new session
+               (5, "b", 1)]),                           # separate key
+        SCHEMA,
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = _start(
+        session_collapse(stream, key_col="key", gap="3 seconds"),
+        table, tmp_path, "complete",
+    )
+    try:
+        rows = _poll(spark, table, want=3)
+        got = {
+            (r.key, r.session_start, r.last_ts, r.n_events) for r in rows
+        }
+        assert got == {
+            ("a", T0, T0 + dt.timedelta(seconds=2), 3),
+            ("a", T0 + dt.timedelta(seconds=10), T0 + dt.timedelta(seconds=10), 1),
+            ("b", T0 + dt.timedelta(seconds=1), T0 + dt.timedelta(seconds=1), 1),
+        }, rows
+    finally:
+        q.stop()
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
     table = f"ssj_{uuid.uuid4().hex[:8]}"

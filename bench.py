@@ -32,6 +32,7 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_volume",
+    "q21_waiting_suppliers",
     "lineitem_sequence_audit",
     "events_variant_extract",
     "lateral_explode",
@@ -73,6 +74,7 @@ HEADLINE = [
     "media_decode_meta",
     "media_frame_sample",
     "ingest_logfile_tree",
+    "kafka_wire_roundtrip",
 ]
 
 

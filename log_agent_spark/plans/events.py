@@ -453,8 +453,67 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# NATIVE session_window (batch form of streaming/windows.py
+# session_collapse), cross-checked against DuckDB's gaps-and-islands SQL —
+# an oracle for a built-in operator DuckDB doesn't have. Boundary
+# convention: Spark's session is [start, last_ts + gap), so an event at
+# exactly last_ts + gap opens a NEW session — the islands oracle must use
+# `>= gap`, not `> gap` (the lag/sum demo above uses the other convention
+# on both sides, equally consistently).
+# Scale: one shuffle on user_id; Spark merges overlapping sessions inside
+# the aggregation — no window-function sort pass over the whole table.
+# ---------------------------------------------------------------------------
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MS // 1000} seconds").alias("s"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("s.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("s.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_NATIVE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+               OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sess AS (
+  SELECT user_id, ts_ms, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_ms)                        AS session_start_ms,
+       MAX(ts_ms) + {SESSION_GAP_MS}     AS session_end_ms,
+       COUNT(*)                          AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "events_hypertable_rollup": q_hypertable_rollup,
+    "events_session_window_native": q_session_window_native,
     "window_range_frame": q_window_range_frame,
     "events_approx_sketches": q_approx_sketches,
     "events_pivot": q_events_pivot,
@@ -470,6 +529,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
+    "events_session_window_native": ORACLE_SESSION_WINDOW_NATIVE,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_tumbling_window": ORACLE_TUMBLING_WINDOW,

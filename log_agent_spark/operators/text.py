@@ -327,7 +327,61 @@ SELECT doc_id, term, tfidf, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filters for LLM training data):
+# distinct-word ratio and duplicate-bigram fraction, the signals that catch
+# boilerplate/spam documents. ZERO-shuffle: everything is higher-order
+# array expressions (split / slice / zip_with / array_distinct) evaluated
+# per row inside whole-stage codegen — at 100 TB this is a pure map over
+# the corpus scan, no explode, no (doc_id, word) shuffle.
+# Both engines compute the ratios with the same integer operands, so the
+# doubles match bit-for-bit without rounding.
+# ---------------------------------------------------------------------------
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, F.lit(1), n - 1),
+        F.slice(words, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / n).alias(
+            "distinct_word_ratio"
+        ),
+        F.when(
+            nb > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / nb,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_fraction"),
+    )
+
+
+ORACLE_REPETITION_METRICS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), b AS (
+  SELECT doc_id, words, len(words) AS n_words,
+         list_transform(list_zip(words[1:len(words)-1], words[2:len(words)]),
+                        s -> s[1] || ' ' || s[2]) AS bigrams
+  FROM w
+)
+SELECT doc_id, n_words,
+       CAST(len(list_distinct(words)) AS DOUBLE) / n_words AS distinct_word_ratio,
+       CASE WHEN len(bigrams) > 0
+            THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_fraction
+FROM b
+"""
+
+
 QUERIES = {
+    "text_repetition_metrics": q_repetition_metrics,
     "text_token_stats": q_token_stats,
     "text_token_bpe": q_token_bpe,
     "text_tfidf_topterms": q_tfidf_topterms,
@@ -339,6 +393,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_bpe": ORACLE_TOKEN_BPE,
     "text_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,

@@ -316,8 +316,70 @@ GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization — the 100 TB memory lever for vector search:
+# per-vector symmetric scale (max|x|/127), values rounded to [-127, 127].
+# A quantized corpus is 4-8x smaller than float32/float64, which is what
+# lets a candidate set fit executor memory (or a broadcast) at scale. For
+# COSINE the per-vector scales cancel, so scoring is a pure ratio of
+# integer-valued doubles — exact on both engines, no float-drift risk.
+# Quantized values stay integral-in-double: products/sums are exact
+# (≤127²·dim ≪ 2^53), so ranking is deterministic.
+# ---------------------------------------------------------------------------
+def quantize_int8(emb: Column) -> Column:
+    """array<double> → integral-valued array<double> in [-127, 127]."""
+    scale = (
+        F.aggregate(emb, F.lit(0.0).cast("double"), lambda a, v: F.greatest(a, F.abs(v)))
+        / 127.0
+    )
+    return F.transform(emb, lambda x: F.round(x / scale, 0))
+
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_int8(as_double(F.col("embedding"))).alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return brute_force_topk(queries, candidates)
+
+
+ORACLE_ANN_INT8_TOPK = f"""
+WITH z AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> round(x / (list_max(list_transform(embedding::DOUBLE[],
+                                                   y -> abs(y))) / 127.0))
+         ) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM z WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, emb FROM z WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_int8_topk": q_ann_int8_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "embedding_norms": q_embedding_norms,
@@ -325,6 +387,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_int8_topk": ORACLE_ANN_INT8_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,

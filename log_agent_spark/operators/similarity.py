@@ -128,6 +128,23 @@ def sign_bucket(emb: Column, n_dims: int = LSH_SIGN_DIMS) -> Column:
     return F.concat(*bits)
 
 
+def probe_buckets(bucket: Column, n_dims: int = LSH_SIGN_DIMS) -> Column:
+    """Multi-probe set: the query's own bucket plus every hamming-distance-1
+    neighbor (one sign bit flipped) — n+1 probes instead of 2^n buckets.
+    The recall knob: a near-neighbor that disagrees with the query on ONE
+    borderline sign still gets scored. Candidates live in exactly one
+    bucket and probes are distinct, so the probe-join creates no duplicate
+    pairs."""
+
+    def _flip(i: int) -> Column:
+        flipped = F.when(
+            F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        return F.concat(F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, n_dims))
+
+    return F.array(bucket, *[_flip(i) for i in range(n_dims)])
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -135,10 +152,13 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     bucketed = emb.select("vec_id", "emb", sign_bucket(F.col("emb")).alias("bucket"))
-    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        "bucket",
+    queries = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+        )
     )
     candidates = bucketed.filter(F.col("vec_id") >= N_QUERIES)
     # norms hoisted out of the per-pair score (see brute_force_topk)
@@ -167,13 +187,26 @@ def _bucket_sql(emb: str) -> str:
     return f"({bits})"
 
 
+_PROBES_SQL = ", ".join(
+    ["bucket"]
+    + [
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {i + 2}, {LSH_SIGN_DIMS})"
+        for i in range(LSH_SIGN_DIMS)
+    ]
+)
+
 ORACLE_ANN_LSH_BUCKETED = f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
   FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM b WHERE vec_id < {N_QUERIES}
+  SELECT query_id, q_emb, UNNEST(probes) AS bucket
+  FROM (SELECT vec_id AS query_id, emb AS q_emb,
+               list_value({_PROBES_SQL}) AS probes
+        FROM b WHERE vec_id < {N_QUERIES})
 ), c AS (
   SELECT vec_id, emb, bucket FROM b WHERE vec_id >= {N_QUERIES}
 ), scored AS (

@@ -43,6 +43,31 @@ def write_date_partitioned(df: DataFrame, path: str, date_col: str = "file_date"
     df.write.mode("overwrite").partitionBy(date_col).parquet(path)
 
 
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int = 8
+) -> None:
+    """Cluster rows by ``sort_cols`` inside each output file (third layout
+    lever, after bucketing and partitioning): parquet stores min/max stats
+    per row group, and a range-sorted file gives every row group a NARROW,
+    disjoint min/max band — so a point or range predicate on the sort key
+    skips whole row groups at scan time (and whole FILES once AQE/stats
+    kick in), without any directory structure.
+
+    repartitionByRange + sortWithinPartitions: the range exchange makes the
+    per-FILE ranges disjoint across the dataset (a global sort's layout at
+    a fraction of the cost — no final merge), and the in-partition sort
+    orders rows inside each file so row groups inherit tight bands. This is
+    the parquet analog of the reference's Cassandra clustering columns
+    (file_time/folder/pack/name after the partition key, cassandra.go:349):
+    range-ordered storage beneath the partition."""
+    (
+        df.repartitionByRange(max(num_files, 1), *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -40,6 +40,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_write_sorted_gives_disjoint_minmax_bands(spark, sf_dir, tmp_path):
+    """Range-sorted layout: every output file must carry a narrow, disjoint
+    [min, max] band on the sort key (parquet footer stats) — the property
+    that lets a point/range predicate skip whole files and row groups. An
+    unsorted shuffle of the same data has every file spanning ~the whole
+    key range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from log_agent_spark.sources.layout import write_sorted
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sorted_path = str(tmp_path / "orders_sorted")
+    write_sorted(o, sorted_path, ["o_orderkey"], num_files=4)
+    shuffled_path = str(tmp_path / "orders_shuffled")
+    o.repartition(4).write.parquet(shuffled_path)
+
+    def bands(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+            )
+            stats = [md.row_group(g).column(col).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return sorted(out)
+
+    sorted_bands = bands(sorted_path)
+    assert len(sorted_bands) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(sorted_bands, sorted_bands[1:]):
+        assert hi1 < lo2, sorted_bands  # disjoint ranges across files
+
+    # unsorted control: every file spans (nearly) the full key range
+    total_min = min(lo for lo, _ in sorted_bands)
+    total_max = max(hi for _, hi in sorted_bands)
+    wide = [
+        (lo, hi)
+        for lo, hi in bands(shuffled_path)
+        if (hi - lo) > 0.9 * (total_max - total_min)
+    ]
+    assert len(wide) >= 3, wide
+
+    # and the data survives intact
+    assert spark.read.parquet(sorted_path).count() == o.count()
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path):
     import glob
 

@@ -542,8 +542,76 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# The COMPOSED dedup pipeline — what a training-data build actually emits:
+# tier 1 exact dedup (min doc_id per identical text), tier 2 MinHash-LSH
+# pairs among the exact survivors, resolved to clusters by connected
+# components, keeping each cluster's root (min doc_id). Output = the
+# surviving corpus. Scale: tier 1 is one hash shuffle; tier 2 touches only
+# LSH-bucket collisions; the component loop is O(cluster diameter) rounds
+# over the sparse dup graph (operators/graph.py notes).
+# ---------------------------------------------------------------------------
+def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.graph import connected_components
+
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    exact_canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = lsh_candidate_pairs(exact_canon)
+    comp = connected_components(
+        exact_canon.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    roots = comp.filter(F.col("node") == F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return roots.join(exact_canon, "doc_id").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+ORACLE_DEDUP_CANONICAL_CORPUS = f"""
+WITH RECURSIVE corpus AS ({PLANTED_DUPS_SQL}),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM canon
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+), edges0 AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM canon
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node
+)
+SELECT c.doc_id, length(k.text) AS n_chars
+FROM comp c JOIN canon k ON c.doc_id = k.doc_id
+WHERE c.doc_id = c.comp
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_canonical_corpus": q_dedup_canonical_corpus,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -553,6 +621,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_canonical_corpus": ORACLE_DEDUP_CANONICAL_CORPUS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

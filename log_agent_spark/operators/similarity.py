@@ -410,9 +410,71 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN (pre-filter form): top-k among candidates sharing
+# the query's label — the production pattern where vector search composes
+# with a relational predicate (tenant, language, license class). The label
+# equi-join IS the filter: it prunes the candidate set before any scoring,
+# and at scale it is the partition key that keeps each search inside one
+# shard of the corpus. Post-filter ANN (search then filter) loses recall
+# when the filter is selective; pre-filter keeps exactly k true results.
+# ---------------------------------------------------------------------------
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "label",
+    )
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = (
+        F.broadcast(queries.withColumn("q_norm", _norm(F.col("q_emb"))))
+        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "label")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_ANN_FILTERED_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q JOIN c USING (label)
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_int8_topk": q_ann_int8_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "embedding_norms": q_embedding_norms,
@@ -421,6 +483,7 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_int8_topk": ORACLE_ANN_INT8_TOPK,
+    "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,

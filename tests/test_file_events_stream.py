@@ -72,7 +72,7 @@ def test_stream_emits_create_then_write(spark, tmp_path):
                 for r in spark.sql(f"SELECT * FROM {table} ORDER BY mod_time").collect()
             ]
 
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline and len(rows()) < 1:
             time.sleep(1)
         assert rows() == [(str(root / "first.log"), "CREATE", 2)]
@@ -83,7 +83,7 @@ def test_stream_emits_create_then_write(spark, tmp_path):
         (root / "second.log").write_bytes(b"x")
         (root / "noise.tmp").write_bytes(b"x")
 
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline and len(rows()) < 3:
             time.sleep(1)
         got = rows()

@@ -17,6 +17,7 @@ from log_agent_spark.operators import (
     dedup,
     graph,
     multimodal,
+    rollup,
     similarity,
     skew,
     temporal,
@@ -34,7 +35,8 @@ from log_agent_spark.plans import (
 
 _MODULES = [
     relational, tpch_extra, complex_types, analytics, sampling, events,
-    temporal, dedup, graph, similarity, text, multimodal, skew, agentdemo,
+    temporal, dedup, graph, similarity, text, multimodal, skew, rollup,
+    agentdemo,
 ]
 
 

@@ -51,8 +51,12 @@ def merge_rollup(
     value_col: str,
 ) -> None:
     """Fold a batch of raw facts into the persistent rollup at ``path``."""
+    import glob
+
     partials = aggregate_partials(delta, day_col, key_cols, value_col)
-    if os.path.exists(path):
+    # "exists" must mean "has data": an empty pre-created directory (mkdtemp)
+    # would otherwise fail parquet schema inference on first merge
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         existing = spark.read.parquet(path)
         affected = partials.select(day_col).distinct()
         # only the touched days participate in the re-aggregation
@@ -79,3 +83,58 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     return r.withColumn(
         "avg_value", F.col("sum_value") / F.col("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified form: maintain the rollup in TWO delta batches (split by
+# event_id parity), then the result must hash-match DuckDB's one-shot
+# aggregation — proving the maintenance path computes the same answer as a
+# full recompute. Values are summed as DECIMAL so the answer cannot depend
+# on how the work was batched (double addition is order-sensitive; decimal
+# addition is exact — the same rule the TPC-H queries use cross-engine).
+# ---------------------------------------------------------------------------
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from log_agent_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    path = tempfile.mkdtemp(prefix="log_agent_rollup_q_")
+    for parity in (0, 1):
+        merge_rollup(
+            spark,
+            e.filter(F.col("event_id") % 2 == parity).drop("event_id"),
+            path,
+            "day",
+            ["event_type"],
+            "v",
+        )
+    return spark.read.parquet(path).select(
+        "day",
+        "event_type",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "n_events",
+    )
+
+
+ORACLE_EVENTS_INCREMENTAL_ROLLUP = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY day, event_type
+"""
+
+
+QUERIES = {
+    "events_incremental_rollup": q_events_incremental_rollup,
+}
+
+ORACLES = {
+    "events_incremental_rollup": ORACLE_EVENTS_INCREMENTAL_ROLLUP,
+}

@@ -40,3 +40,44 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts > 1  # the hot key fans out across salt buckets
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join split: a partition dominated by one hot key is split
+    into advisory-sized sub-reads at runtime — the built-in complement to
+    the manual salting above (salting pre-commits the plan; AQE fixes skew
+    it discovers). Caveat captured here: the split only fires when the join
+    feeds no distribution-requiring operator (an agg right after the join
+    suppresses it unless forceOptimizeSkewedJoin accepts the extra
+    shuffle)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS v",
+            "repeat('x', 64) AS pad",
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id AS w")
+        j = left.join(right, "k")
+        rows = j.collect()  # drives THIS DataFrame's QueryExecution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # 180k hot-key rows + 100 long-tail matches, all intact post-split
+        assert len(rows) == 180_100
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

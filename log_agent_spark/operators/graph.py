@@ -13,10 +13,12 @@ lineage each round so plans don't grow unboundedly.
 Scale: at 100 TB the dup graph is sparse (pairs come from LSH buckets, so
 |E| ≈ |dup docs|), and diameter of near-dup clusters is small (dups of a doc
 are dups of each other), so a handful of rounds suffice. For adversarial
-graphs (long chains), swap the step for the large-star/small-star rounds of
-Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
-same join primitives, provably O(log n) rounds. The reference has no graph
-op (SURVEY.md §2.7 absent categories); this is a north-star extension.
+graphs (long chains), ``connected_components_star`` implements the
+large-star/small-star rounds of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) — same join primitives, provably O(log n)
+rounds regardless of diameter (property-tested against union-find on
+chains/cliques/random graphs). The reference has no graph op (SURVEY.md
+§2.7 absent categories); this is a north-star extension.
 """
 
 from __future__ import annotations
@@ -70,6 +72,95 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    # decimal sum: 64-bit hash values overflow a LONG sum under ANSI mode
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row.n or 0, int(row.h or 0))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14): converges in
+    O(log n) rounds regardless of graph DIAMETER, where the simple
+    min-label propagation above needs O(diameter) rounds — the difference
+    between 2 and 2000 shuffles on a pathological chain of near-dup docs.
+
+    Each round is two half-steps over the canonical edge list:
+    - large-star: every node attaches its strictly-larger neighbors to the
+      minimum of its neighborhood (keeps tree height collapsing globally),
+    - small-star: every node attaches its smaller-or-equal neighbors and
+      itself to that minimum (locally stars the remainder).
+    Both are one groupBy + one join — plain shuffles, no driver data; the
+    convergence witness is a (count, hash-sum) scalar pair per round.
+
+    Output schema matches ``connected_components``: (node, comp).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def half_step(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(center) = min(neighborhood ∪ {center})
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        attached = sym.join(m, "u").filter(
+            F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        )
+        out = attached.select(
+            F.least(F.col("v"), F.col("m")).alias("u"),
+            F.greatest(F.col("v"), F.col("m")).alias("v"),
+        )
+        if not large:
+            # small-star also re-links each center to its min
+            out = out.unionByName(
+                m.select(
+                    F.least(F.col("u"), F.col("m")).alias("u"),
+                    F.greatest(F.col("u"), F.col("m")).alias("v"),
+                )
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        e = half_step(e, large=True)
+        e = half_step(e, large=False)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    membership = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(membership, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
 
 
 # ---------------------------------------------------------------------------

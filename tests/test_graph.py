@@ -33,3 +33,85 @@ def test_cycle_merges_to_min(spark):
 def test_no_edges_identity(spark):
     got = _cc(spark, [3, 1, 2], [])
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star vs ground truth (union-find) on adversarial shapes.
+# ---------------------------------------------------------------------------
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id of each component
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def _star_result(spark, n_nodes, edges):
+    from log_agent_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter("src != src")  # empty edge set, stable schema
+    out = connected_components_star(nodes, e, id_col="id")
+    return {r.node: r.comp for r in out.collect()}
+
+
+def test_star_cc_on_long_chain(spark):
+    """A 200-node chain has diameter 199 — min-label propagation needs 199
+    rounds; the star algorithm must finish well inside its 50-round cap."""
+    edges = [(i, i + 1) for i in range(199)]
+    got = _star_result(spark, 200, edges)
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_star_cc_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    got = _star_result(spark, n, edges)
+    want = _union_find(n, edges)
+    assert got == want
+
+
+def test_star_cc_isolated_and_cliques(spark):
+    # two 4-cliques + isolated nodes 8, 9
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    got = _star_result(spark, 10, c1 + c2)
+    want = {**{i: 0 for i in range(4)}, **{i: 4 for i in range(4, 8)}, 8: 8, 9: 9}
+    assert got == want
+
+
+def test_star_cc_agrees_with_label_propagation(spark):
+    """Same answer as the simple min-label propagation on a graph both can
+    finish (star is the adversarial-diameter replacement, not a different
+    semantics)."""
+    import random
+
+    from log_agent_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    simple = {
+        r.node: r.comp
+        for r in connected_components(nodes, e, id_col="id").collect()
+    }
+    star = _star_result(spark, n, edges)
+    assert star == simple

@@ -96,6 +96,36 @@ def compact_parquet(
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
+def retention_prune(
+    spark: SparkSession, path: str, date_col: str, cutoff: str
+) -> list[str]:
+    """Drop partitions older than ``cutoff`` (exclusive) from a
+    date-partitioned table — the log-retention operation (the reference
+    relies on Cassandra TTL/compaction for this; a parquet lake does it by
+    deleting partition directories, an O(#partitions) metadata operation
+    that never reads data). Returns the dropped partition values.
+
+    Uses the Hadoop FileSystem API so it works on any supported FS; only
+    directory names are examined.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    dropped: list[str] = []
+    prefix = f"{date_col}="
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value < cutoff:  # ISO dates compare lexicographically
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return sorted(dropped)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

@@ -115,3 +115,23 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     # the date predicate must prune at listing time, not row-filter time
     assert "PartitionFilters" in plan
     assert scan.count() == o.filter(F.col("file_date") == "1996-03-15").count()
+
+
+def test_retention_prune_drops_old_partitions(spark, tmp_path):
+    from log_agent_spark.sources.layout import retention_prune
+
+    path = str(tmp_path / "logfile")
+    spark.createDataFrame(
+        [("2024-01-0%d" % d, i) for d in range(1, 6) for i in range(3)],
+        "file_date string, v int",
+    ).write.partitionBy("file_date").parquet(path)
+
+    dropped = retention_prune(spark, path, "file_date", cutoff="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    assert {str(r.file_date) for r in left.select("file_date").distinct().collect()} == {
+        "2024-01-03", "2024-01-04", "2024-01-05"
+    }
+    assert left.count() == 9
+    # idempotent: nothing left below the cutoff
+    assert retention_prune(spark, path, "file_date", cutoff="2024-01-03") == []

@@ -86,3 +86,38 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
     assert {k: v for k, v in after_vals.items() if k[0] == "2024-01-01"} == {
         k: v for k, v in before_vals.items() if k[0] == "2024-01-01"
     }
+
+
+def test_foreach_batch_rollup_streaming_and_replay(spark, tmp_path):
+    """Streaming maintenance: a parquet-source stream folds into the rollup
+    via foreachBatch; a replayed batchId (foreachBatch is at-least-once)
+    must be a no-op thanks to the commit marker."""
+    from log_agent_spark.operators.rollup import foreach_batch_rollup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "rollup")
+    _facts(spark, [("2024-01-01", "click", 1.0), ("2024-01-02", "view", 2.0)]).write.parquet(src)
+
+    sink = foreach_batch_rollup(out, "day", ["event_type"], "value")
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    once = _rollup_map(read_rollup(spark, out))
+    assert once[("2024-01-01", "click")] == (1.0, 1)
+
+    # simulate the at-least-once replay: same batchId, same data → no-op
+    sink(spark.read.parquet(src), 0)
+    assert _rollup_map(read_rollup(spark, out)) == once
+
+    # a NEW batch id with new data still applies
+    sink(_facts(spark, [("2024-01-02", "view", 3.0)]), 1)
+    after = _rollup_map(read_rollup(spark, out))
+    assert after[("2024-01-02", "view")] == (5.0, 2)
+    assert after[("2024-01-01", "click")] == (1.0, 1)

@@ -67,3 +67,42 @@ def test_orders_roundtrip_xml(spark, tmp_path):
     )
     assert back.columns == norm.columns
     assert _fingerprint(back) == _fingerprint(norm)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A long-lived logfile table grows columns over time; mergeSchema
+    reads old + new files as one table with NULLs where the column did not
+    exist yet — no rewrite of historical partitions."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path + "/p=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", "h1")], "id long, name string, host string"
+    ).write.parquet(path + "/p=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"id", "name", "host"}
+    rows = {r.id: r.host for r in merged.collect()}
+    assert rows == {1: None, 2: "h1"}
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE parse with a _corrupt_record column: malformed lines land
+    in the dead-letter column instead of failing the job — the F7/404
+    quarantine branch for wire formats."""
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"k": 1, "v": "ok"}\n{not json at all}\n{"k": 2, "v": "ok2"}\n')
+
+    df = (
+        spark.read.schema("k long, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # SPARK-21610: corrupt-record column requires materialization
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.k for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+    assert "{not json" in bad.first()._corrupt_record

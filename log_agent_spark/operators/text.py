@@ -380,8 +380,59 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# Document chunking (training-data prep): fixed-size overlapping word
+# windows per document — the op that turns a corpus into training samples.
+# ZERO-shuffle until the explode (a map-side generator); chunk content is
+# reduced to an md5 so the result stays hashable at any corpus size.
+# chunk_idx derives from the window start ((start-1)/step), so it is
+# reproducible without positional UDFs on either engine.
+# ---------------------------------------------------------------------------
+CHUNK_WORDS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STEP = CHUNK_WORDS - CHUNK_OVERLAP
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - CHUNK_OVERLAP, F.lit(1)), F.lit(_CHUNK_STEP)
+    )
+    return (
+        d.select("doc_id", F.explode(starts).alias("s"), words.alias("w"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_STEP).cast("long").alias("chunk_idx"),
+            F.size(F.slice(F.col("w"), F.col("s"), CHUNK_WORDS)).alias("n_chunk_words"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("s"), CHUNK_WORDS))
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+ORACLE_TEXT_CHUNKING = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, greatest(len(words) - {CHUNK_OVERLAP}, 1),
+                                {_CHUNK_STEP})) AS s
+  FROM w
+)
+SELECT doc_id,
+       (s - 1) // {_CHUNK_STEP} AS chunk_idx,
+       len(words[s : s + {CHUNK_WORDS - 1}]) AS n_chunk_words,
+       md5(array_to_string(words[s : s + {CHUNK_WORDS - 1}], ' ')) AS chunk_hash
+FROM s
+"""
+
+
 QUERIES = {
     "text_repetition_metrics": q_repetition_metrics,
+    "text_chunking": q_text_chunking,
     "text_token_stats": q_token_stats,
     "text_token_bpe": q_token_bpe,
     "text_tfidf_topterms": q_tfidf_topterms,
@@ -394,6 +445,7 @@ QUERIES = {
 
 ORACLES = {
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
+    "text_chunking": ORACLE_TEXT_CHUNKING,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_bpe": ORACLE_TOKEN_BPE,
     "text_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,

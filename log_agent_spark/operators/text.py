@@ -430,9 +430,55 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (training-data prep): assign documents to context-window
+# "packs" by cutting the corpus at token boundaries in a deterministic
+# order — the sample-packing step that turns variable-length docs into
+# fixed-budget training sequences. Packing runs WITHIN language (the
+# window partitions by lang), so the running sum is distributed — a single
+# global window would serialize the corpus through one task at 100 TB;
+# sharding the pack key is the scale form (any hash bucket works where
+# cross-lang packing is wanted).
+# ---------------------------------------------------------------------------
+PACK_BUDGET_WORDS = 512
+
+
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_words").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "lang", n_words.alias("n_words"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.floor(cum_before / PACK_BUDGET_WORDS).alias("pack_id"),
+        )
+    )
+
+
+ORACLE_TEXT_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words FROM documents
+)
+SELECT doc_id, lang, n_words,
+       COALESCE(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {PACK_BUDGET_WORDS} AS pack_id
+FROM d
+"""
+
+
 QUERIES = {
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
+    "text_pack_sequences": q_text_pack_sequences,
     "text_token_stats": q_token_stats,
     "text_token_bpe": q_token_bpe,
     "text_tfidf_topterms": q_tfidf_topterms,
@@ -446,6 +492,7 @@ QUERIES = {
 ORACLES = {
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,
+    "text_pack_sequences": ORACLE_TEXT_PACK_SEQUENCES,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_bpe": ORACLE_TOKEN_BPE,
     "text_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,

@@ -475,10 +475,80 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data compliance): regex-scrub emails / phone
+# numbers / IPs, reporting per-doc match counts. The fixture corpus is
+# clean, so PII is PLANTED deterministically (same expression both
+# engines) on a slice of docs — the redactor can't know that, it scans
+# everything. Patterns restricted to the Java∩RE2 common dialect so Spark
+# and DuckDB behave identically; DuckDB needs the 'g' flag (it replaces
+# first-match-only by default, Spark replaces all).
+# Scale: pure codegen'd regexp projections, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(F.col("doc_id") % 10 == 1, F.lit(" call 555-123-4567"))
+        .when(F.col("doc_id") % 10 == 2, F.lit(" from 192.168.1.42 today"))
+        .otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(planted, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(planted, F.lit(_PII_IP)).alias("n_ip"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+ORACLE_TEXT_REDACT_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 10 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 10 = 1 THEN ' call 555-123-4567'
+           WHEN doc_id % 10 = 2 THEN ' from 192.168.1.42 today'
+           ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(t, '{_PII_IP}'))    AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS redacted_hash
+FROM planted
+"""
+
+
 QUERIES = {
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
     "text_pack_sequences": q_text_pack_sequences,
+    "text_redact_pii": q_text_redact_pii,
     "text_token_stats": q_token_stats,
     "text_token_bpe": q_token_bpe,
     "text_tfidf_topterms": q_tfidf_topterms,
@@ -493,6 +563,7 @@ ORACLES = {
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,
     "text_pack_sequences": ORACLE_TEXT_PACK_SEQUENCES,
+    "text_redact_pii": ORACLE_TEXT_REDACT_PII,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_token_bpe": ORACLE_TOKEN_BPE,
     "text_tfidf_topterms": ORACLE_TFIDF_TOPTERMS,

@@ -71,6 +71,9 @@ HEADLINE = [
     "text_token_frequency",
     "text_token_bpe",
     "text_tfidf_topterms",
+    "text_chunking",
+    "text_redact_pii",
+    "sample_source_mixture",
     "media_decode_meta",
     "media_frame_sample",
     "ingest_logfile_tree",

@@ -467,7 +467,50 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_INTERFACE)
 
 
+# ---------------------------------------------------------------------------
+# Source-mixture sampling (training-data prep): each source gets its own
+# keep-rate (the "temperature" weighting that rebalances a crawl against
+# curated sources), applied via the content-addressed hash bucket — so the
+# subsample is reproducible on any engine, any partitioning, any run. The
+# per-source rate here is a deterministic function of the source id; in
+# production it is a broadcast dim table — the plan shape is identical.
+# Scale: map-side expression + one agg shuffle on the (small) source key.
+# ---------------------------------------------------------------------------
+def q_sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")  # 'src12' → 12
+    rate = 10 + 4 * srcnum  # keep-% in [10, 86] across src0..src19
+    keep = _hash_bucket(F.col("doc_id")) < rate
+    return (
+        d.select("source", rate.alias("rate_pct"), keep.alias("keep"), "n_chars")
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+ORACLE_SAMPLE_SOURCE_MIXTURE = f"""
+WITH d AS (
+  SELECT source,
+         10 + 4 * CAST(substr(source, 4) AS INT) AS rate_pct,
+         {_oracle_bucket('doc_id')} < (10 + 4 * CAST(substr(source, 4) AS INT)) AS keep,
+         n_chars
+  FROM documents
+)
+SELECT source, rate_pct, COUNT(*) AS n_docs,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS kept_chars
+FROM d GROUP BY source, rate_pct
+"""
+
+
 QUERIES = {
+    "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified_cap": q_sample_stratified_cap,
     "unpivot_measures": q_unpivot_measures,
@@ -481,6 +524,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,

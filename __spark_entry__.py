@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from log_agent_spark.operators import (
+    decontaminate,
     dedup,
     graph,
     multimodal,
@@ -31,11 +32,12 @@ from log_agent_spark.plans import (
     relational,
     sampling,
     tpch_extra,
+    tpch_partsupp,
 )
 
 _MODULES = [
-    relational, tpch_extra, complex_types, analytics, sampling, events,
-    temporal, dedup, graph, similarity, text, multimodal, skew, rollup,
+    relational, tpch_extra, tpch_partsupp, complex_types, analytics, sampling, events,
+    temporal, dedup, decontaminate, graph, similarity, text, multimodal, skew, rollup,
     agentdemo,
 ]
 

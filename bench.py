@@ -73,6 +73,10 @@ HEADLINE = [
     "text_tfidf_topterms",
     "text_chunking",
     "text_redact_pii",
+    "text_decontaminate",
+    "corpus_snapshot_diff",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
     "sample_source_mixture",
     "media_decode_meta",
     "media_frame_sample",

@@ -1,0 +1,187 @@
+"""Training-data hygiene operators: eval-set decontamination and corpus
+snapshot diff.
+
+Decontamination is the standard LLM-pretraining step (n-gram collision
+against held-out benchmark text — the GPT-3 appendix-C recipe, token
+n-grams instead of its 13-grams because fixture docs are short): any
+training document sharing a token 8-gram with the eval split is flagged
+with its overlap ratio. Everything is JVM-side column expressions
+(split / transform / slice / explode — whole-stage codegen, no Python).
+
+Scale (100 TB intent): the eval split is the SMALL side by construction
+(benchmarks are MBs, corpora are TBs), so its distinct-n-gram set is
+broadcast and the training side never shuffles on n-grams — the only wide
+stage is the per-doc hit count, which partial-aggregates map-side. The
+snapshot diff is a single full-outer join on the snapshot key; at scale
+both snapshots arrive pre-bucketed on doc_id (sources/layout.py) so the
+join needs no exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+NGRAM_N = 8
+EVAL_SOURCE = "src0"  # deterministic eval split of the documents fixture
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_ngrams(text: Column, n: int = NGRAM_N) -> Column:
+    """Space-joined token n-grams as an array column (empty if < n tokens)."""
+    toks = _toks(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB twin of token_ngrams (1-based inclusive list_slice).
+_SQL_NGRAMS = f"""
+  SELECT doc_id,
+         array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS ngram
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents {{where}}
+  ),
+  LATERAL unnest(generate_series(1, greatest(len(toks) - {NGRAM_N - 1}, 0))) AS g(i)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs (source != EVAL_SOURCE) sharing >= 1 token 8-gram with
+    the eval split, with distinct-hit counts and overlap ratio (4dp)."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_ngrams = (
+        d.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .distinct()
+    )
+    train = d.filter(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram")
+    )
+    per_doc_total = (
+        d.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", F.size(F.array_distinct(token_ngrams(F.col("text")))).alias("train_ngrams"))
+    )
+    hits = (
+        train.join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("hit_ngrams"))
+    )
+    return (
+        hits.join(per_doc_total, "doc_id")
+        .select(
+            "doc_id",
+            "hit_ngrams",
+            "train_ngrams",
+            F.round(F.col("hit_ngrams") / F.col("train_ngrams"), 4).alias(
+                "overlap_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH eval_ngrams AS (
+  SELECT DISTINCT ngram FROM ({_SQL_NGRAMS.format(where="WHERE source = '" + EVAL_SOURCE + "'")})
+),
+train_ngrams AS (
+  {_SQL_NGRAMS.format(where="WHERE source <> '" + EVAL_SOURCE + "'")}
+),
+totals AS (
+  SELECT doc_id, COUNT(DISTINCT ngram) AS train_ngrams
+  FROM train_ngrams GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, COUNT(DISTINCT t.ngram) AS hit_ngrams
+  FROM train_ngrams t
+  WHERE t.ngram IN (SELECT ngram FROM eval_ngrams)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.hit_ngrams, tt.train_ngrams,
+       ROUND(h.hit_ngrams / CAST(tt.train_ngrams AS DOUBLE), 4) AS overlap_ratio
+FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
+ORDER BY h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff: the CDC primitive for versioned training corpora —
+# classify every doc_id as added / removed / changed / unchanged between
+# two snapshots. Snapshots are derived deterministically from the fixture
+# (v1 = doc_id % 7 != 0, v2 = doc_id % 5 != 0, with v2 text rewritten when
+# doc_id % 3 == 0) so the oracle reproduces them exactly.
+# ---------------------------------------------------------------------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("h2"),
+        )
+    )
+    diff = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) AS h2
+  FROM documents WHERE doc_id % 5 <> 0
+),
+diff AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN h1 <> h2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM diff GROUP BY status
+"""
+
+
+QUERIES = {
+    "text_decontaminate": q_decontaminate,
+    "corpus_snapshot_diff": q_snapshot_diff,
+}
+
+ORACLES = {
+    "text_decontaminate": ORACLE_DECONTAMINATE,
+    "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+}

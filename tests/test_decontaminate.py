@@ -1,0 +1,46 @@
+"""Decontamination + snapshot-diff: plan shape (eval side broadcasts, no
+Python in the pipeline) and semantic invariants. Values are oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_agent_spark.operators import decontaminate
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_eval_ngrams_broadcast_semi_join(spark):
+    plan = _plan(decontaminate.q_decontaminate(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # all-JVM pipeline: no Python evaluation nodes
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_overlap_ratio_bounded(spark):
+    rows = decontaminate.q_decontaminate(spark, SF).collect()
+    for r in rows:
+        assert 0 < r.hit_ngrams <= r.train_ngrams
+        assert 0 < r.overlap_ratio <= 1.0
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b c",)], "text string").select(
+        F.size(decontaminate.token_ngrams(F.col("text"))).alias("n")
+    )
+    assert df.collect()[0].n == 0
+
+
+def test_snapshot_diff_partitions_docids(spark):
+    rows = {r.status: r for r in decontaminate.q_snapshot_diff(spark, SF).collect()}
+    # every fixture doc lands in exactly one bucket of the v1/v2 universe
+    assert set(rows) <= {"added", "removed", "changed", "unchanged"}
+    if "added" in rows:  # added docs are v2-only: doc_id % 7 == 0, % 5 != 0
+        assert rows["added"].min_doc % 7 == 0
+    if "removed" in rows:  # removed docs are v1-only: doc_id % 5 == 0
+        assert rows["removed"].min_doc % 5 == 0

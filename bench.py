@@ -73,6 +73,9 @@ HEADLINE = [
     "text_tfidf_topterms",
     "text_chunking",
     "text_redact_pii",
+    "text_bm25_search",
+    "text_unigram_logprob",
+    "sample_shuffle_shard",
     "text_decontaminate",
     "corpus_snapshot_diff",
     "q02_min_cost_supplier",

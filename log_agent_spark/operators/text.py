@@ -544,7 +544,153 @@ FROM planted
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Okapi BM25, k1=1.2 b=0.75): the standard relevance
+# ranking for keyword retrieval over a corpus. The query term set is small
+# and fixed, so per-doc term frequencies are array expressions over the
+# tokenized text — NO (doc_id, term) explode for the scoring pass. The only
+# aggregation is one corpus-stats row (N, avgdl, per-term df), cross-joined
+# back (a literal broadcast of one row). At 100 TB: one narrow scan for
+# stats, one narrow scan for scoring — two passes, zero wide shuffles; the
+# top-k is TakeOrderedAndProject (per-partition heap, k-row driver merge).
+# Floats: dl/df/N are exact integers in both engines, the double formula is
+# evaluated in the same literal order, and the result is rounded to 4dp.
+# ---------------------------------------------------------------------------
+BM25_QUERY_TERMS = ["spark", "hash", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+
+
+def _eq_term(term: str):
+    return lambda t: t == term
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    dl = F.size(toks)
+    with_tf = d.select(
+        "doc_id",
+        dl.alias("dl"),
+        *[
+            # NB: a one-arg lambda only — F.filter treats a second arg
+            # (even defaulted) as the positional-index form.
+            F.size(F.filter(toks, _eq_term(term))).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = with_tf.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * (BM25_K1 + 1.0) / denom
+
+    scored = with_tf.crossJoin(F.broadcast(stats))
+    total = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        total = term_score(i) if total is None else total + term_score(i)
+    return (
+        scored.select("doc_id", F.round(total, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({_SQL_TOKS}, t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * 1.0) * ({BM25_K1} + 1.0)"
+        f" / ((tf_{i} * 1.0) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         len({_SQL_TOKS}) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM tf
+)
+SELECT doc_id, ROUND({score}, 4) AS bm25
+FROM tf CROSS JOIN stats
+WHERE ROUND({score}, 4) > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model log-probability — the classic "perplexity under a
+# corpus LM" quality score (low avg log-prob ⇒ unusual/garbled text). Pass 1
+# builds the unigram model (term → count, one shuffle on term); pass 2 joins
+# exploded doc tokens to the model and averages ln(p) per doc. The model is
+# vocabulary-sized (≪ corpus; Heaps' law), so the scoring join broadcasts —
+# at 100 TB the only wide shuffle left is the final per-doc groupBy. Every
+# token is in-vocab by construction (model built from the same corpus), so
+# no OOV smoothing term is needed.
+# ---------------------------------------------------------------------------
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    model = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+  )
+), model AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), total AS (SELECT SUM(cnt) AS total FROM model)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(cnt * 1.0 / total)), 4) AS avg_logprob
+FROM toks JOIN model USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bm25_search": q_bm25_search,
+    "text_unigram_logprob": q_unigram_logprob,
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
     "text_pack_sequences": q_text_pack_sequences,
@@ -560,6 +706,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25_search": ORACLE_BM25_SEARCH,
+    "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,
     "text_pack_sequences": ORACLE_TEXT_PACK_SEQUENCES,

@@ -509,7 +509,64 @@ FROM d GROUP BY source, rate_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + sharding: the "global shuffle" a training
+# run needs — a content-addressed permutation of the corpus, split into N
+# shards with a stable position within each shard. Seeded by an epoch tag
+# so consecutive epochs get independent permutations that any worker can
+# recompute. Scale: shard assignment is a map-side expression; the only
+# shuffle is one hash partition on (shard) for the within-shard row_number,
+# and each shard sorts independently (no global sort, no skew — md5 keys
+# are uniform by construction). Output is a per-shard manifest digest so
+# the result stays small while still pinning the exact permutation.
+# ---------------------------------------------------------------------------
+SHUFFLE_EPOCH = "epoch0"
+SHUFFLE_SHARDS = 8
+
+
+def q_sample_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_EPOCH + ":"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % SHUFFLE_SHARDS
+    )
+    w = W.partitionBy("shard").orderBy("key")
+    ranked = (
+        d.select("doc_id", "n_chars", key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.min("key").alias("first_key"),
+        F.max("pos").alias("max_pos"),
+        # permutation digest: order-weighted sum of doc_ids pins the exact
+        # (doc → position) assignment without shipping every row.
+        F.sum(F.col("doc_id") * F.col("pos")).alias("perm_digest"),
+    )
+
+
+ORACLE_SAMPLE_SHUFFLE_SHARD = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS key,
+         ('0x' || substr(md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_chars, key, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS pos
+  FROM keyed
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total,
+       MIN(key) AS first_key, MAX(pos) AS max_pos,
+       SUM(doc_id * pos) AS perm_digest
+FROM ranked GROUP BY shard
+"""
+
+
 QUERIES = {
+    "sample_shuffle_shard": q_sample_shuffle_shard,
     "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified_cap": q_sample_stratified_cap,
@@ -524,6 +581,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,

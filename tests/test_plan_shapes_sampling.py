@@ -60,3 +60,32 @@ def test_incremental_dedup_is_broadcast_anti(spark):
     plan = _plan(dedup.q_dedup_incremental(spark, SF))
     assert "LeftAnti" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_shuffle_shard_single_wide_shuffle(spark):
+    plan = _plan(sampling.q_sample_shuffle_shard(spark, SF))
+    # shard assignment is map-side; the window shuffle on (shard) is the
+    # only wide exchange before the final agg — and agg keys == window
+    # partition keys, so the exchange is reused (no second hash partition).
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_bm25_stats_broadcast_no_explode(spark):
+    from log_agent_spark.operators import text
+
+    plan = _plan(text.q_bm25_search(spark, SF))
+    # scoring pass is array expressions over the scan: no Generate
+    # (explode), corpus stats joined as a broadcast, top-k is a heap
+    assert "Generate" not in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_unigram_model_broadcast_join(spark):
+    from log_agent_spark.operators import text
+
+    plan = _plan(text.q_unigram_logprob(spark, SF))
+    # vocabulary-sized model must broadcast onto the exploded tokens
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

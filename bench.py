@@ -76,6 +76,8 @@ HEADLINE = [
     "text_bm25_search",
     "text_unigram_logprob",
     "sample_shuffle_shard",
+    "graph_pagerank",
+    "layout_zorder_stats",
     "text_decontaminate",
     "corpus_snapshot_diff",
     "q02_min_cost_supplier",

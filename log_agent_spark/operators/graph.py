@@ -206,10 +206,106 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank (fixed 3 iterations, damping 0.85) over the customer→supplier
+# trade graph (distinct (o_custkey, l_suppkey) pairs; supplier ids offset
+# so the two key spaces don't collide). The representative *iterative*
+# algorithm: each round is one join (edges ⨝ ranks on src, contributions
+# r/outdeg) plus one groupBy(dst) shuffle; the rank vector is node-sized
+# (≪ edges), so at 100 TB the edges stay hash-partitioned by src across
+# rounds while only the small rank table reshuffles — and a production
+# variant localCheckpoints every few rounds exactly as
+# ``connected_components`` above does. Dangling mass (suppliers, which
+# have no out-edges) is dropped identically in both engines. Floats: both
+# engines run the same double formula from the same exact-integer degrees;
+# iteration noise is ~1e-15 relative, output rounded to 8dp.
+# ---------------------------------------------------------------------------
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+_SUPP_OFFSET = 1_000_000
+
+
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src").persist()
+    nodes = (
+        edges_deg.select(F.col("src").alias("node"))
+        .union(edges_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PAGERANK_D) / n)
+                    + PAGERANK_D * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_D
+    base = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), outdeg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), n AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN n)"""
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        base += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.r / o.deg) AS s
+  FROM edges e JOIN {prev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node, (1.0 - {d}) / n + {d} * COALESCE(c{i}.s, 0.0) AS r
+  FROM nodes CROSS JOIN n LEFT JOIN c{i} ON nodes.node = c{i}.node
+)"""
+        prev = f"r{i}"
+    return base + f"\nSELECT node, ROUND(r, 8) AS rank FROM {prev}"
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
 QUERIES = {
     "dedup_connected_components": q_dedup_connected_components,
+    "graph_pagerank": q_pagerank_trade_graph,
 }
 
 ORACLES = {
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
+    "graph_pagerank": ORACLE_PAGERANK,
 }

@@ -565,8 +565,80 @@ FROM ranked GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: the multi-dimensional data-skipping layout.
+# Range-sorting handles ONE column (sources/layout.py write_sorted); when
+# queries filter on two (customer AND date), interleaving the bits of both
+# keys gives every output file a bounded range in BOTH dimensions, so
+# parquet row-group min/max stats prune on either predicate. The z-value
+# and the file assignment (top 4 bits of the 16-bit z) are pure integer
+# map-side expressions — whole-stage codegen, zero shuffles before the
+# per-file stats agg; a production write is repartitionByRange(z) +
+# sortWithinPartitions(z) with the same expression. The query output IS
+# the skipping evidence: per file, the min/max of both raw dimensions.
+# ---------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+def _zvalue_spark(xb, yb):
+    z = None
+    for i in range(_Z_BITS):
+        xbit = F.shiftleft(F.shiftright(xb, i).bitwiseAND(1), 2 * i)
+        ybit = F.shiftleft(F.shiftright(yb, i).bitwiseAND(1), 2 * i + 1)
+        term = xbit + ybit
+        z = term if z is None else z + term
+    return z
+
+
+def _zvalue_sql(xb: str, yb: str) -> str:
+    return " + ".join(
+        f"((({xb} >> {i}) & 1) << {2 * i}) + ((({yb} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+
+def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    keyed = o.select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        F.least(F.lit(255), F.floor(dd / 10)).cast("long").alias("yb"),
+        "o_custkey",
+        dd.alias("order_day"),
+    )
+    z = _zvalue_spark(F.col("xb"), F.col("yb"))
+    return (
+        keyed.withColumn("file_id", F.shiftright(z, 2 * _Z_BITS - 4))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("order_day").alias("min_day"),
+            F.max("order_day").alias("max_day"),
+        )
+    )
+
+
+ORACLE_LAYOUT_ZORDER_STATS = f"""
+WITH keyed AS (
+  SELECT o_custkey % 256 AS xb,
+         LEAST(255, CAST(FLOOR(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) / 10.0) AS BIGINT)) AS yb,
+         o_custkey,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS order_day
+  FROM orders
+)
+SELECT ({_zvalue_sql('xb', 'yb')}) >> {2 * _Z_BITS - 4} AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       MIN(order_day) AS min_day, MAX(order_day) AS max_day
+FROM keyed GROUP BY 1
+"""
+
+
 QUERIES = {
     "sample_shuffle_shard": q_sample_shuffle_shard,
+    "layout_zorder_stats": q_layout_zorder_stats,
     "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified_cap": q_sample_stratified_cap,
@@ -582,6 +654,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
+    "layout_zorder_stats": ORACLE_LAYOUT_ZORDER_STATS,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,

@@ -89,3 +89,12 @@ def test_unigram_model_broadcast_join(spark):
     # vocabulary-sized model must broadcast onto the exploded tokens
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_is_map_side_before_agg(spark):
+    plan = _plan(sampling.q_layout_zorder_stats(spark, SF))
+    # z-value + file assignment are integer expressions: no join, no
+    # Generate — one partial-agg shuffle only
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan

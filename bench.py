@@ -78,6 +78,9 @@ HEADLINE = [
     "sample_shuffle_shard",
     "graph_pagerank",
     "layout_zorder_stats",
+    "events_scd2_dimension",
+    "events_rolling_7d_users",
+    "dedup_minhash_incremental",
     "text_decontaminate",
     "corpus_snapshot_diff",
     "q02_min_cost_supplier",

@@ -543,6 +543,84 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Incremental NEAR-dup: LSH candidates restricted to pairs touching the new
+# batch (new×old ∪ new×new), never old×old — the shape that keeps a
+# continuously-ingesting 100 TB corpus deduplicatable. In production the
+# old side's band table IS the stored LSH index (written once at ingest,
+# band-hash-partitioned); here both sides derive from the fixture so the
+# oracle can replay them. The new batch's bands are tiny → broadcast onto
+# the index join; the full-corpus band table is never self-joined.
+# ---------------------------------------------------------------------------
+_INCR_NEW_MOD = 5  # doc_id % 5 == 0 → the "newly ingested" 20%
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    sig = _minhash_wide(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * _ROWS_PER_BAND + j}")
+                            for j in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(NUM_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_hash"
+    )
+    new_bands = bands.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
+    a = F.broadcast(new_bands).alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_DEDUP_MINHASH_INCREMENTAL = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM corpus
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                GREATEST(a.doc_id, b.doc_id) AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
+WHERE a.doc_id % {_INCR_NEW_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # The COMPOSED dedup pipeline — what a training-data build actually emits:
 # tier 1 exact dedup (min doc_id per identical text), tier 2 MinHash-LSH
 # pairs among the exact survivors, resolved to clusters by connected
@@ -616,6 +694,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -626,5 +705,6 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

@@ -511,7 +511,112 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD Type 2 (slowly-changing-dimension versioning) from a change log: per
+# user, keep only events whose event_type DIFFERS from the previous one
+# (collapse repeats), then close each version with the next change's
+# timestamp (lead). The standard warehouse pattern for turning an event/CDC
+# stream into an effective-dated dimension, and the batch twin of the
+# upsert sink's keyed-MERGE semantics (sinks/upsert.py). Scale: both
+# windows partition on user_id — ONE shuffle, the sort is per-user;
+# open-ended current rows get valid_to = NULL.
+# ---------------------------------------------------------------------------
+def q_scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(wc)).alias("valid_to_ms"),
+        F.row_number().over(wc).alias("version"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2_USER_DIMENSION = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS state,
+       CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+       CAST(epoch_ms(LEAD(ts) OVER w) AS BIGINT) AS valid_to_ms,
+       ROW_NUMBER() OVER w AS version,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users — the classic "sliding count-distinct",
+# which no per-row window frame can compute (distinct doesn't decompose).
+# Shape: collapse to one row per (day, user) first (the big shuffle, on
+# high-cardinality keys), then expand each observation to the ≤7 rolling
+# days it contributes to and count distinct per day. At 100 TB the first
+# distinct does all the heavy lifting; the expansion is bounded by 7× the
+# (day, user) table, and the final distinct is per-day. The day grid never
+# touches the driver.
+# ---------------------------------------------------------------------------
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_day"),
+        "user_id",
+        "day",
+    )
+    # only report days that actually exist in the data (right edge of the
+    # grid would otherwise report partial future windows)
+    days = daily.select("day").distinct().withColumnRenamed("day", "window_day")
+    return (
+        expanded.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.unix_millis(F.col("window_day").cast("timestamp")).alias(
+                "window_day_ms"
+            ),
+            "active_users_7d",
+        )
+    )
+
+
+ORACLE_ROLLING_7D_DISTINCT_USERS = """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+), expanded AS (
+  SELECT day + CAST(x.i AS INT) AS window_day, user_id
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS i) x
+), days AS (SELECT DISTINCT day AS window_day FROM daily)
+SELECT CAST(epoch_ms(CAST(window_day AS TIMESTAMP)) AS BIGINT) AS window_day_ms,
+       COUNT(DISTINCT user_id) AS active_users_7d
+FROM expanded JOIN days USING (window_day)
+GROUP BY window_day
+"""
+
+
 QUERIES = {
+    "events_scd2_dimension": q_scd2_user_dimension,
+    "events_rolling_7d_users": q_rolling_7d_distinct_users,
     "events_hypertable_rollup": q_hypertable_rollup,
     "events_session_window_native": q_session_window_native,
     "window_range_frame": q_window_range_frame,
@@ -528,6 +633,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_scd2_dimension": ORACLE_SCD2_USER_DIMENSION,
+    "events_rolling_7d_users": ORACLE_ROLLING_7D_DISTINCT_USERS,
     "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,
     "events_session_window_native": ORACLE_SESSION_WINDOW_NATIVE,
     "window_range_frame": ORACLE_WINDOW_RANGE_FRAME,

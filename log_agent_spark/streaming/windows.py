@@ -104,6 +104,27 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming form of the
+    reference's per-record metadata/business enrichment (M1-M4,
+    watchdog.go:328-385, plugins/BSI.go:23-57): each micro-batch joins
+    against the CURRENT snapshot of a batch dimension table.
+
+    The static side is re-resolved every micro-batch, so a dimension
+    stored as parquet/Delta picks up slowly-changing updates without
+    restarting the query. Stream-static joins are stateless (no
+    watermark needed — only the stream side progresses), and Spark
+    broadcasts the dim side when it's under the autoBroadcast threshold:
+    at 100 TB of stream the dimension moves once per batch, the stream
+    never shuffles."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def dedup_events_stream(
     stream: DataFrame,
     keys: list[str],

@@ -155,3 +155,30 @@ def test_dedup_within_watermark(spark, tmp_path):
         assert len(rows) == 2, rows
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static dimension join: each event picks up its dim attrs;
+    keys missing from the dim survive with nulls (left join)."""
+    from log_agent_spark.streaming.windows import enrich_with_dimension
+
+    src = str(tmp_path / "enrich_src")
+    table = f"enrich_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        _rows([(1, "a", 0), (2, "b", 1), (3, "zz", 2)]), SCHEMA
+    ).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], ["key", "label"]
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = _start(
+        enrich_with_dimension(stream, dim, key="key"),
+        table, tmp_path, "append",
+    )
+    try:
+        rows = _poll(spark, table, want=3)
+        got = {(r.key, r.label) for r in rows}
+        assert got == {("a", "alpha"), ("b", "beta"), ("zz", None)}, rows
+    finally:
+        q.stop()

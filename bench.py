@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_kmeans_step",
     "skew_salted_distinct",
     "text_quality_score",
     "text_token_frequency",

@@ -471,7 +471,97 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# One k-means update step — the training loop behind the IVF coarse
+# quantizer (`ivf_assign` is the E-step; this is the M-step + convergence
+# metric). Per cell: member count, the recomputed centroid's norm, and the
+# cosine between old and new centroid (the "movement" a trainer iterates
+# until ≈1). Shape: posexplode the assigned vectors once, average per
+# (cell, dimension), reduce per cell — centroid math becomes scalar
+# aggregations, no array reconstruction, no collect. At 100 TB: the
+# assignment join broadcasts k centroids; the update is two keyed
+# aggregations on (cell, dim) then (cell) — k×dim is tiny, so every
+# iteration's output is driver-negligible and the loop's heavy pass is
+# always the single assignment scan (pyspark.ml KMeans runs the same
+# shape; this keeps it declarative and oracle-checkable).
+# ---------------------------------------------------------------------------
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    assigned = ivf_assign(emb, centroids)
+    means = (
+        assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    cent_elems = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.posexplode("c_emb").alias("pos", "cval"),
+    )
+    moved = (
+        means.join(cent_elems, ["cell", "pos"])
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("m") * F.col("m")).alias("mm"),
+            F.sum(F.col("m") * F.col("cval")).alias("mc"),
+            F.sum(F.col("cval") * F.col("cval")).alias("cc"),
+        )
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return counts.join(moved, "cell").select(
+        "cell",
+        "n_members",
+        F.round(F.sqrt("mm"), 4).alias("new_centroid_norm"),
+        F.round(
+            F.col("mc") / (F.sqrt("mm") * F.sqrt("cc")), 4
+        ).alias("movement_cos"),
+    )
+
+
+ORACLE_KMEANS_STEP = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, emb, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), means AS (
+  SELECT cell, pos, AVG(val) AS m FROM (
+    SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+    FROM assigned
+  ) GROUP BY cell, pos
+), cent_elems AS (
+  SELECT centroid_id AS cell, generate_subscripts(c_emb, 1) AS pos,
+         unnest(c_emb) AS cval
+  FROM cent
+), moved AS (
+  SELECT cell, SUM(m * m) AS mm, SUM(m * cval) AS mc, SUM(cval * cval) AS cc
+  FROM means JOIN cent_elems USING (cell, pos)
+  GROUP BY cell
+), counts AS (
+  SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell
+)
+SELECT cell, n_members,
+       ROUND(sqrt(mm), 4) AS new_centroid_norm,
+       ROUND(mc / (sqrt(mm) * sqrt(cc)), 4) AS movement_cos
+FROM counts JOIN moved USING (cell)
+"""
+
+
 QUERIES = {
+    "ann_kmeans_step": q_kmeans_step,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -481,6 +571,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_int8_topk": ORACLE_ANN_INT8_TOPK,
     "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,

@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "ann_kmeans_step",
+    "ann_hard_negatives",
     "skew_salted_distinct",
     "text_quality_score",
     "text_token_frequency",

@@ -560,8 +560,78 @@ FROM counts JOIN moved USING (cell)
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: per anchor, the top-k most
+# similar vectors with a DIFFERENT label — nearly-confusable cross-class
+# pairs, the batch op behind triplet/InfoNCE dataset construction. Same
+# broadcast-anchors × partitioned-candidates shape as brute_force_topk with
+# the label inequality applied BEFORE scoring (prunes same-class pairs from
+# the dot-product loop); the production path swaps the cross join for the
+# IVF/LSH-bucketed candidate generation above, unchanged downstream.
+# ---------------------------------------------------------------------------
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+    )
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = F.broadcast(anchors.withColumn("q_norm", _norm(F.col("q_emb"))))
+    c = candidates.withColumn("c_norm", _norm(F.col("emb")))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label", "rank")
+    )
+
+
+ORACLE_ANN_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS q_emb, label AS anchor_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT anchor_id, anchor_label, vec_id AS negative_id, label AS negative_label,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM q CROSS JOIN c
+  WHERE label <> anchor_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, rank FROM (
+  SELECT anchor_id, anchor_label, negative_id, negative_label,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, negative_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_kmeans_step": q_kmeans_step,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -572,6 +642,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
+    "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_int8_topk": ORACLE_ANN_INT8_TOPK,
     "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,

@@ -34,6 +34,7 @@ HEADLINE = [
     "q18_large_volume",
     "q21_waiting_suppliers",
     "lineitem_sequence_audit",
+    "dq_constraint_audit",
     "events_variant_extract",
     "lateral_explode",
     "recursive_tree_rollup",

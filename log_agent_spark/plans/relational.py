@@ -722,7 +722,141 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Deequ-style constraint audit — the declared-expectations checks a
+# production table contract runs before publishing a snapshot: key
+# uniqueness, referential integrity (both directions), null rates, and
+# domain/range rules, emitted as one (check_name, n_violations, n_checked)
+# report. Every check is a single aggregate or a key-only semi/anti join —
+# content columns never move — and all checks over the same table fuse
+# into one scan-side aggregate, so the audit costs ~one pass per table at
+# any scale. UNION of per-check rows keeps the report extensible.
+# ---------------------------------------------------------------------------
+def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    # orders-side scalar checks fuse into ONE aggregate pass
+    orders_checks = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos_price"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    orders_rows = orders_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders.o_custkey_not_null").alias("check_name"),
+                    F.col("null_custkey").alias("n_violations"),
+                    F.col("n").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("orders.o_totalprice_positive").alias("check_name"),
+                    F.col("nonpos_price").alias("n_violations"),
+                    F.col("n").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("orders.o_orderkey_unique").alias("check_name"),
+                    F.col("dup_orderkey").alias("n_violations"),
+                    F.col("n").alias("n_checked"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    lineitem_checks = l.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("nonpos_qty"),
+        F.sum(
+            (F.col("l_discount") < 0).cast("long")
+            + (F.col("l_discount") > 1).cast("long")
+        ).alias("bad_discount"),
+    )
+    lineitem_rows = lineitem_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_quantity_positive").alias("check_name"),
+                    F.col("nonpos_qty").alias("n_violations"),
+                    F.col("n").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_discount_in_unit_range").alias("check_name"),
+                    F.col("bad_discount").alias("n_violations"),
+                    F.col("n").alias("n_checked"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    # referential integrity: key-only anti joins, counted
+    orphan_li = (
+        l.select("l_orderkey")
+        .join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("lineitem.l_orderkey_in_orders").alias("check_name"),
+            "n_violations",
+            F.lit(None).cast("long").alias("n_checked"),
+        )
+    )
+    orphan_ord = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("orders.o_custkey_in_customer").alias("check_name"),
+            "n_violations",
+            F.lit(None).cast("long").alias("n_checked"),
+        )
+    )
+    return orders_rows.unionByName(lineitem_rows).unionByName(
+        orphan_li
+    ).unionByName(orphan_ord)
+
+
+ORACLE_DQ_CONSTRAINT_AUDIT = """
+WITH o_checks AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
+  FROM orders
+), l_checks AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpos_qty,
+         SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount
+  FROM lineitem
+)
+SELECT 'orders.o_custkey_not_null' AS check_name, null_custkey AS n_violations, n AS n_checked FROM o_checks
+UNION ALL
+SELECT 'orders.o_totalprice_positive', nonpos_price, n FROM o_checks
+UNION ALL
+SELECT 'orders.o_orderkey_unique', dup_orderkey, n FROM o_checks
+UNION ALL
+SELECT 'lineitem.l_quantity_positive', nonpos_qty, n FROM l_checks
+UNION ALL
+SELECT 'lineitem.l_discount_in_unit_range', bad_discount, n FROM l_checks
+UNION ALL
+SELECT 'lineitem.l_orderkey_in_orders',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       NULL
+UNION ALL
+SELECT 'orders.o_custkey_in_customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       NULL
+"""
+
+
 QUERIES = {
+    "dq_constraint_audit": q_dq_constraint_audit,
     "lineitem_sequence_audit": q_lineitem_sequence_audit,
     "q01_pricing_summary": q01_pricing_summary,
     "q04_order_priority": q04_order_priority,
@@ -749,6 +883,7 @@ QUERIES = {
 
 ORACLES = {
     "lineitem_sequence_audit": ORACLE_LINEITEM_SEQUENCE_AUDIT,
+    "dq_constraint_audit": ORACLE_DQ_CONSTRAINT_AUDIT,
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
     "q06_forecast_revenue": ORACLE_Q06,

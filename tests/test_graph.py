@@ -115,3 +115,28 @@ def test_star_cc_agrees_with_label_propagation(spark):
     }
     star = _star_result(spark, n, edges)
     assert star == simple
+
+
+def test_pagerank_invariants(spark):
+    """Probability-mass invariants at sf0.001: every rank positive, the
+    total never exceeds 1 (dangling suppliers leak mass, never add it),
+    one row per node, and suppliers (in-degree > 0, offset ids) outrank
+    the uniform floor (1-d)/N that pure-source customers sit on."""
+    from log_agent_spark.operators.graph import (
+        _SUPP_OFFSET,
+        PAGERANK_D,
+        q_pagerank_trade_graph,
+    )
+
+    rows = q_pagerank_trade_graph(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["rank"] for r in rows)
+    n = len(rows)
+    assert 0 < total <= 1.0 + 1e-6, total
+    assert all(r["rank"] > 0 for r in rows)
+    assert len({r["node"] for r in rows}) == n
+    floor = (1.0 - PAGERANK_D) / n
+    supp = [r for r in rows if r["node"] >= _SUPP_OFFSET]
+    cust = [r for r in rows if r["node"] < _SUPP_OFFSET]
+    assert supp and cust
+    assert min(s["rank"] for s in supp) > floor
+    assert abs(min(c["rank"] for c in cust) - floor) < 1e-9

@@ -77,6 +77,7 @@ HEADLINE = [
     "text_chunking",
     "text_redact_pii",
     "text_bm25_search",
+    "text_inverted_index",
     "text_unigram_logprob",
     "sample_shuffle_shard",
     "graph_pagerank",

@@ -688,8 +688,46 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Inverted-index construction — the posting lists behind the BM25/keyword
+# search above, built as data: per term, document frequency and the first
+# POSTING_CAP postings (sorted doc_ids). One (doc_id, term)-distinct
+# explode then one shuffle on term; collect_set is bounded per term by the
+# slice cap downstream, and at 100 TB the index is written bucketed by
+# term (sources/layout.py) so lookups are single-bucket reads. Arrays are
+# deterministic: sort_array over a set, capped by position.
+# ---------------------------------------------------------------------------
+POSTING_CAP = 20
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    return postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_set("doc_id")), 1, POSTING_CAP
+        ).alias("postings"),
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+  )
+)
+SELECT term, COUNT(DISTINCT doc_id) AS df,
+       list_sort(list(DISTINCT doc_id))[1:{POSTING_CAP}] AS postings
+FROM postings GROUP BY term
+"""
+
+
 QUERIES = {
     "text_bm25_search": q_bm25_search,
+    "text_inverted_index": q_inverted_index,
     "text_unigram_logprob": q_unigram_logprob,
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
@@ -707,6 +745,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bm25_search": ORACLE_BM25_SEARCH,
+    "text_inverted_index": ORACLE_INVERTED_INDEX,
     "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,

@@ -83,6 +83,7 @@ HEADLINE = [
     "graph_pagerank",
     "layout_zorder_stats",
     "events_scd2_dimension",
+    "events_transition_matrix",
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
     "text_decontaminate",

@@ -614,7 +614,55 @@ GROUP BY window_day
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) matrix: per-user ordered event pairs →
+# global (from_state, to_state) frequencies with row-normalized
+# probabilities — the sequence-mining summary behind funnel design and
+# anomalous-flow detection. One shuffle on user_id for the lag window,
+# then a tiny agg on the state pair; the probability normalization is a
+# window over the from_state marginal (no second scan). Probabilities are
+# exact-integer ratios rounded to 4dp, so the doubles hash identically.
+# ---------------------------------------------------------------------------
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("prev_type").alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    ).agg(F.count("*").alias("n"))
+    wrow = W.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 4).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events
+), counts AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM pairs WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 4) AS p
+FROM counts
+"""
+
+
 QUERIES = {
+    "events_transition_matrix": q_event_transition_matrix,
     "events_scd2_dimension": q_scd2_user_dimension,
     "events_rolling_7d_users": q_rolling_7d_distinct_users,
     "events_hypertable_rollup": q_hypertable_rollup,
@@ -633,6 +681,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "events_scd2_dimension": ORACLE_SCD2_USER_DIMENSION,
     "events_rolling_7d_users": ORACLE_ROLLING_7D_DISTINCT_USERS,
     "events_hypertable_rollup": ORACLE_HYPERTABLE_ROLLUP,

@@ -125,6 +125,15 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # Measurement hygiene between attempts (outside the timer),
+            # JMH-style: drop blocks pinned by queries that persist()
+            # intermediates (pagerank, connected components) and force a
+            # full GC — otherwise storage + garbage accumulate across the
+            # suite and later allocation-heavy queries measure the prior
+            # 70 queries' heap pressure instead of themselves (observed
+            # 4-20x inflation on the wire-roundtrip query).
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

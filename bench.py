@@ -40,6 +40,8 @@ HEADLINE = [
     "recursive_tree_rollup",
     "events_gaps_islands",
     "events_retention_cohort",
+    "basket_part_pairs_lift",
+    "customer_rfm",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

@@ -171,7 +171,160 @@ WHERE levenshtein(a.prefix, b.prefix) <= 24
 """
 
 
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence with lift: part pairs appearing in the same
+# order, scored by support and lift (P(a,b) / P(a)P(b)) — the association
+# rule mining shape. The pair space is generated by a keyed self-join on
+# l_orderkey, so it's bounded by (lines per order choose 2) — ~7 lines per
+# TPC-H order — per order, NEVER |parts|²; per-part marginals are a
+# broadcast-sized dim joined back. Lift arithmetic is exact-integer counts
+# in double division, identical both engines; filtered to pairs seen >= 3
+# times to keep the report significant and small.
+# ---------------------------------------------------------------------------
+BASKET_MIN_PAIR_COUNT = 3
+
+
+def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders_df = l.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_PAIR_COUNT)
+    )
+    marginals = l.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    ma = marginals.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    mb = marginals.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET_PART_PAIRS_LIFT = f"""
+WITH l AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM l
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM l a JOIN l b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR_COUNT}
+), marginals AS (
+  SELECT l_partkey, COUNT(*) AS n_part FROM l GROUP BY l_partkey
+)
+SELECT part_a, part_b, n_pair,
+       ROUND(n_pair * 1.0 / n_orders, 6) AS support,
+       ROUND((n_pair * 1.0 * n_orders) / (ma.n_part * 1.0 * mb.n_part), 4) AS lift
+FROM pairs
+JOIN marginals ma ON ma.l_partkey = part_a
+JOIN marginals mb ON mb.l_partkey = part_b
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per customer, recency (days since last order),
+# frequency (order count), monetary (total spend), each cut into quartiles
+# → the classic 3-digit segment code. The windows are global ntiles, but
+# they run over the per-customer AGGREGATE (|customers| rows ≪ |orders|) —
+# the fact shuffle happens once in the groupBy; at larger |customers| the
+# same cut comes from approx quantile boundaries applied map-side.
+# Deterministic tie-break on c_custkey inside every ntile ordering.
+# ---------------------------------------------------------------------------
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("asof")).select("asof")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("asof").cast("date"), F.col("last_order").cast("date")).alias("recency_days"),
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+        )
+    )
+    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_quart"),
+        F.ntile(4).over(f_w).alias("f_quart"),
+        F.ntile(4).over(m_w).alias("m_quart"),
+    )
+    return scored.groupBy("r_quart", "f_quart", "m_quart").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.min("o_custkey").alias("min_custkey"),
+    )
+
+
+ORACLE_CUSTOMER_RFM = """
+WITH asof_ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                  CAST((SELECT ref_date FROM asof_ref) AS DATE)) AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quart,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quart,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quart
+  FROM per_cust
+)
+SELECT r_quart, f_quart, m_quart, COUNT(*) AS n_customers,
+       ROUND(AVG(monetary), 2) AS avg_monetary,
+       MIN(o_custkey) AS min_custkey
+FROM scored GROUP BY r_quart, f_quart, m_quart
+"""
+
+
 QUERIES = {
+    "basket_part_pairs_lift": q_basket_part_pairs_lift,
+    "customer_rfm": q_customer_rfm,
     "events_gaps_islands": q_events_gaps_islands,
     "events_retention_cohort": q_events_retention_cohort,
     "window_rank_variants": q_window_rank_variants,
@@ -179,6 +332,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_part_pairs_lift": ORACLE_BASKET_PART_PAIRS_LIFT,
+    "customer_rfm": ORACLE_CUSTOMER_RFM,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

@@ -42,6 +42,7 @@ HEADLINE = [
     "events_retention_cohort",
     "basket_part_pairs_lift",
     "customer_rfm",
+    "stats_regression_by_brand",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

@@ -322,9 +322,51 @@ FROM scored GROUP BY r_quart, f_quart, m_quart
 """
 
 
+# ---------------------------------------------------------------------------
+# Statistical-aggregate family (regression/correlation): per-brand OLS of
+# extended price on quantity plus corr/covar/stddev — the built-in
+# regr_* / corr aggregates both engines implement, all computed in the
+# same single partial-aggregable pass as any sum (no second scan, no
+# window). Part is the broadcast dim; one fact shuffle on p_brand.
+# Rounded to 4dp: the sums-of-products differ only in accumulation order.
+# ---------------------------------------------------------------------------
+def q_stats_regression_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        )
+    )
+
+
+ORACLE_STATS_REGRESSION_BY_BRAND = """
+SELECT p_brand, COUNT(*) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "basket_part_pairs_lift": q_basket_part_pairs_lift,
     "customer_rfm": q_customer_rfm,
+    "stats_regression_by_brand": q_stats_regression_by_brand,
     "events_gaps_islands": q_events_gaps_islands,
     "events_retention_cohort": q_events_retention_cohort,
     "window_rank_variants": q_window_rank_variants,
@@ -334,6 +376,7 @@ QUERIES = {
 ORACLES = {
     "basket_part_pairs_lift": ORACLE_BASKET_PART_PAIRS_LIFT,
     "customer_rfm": ORACLE_CUSTOMER_RFM,
+    "stats_regression_by_brand": ORACLE_STATS_REGRESSION_BY_BRAND,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

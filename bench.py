@@ -94,6 +94,7 @@ HEADLINE = [
     "q02_min_cost_supplier",
     "q11_important_stock",
     "sample_source_mixture",
+    "sample_importance_weighted",
     "media_decode_meta",
     "media_frame_sample",
     "ingest_logfile_tree",

@@ -636,8 +636,55 @@ FROM keyed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling: keep each document with probability equal
+# to its own continuous weight (here a length-derived quality proxy in
+# (0, 1]) — the per-document generalization of the per-source mixture
+# rates, i.e. how a data-mixing run upsamples high-quality documents. The
+# coin flip is the doc's md5 bucket compared against its weight, so the
+# decision is a map-side expression: reproducible on any partitioning,
+# re-derivable by any worker, and stable under retries (rand() is none of
+# these). The integer bucket-vs-threshold comparison is exact in both
+# engines — no float boundary ambiguity.
+# ---------------------------------------------------------------------------
+_IW_BUCKETS = 10_000
+
+
+def q_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # weight in (0,1]: longer docs count as higher-quality here; integer
+    # threshold = floor(w * buckets) keeps the comparison exact
+    threshold = F.least(
+        F.lit(_IW_BUCKETS), F.floor(F.col("n_chars") * _IW_BUCKETS / 200)
+    )
+    bucket = _hash_bucket(F.col("doc_id"), _IW_BUCKETS)
+    kept = d.select(
+        "source", "doc_id", "n_chars", threshold.alias("thr"), bucket.alias("b")
+    ).filter(F.col("b") < F.col("thr"))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+ORACLE_SAMPLE_IMPORTANCE_WEIGHTED = f"""
+WITH kept AS (
+  SELECT source, doc_id, n_chars
+  FROM documents
+  WHERE {_oracle_bucket('doc_id', _IW_BUCKETS)}
+        < LEAST({_IW_BUCKETS}, CAST(FLOOR(n_chars * {_IW_BUCKETS} / 200.0) AS BIGINT))
+)
+SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM kept GROUP BY source
+"""
+
+
 QUERIES = {
     "sample_shuffle_shard": q_sample_shuffle_shard,
+    "sample_importance_weighted": q_sample_importance_weighted,
     "layout_zorder_stats": q_layout_zorder_stats,
     "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
@@ -654,6 +701,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
+    "sample_importance_weighted": ORACLE_SAMPLE_IMPORTANCE_WEIGHTED,
     "layout_zorder_stats": ORACLE_LAYOUT_ZORDER_STATS,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,

@@ -43,6 +43,7 @@ HEADLINE = [
     "basket_part_pairs_lift",
     "customer_rfm",
     "stats_regression_by_brand",
+    "pareto_revenue_concentration",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

@@ -363,7 +363,66 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto (80/20) revenue concentration: the smallest customer set covering
+# 80% of revenue, via a running-total window over the per-customer
+# aggregate. The cumulative sum is evaluated in ONE deterministic order
+# (revenue desc, custkey) sequentially in both engines, so the doubles are
+# bit-identical and the crossing row is unambiguous. Like RFM, the global
+# window runs over |customers| rows (≪ facts) after one fact shuffle.
+# ---------------------------------------------------------------------------
+PARETO_TARGET = 0.8
+
+
+def q_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    total = per_cust.agg(F.sum("rev").alias("total"))
+    w = W.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    crossed = F.col("cum") >= PARETO_TARGET * F.col("total")
+    return scored.agg(
+        F.max("rn").alias("n_customers"),
+        F.min(F.when(crossed, F.col("rn"))).alias("n_top"),
+        F.round(
+            F.min(F.when(crossed, F.col("rn")))
+            / F.max("rn").cast("double"),
+            4,
+        ).alias("top_fraction"),
+        F.round(
+            F.min(F.when(crossed, F.col("cum"))) / F.max("total"), 4
+        ).alias("revenue_share"),
+    )
+
+
+ORACLE_PARETO_REVENUE_CONCENTRATION = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+), t AS (SELECT SUM(rev) AS total FROM per_cust),
+scored AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey ASC) AS rn,
+         (SELECT total FROM t) AS total
+  FROM per_cust
+)
+SELECT MAX(rn) AS n_customers,
+       MIN(CASE WHEN cum >= {PARETO_TARGET} * total THEN rn END) AS n_top,
+       ROUND(MIN(CASE WHEN cum >= {PARETO_TARGET} * total THEN rn END)
+             * 1.0 / MAX(rn), 4) AS top_fraction,
+       ROUND(MIN(CASE WHEN cum >= {PARETO_TARGET} * total THEN cum END)
+             / MAX(total), 4) AS revenue_share
+FROM scored
+"""
+
+
 QUERIES = {
+    "pareto_revenue_concentration": q_pareto_revenue_concentration,
     "basket_part_pairs_lift": q_basket_part_pairs_lift,
     "customer_rfm": q_customer_rfm,
     "stats_regression_by_brand": q_stats_regression_by_brand,
@@ -377,6 +436,7 @@ ORACLES = {
     "basket_part_pairs_lift": ORACLE_BASKET_PART_PAIRS_LIFT,
     "customer_rfm": ORACLE_CUSTOMER_RFM,
     "stats_regression_by_brand": ORACLE_STATS_REGRESSION_BY_BRAND,
+    "pareto_revenue_concentration": ORACLE_PARETO_REVENUE_CONCENTRATION,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

@@ -580,9 +580,9 @@ FROM ranked GROUP BY shard
 _Z_BITS = 8
 
 
-def _zvalue_spark(xb, yb):
+def _zvalue_spark(xb, yb, bits: int = _Z_BITS):
     z = None
-    for i in range(_Z_BITS):
+    for i in range(bits):
         xbit = F.shiftleft(F.shiftright(xb, i).bitwiseAND(1), 2 * i)
         ybit = F.shiftleft(F.shiftright(yb, i).bitwiseAND(1), 2 * i + 1)
         term = xbit + ybit

@@ -68,6 +68,37 @@ def write_sorted(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_bucket: str,
+    y_bucket: str,
+    num_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Fourth layout lever: Z-order (Morton) clustering for MULTI-column
+    skipping. ``write_sorted`` gives one column tight per-file bands; when
+    queries filter on either of two columns, interleaving the bits of both
+    bucket columns (each pre-bucketed to [0, 2^bits)) and range-writing on
+    the interleaved key bounds every file in BOTH dimensions — so parquet
+    min/max stats prune on x-only, y-only, and x∧y predicates alike. A
+    real deployment derives the buckets by range-ranking the raw values
+    (preserving locality); the Morton expression itself is pure integer
+    codegen (plans/sampling.py layout_zorder_stats is the query twin)."""
+    from log_agent_spark.plans.sampling import _zvalue_spark
+    from pyspark.sql import functions as F
+
+    z = _zvalue_spark(F.col(x_bucket), F.col(y_bucket), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(max(num_files, 1), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -135,3 +135,58 @@ def test_retention_prune_drops_old_partitions(spark, tmp_path):
     assert left.count() == 9
     # idempotent: nothing left below the cutoff
     assert retention_prune(spark, path, "file_date", cutoff="2024-01-03") == []
+
+
+def test_write_zordered_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout: every output file carries a SUB-RANGE band in
+    BOTH bucket dimensions (footer min/max), so predicates on either
+    column skip files. Control: a single-key sort leaves the other
+    dimension spanning ~the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from log_agent_spark.sources.layout import write_sorted, write_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).cast("long").alias("xb"),
+        F.least(
+            F.lit(255),
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+                / 10
+            ),
+        ).cast("long").alias("yb"),
+    )
+    z_path = str(tmp_path / "orders_z")
+    write_zordered(o, z_path, "xb", "yb", num_files=8)
+    x_path = str(tmp_path / "orders_xsorted")
+    write_sorted(o, x_path, ["xb"], num_files=8)
+
+    def spans(path, col_name):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col_name
+            )
+            st = [md.row_group(g).column(col).statistics for g in range(md.num_row_groups)]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return out
+
+    full_x = 255
+    full_y = max(spans(z_path, "yb") + spans(x_path, "yb")) or 1
+    # z-order: most files bounded in BOTH dims (8 files = 3 z-bits:
+    # y quartered, x halved; repartitionByRange boundaries add slack)
+    zx, zy = spans(z_path, "xb"), spans(z_path, "yb")
+    assert sum(1 for s in zx if s <= 0.8 * full_x) >= 6, zx
+    assert sum(1 for s in zy if s <= 0.8 * full_y) >= 6, zy
+    # single-key control: x tight but y spans ~full range in every file
+    cy = spans(x_path, "yb")
+    assert sum(1 for s in cy if s >= 0.9 * full_y) >= 6, cy
+    assert spark.read.parquet(z_path).count() == o.count()

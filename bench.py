@@ -48,6 +48,7 @@ HEADLINE = [
     "unpivot_measures",
     "histogram_totalprice",
     "anomaly_zscore",
+    "anomaly_mad",
     "gapfill_locf",
     "time_weighted_avg",
     "sql_interface",

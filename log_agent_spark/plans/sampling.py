@@ -682,9 +682,62 @@ FROM kept GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# MAD (median-absolute-deviation) outliers — the robust twin of the
+# z-score query above: median and MAD shrug off the very outliers that
+# drag a mean/stddev toward them. Two grouped exact-percentile passes
+# (median of value, then median of |value - median|), both shuffling only
+# on event_type; the per-type robust stats then broadcast back onto the
+# stream. Exact `percentile(0.5)` interpolates identically in Spark and
+# DuckDB (`median`), so the doubles agree; the outlier VERDICT compares
+# integer-scaled thresholds. Flagged rows = |value - median| > 3 * MAD.
+# ---------------------------------------------------------------------------
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_outliers"),
+        F.round(F.min("med"), 4).alias("median"),
+        F.round(F.min("mad"), 4).alias("mad"),
+        F.round(F.max("adev"), 4).alias("max_abs_dev"),
+    )
+
+
+ORACLE_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT event_id, e.event_type, value, med, ABS(value - med) AS adev
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT event_type, COUNT(*) AS n_outliers,
+       ROUND(MIN(med), 4) AS median, ROUND(MIN(mad), 4) AS mad,
+       ROUND(MAX(adev), 4) AS max_abs_dev
+FROM dev JOIN mad USING (event_type)
+WHERE adev > 3 * mad
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "sample_shuffle_shard": q_sample_shuffle_shard,
     "sample_importance_weighted": q_sample_importance_weighted,
+    "anomaly_mad": q_anomaly_mad,
     "layout_zorder_stats": q_layout_zorder_stats,
     "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
@@ -702,6 +755,7 @@ QUERIES = {
 ORACLES = {
     "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
     "sample_importance_weighted": ORACLE_SAMPLE_IMPORTANCE_WEIGHTED,
+    "anomaly_mad": ORACLE_ANOMALY_MAD,
     "layout_zorder_stats": ORACLE_LAYOUT_ZORDER_STATS,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,

@@ -89,6 +89,7 @@ HEADLINE = [
     "layout_zorder_stats",
     "events_scd2_dimension",
     "events_transition_matrix",
+    "events_pit_versioned_join",
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
     "text_decontaminate",

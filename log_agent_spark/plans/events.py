@@ -661,7 +661,68 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join against the SCD2 versioned dimension — the
+# leak-free feature-store join: every event is matched to the dimension
+# version VALID AT ITS OWN TIMESTAMP (ts ∈ [valid_from, valid_to)), never
+# to later knowledge. Using the same change log for both sides makes the
+# result self-checking: every event must land in exactly one version, so
+# row count is preserved (asserted by the digest columns). Shape: the
+# version build is one user_id shuffle (windows), and the PIT join is a
+# keyed equi-join on user_id with the interval as a residual filter —
+# sort-merge on the key, NO nested-loop range join.
+# ---------------------------------------------------------------------------
+def q_pit_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = q_scd2_user_dimension(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"), "state", "valid_from_ms",
+        "valid_to_ms", "version",
+    )
+    facts = e.select("user_id", F.unix_millis("ts").alias("ts_ms"))
+    joined = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (facts.ts_ms >= dim.valid_from_ms)
+        & (dim.valid_to_ms.isNull() | (facts.ts_ms < dim.valid_to_ms)),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("version").alias("n_versions"),
+        F.sum("version").alias("version_digest"),
+        F.countDistinct("state").alias("n_states_seen"),
+    )
+
+
+ORACLE_PIT_VERSIONED_JOIN = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), dim AS (
+  SELECT user_id AS d_user, event_type AS state,
+         CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+         CAST(epoch_ms(LEAD(ts) OVER w) AS BIGINT) AS valid_to_ms,
+         ROW_NUMBER() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, MAX(version) AS n_versions,
+       SUM(version) AS version_digest,
+       COUNT(DISTINCT state) AS n_states_seen
+FROM facts JOIN dim
+  ON user_id = d_user AND ts_ms >= valid_from_ms
+ AND (valid_to_ms IS NULL OR ts_ms < valid_to_ms)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "events_pit_versioned_join": q_pit_versioned_join,
     "events_transition_matrix": q_event_transition_matrix,
     "events_scd2_dimension": q_scd2_user_dimension,
     "events_rolling_7d_users": q_rolling_7d_distinct_users,
@@ -681,6 +742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_pit_versioned_join": ORACLE_PIT_VERSIONED_JOIN,
     "events_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "events_scd2_dimension": ORACLE_SCD2_USER_DIMENSION,
     "events_rolling_7d_users": ORACLE_ROLLING_7D_DISTINCT_USERS,

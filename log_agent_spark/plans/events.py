@@ -670,7 +670,7 @@ FROM counts
 # row count is preserved (asserted by the digest columns). Shape: the
 # version build is one user_id shuffle (windows), and the PIT join is a
 # keyed equi-join on user_id with the interval as a residual filter —
-# sort-merge on the key, NO nested-loop range join.
+# hash or sort-merge on the key, NO nested-loop range join.
 # ---------------------------------------------------------------------------
 def q_pit_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_kmeans_step",
     "ann_hard_negatives",
+    "embeddings_power_iteration",
     "skew_salted_distinct",
     "text_quality_score",
     "text_token_frequency",

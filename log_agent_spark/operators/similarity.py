@@ -629,9 +629,83 @@ SELECT anchor_id, anchor_label, negative_id, negative_label, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Power iteration for the corpus's top principal direction — Gram-free
+# distributed PCA: v ← normalize(Xᵀ(Xv)), never materializing the d×d
+# covariance. Each iteration is two keyed aggregations over the
+# pos-exploded matrix: scores sᵢ = xᵢ·v (groupBy vec_id, v broadcast) and
+# v'ₚ = Σᵢ xᵢ[p]·sᵢ (groupBy pos, scores broadcast — d rows out), plus a
+# one-row norm broadcast. At 100 TB the exploded matrix is the only big
+# relation, partitioned once and reused across the fixed iteration count
+# (localCheckpoint cadence per connected_components for longer runs).
+# Deterministic start v₀ = e₀; output rounded to 6dp — cross-engine sum
+# noise is ~1e-12 against component magnitudes of ~1e-1.
+# ---------------------------------------------------------------------------
+POWER_ITERS = 3
+
+
+def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("emb").alias("pos", "val")
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id").persist()
+    v = x.select("pos").distinct().select(
+        "pos", F.when(F.col("pos") == 0, 1.0).otherwise(0.0).alias("v")
+    )
+    for _ in range(POWER_ITERS):
+        scores = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        )
+        unnorm = (
+            x.join(F.broadcast(scores), "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("u"))
+        )
+        norm = unnorm.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("n")
+        )
+        v = unnorm.crossJoin(F.broadcast(norm)).select(
+            "pos", (F.col("u") / F.col("n")).alias("v")
+        )
+    return v.select("pos", F.round("v", 6).alias("component"))
+
+
+def _power_iteration_oracle() -> str:
+    base = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS val
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+),
+v0 AS (
+  SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v
+  FROM (SELECT DISTINCT pos FROM x)
+)"""
+    prev = "v0"
+    for i in range(1, POWER_ITERS + 1):
+        base += f""",
+s{i} AS (
+  SELECT vec_id, SUM(val * v) AS s FROM x JOIN {prev} USING (pos) GROUP BY vec_id
+),
+u{i} AS (
+  SELECT pos, SUM(val * s) AS u FROM x JOIN s{i} USING (vec_id) GROUP BY pos
+),
+n{i} AS (SELECT sqrt(SUM(u * u)) AS n FROM u{i}),
+v{i} AS (SELECT pos, u / n AS v FROM u{i} CROSS JOIN n{i})"""
+        prev = f"v{i}"
+    return base + f"\nSELECT pos, ROUND(v, 6) AS component FROM {prev}"
+
+
+ORACLE_POWER_ITERATION_PC1 = _power_iteration_oracle()
+
+
 QUERIES = {
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
+    "embeddings_power_iteration": q_power_iteration_pc1,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -643,6 +717,7 @@ QUERIES = {
 ORACLES = {
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
+    "embeddings_power_iteration": ORACLE_POWER_ITERATION_PC1,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_int8_topk": ORACLE_ANN_INT8_TOPK,
     "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,

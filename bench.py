@@ -47,6 +47,8 @@ HEADLINE = [
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",
+    "histogram_equidepth",
+    "text_langid_confusion",
     "anomaly_zscore",
     "anomaly_mad",
     "gapfill_locf",

@@ -725,9 +725,43 @@ FROM postings GROUP BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the model-evaluation reshape: declared
+# label vs heuristic prediction, with per-cell counts and per-true-label
+# recall. Pure composition of the oracle-verified classifier above plus
+# one tiny (label, prediction) aggregate; the evaluation costs one extra
+# shuffle over a |labels|² result, nothing over the corpus.
+# ---------------------------------------------------------------------------
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_langid_heuristic(spark, sf_dir).select("lang", "predicted_lang")
+    counts = scored.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+    wrow = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 4).alias("row_frac"),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH scored AS ({ORACLE_LANGID_HEURISTIC})
+, counts AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n
+  FROM scored GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 4) AS row_frac
+FROM counts
+"""
+
+
 QUERIES = {
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
+    "text_langid_confusion": q_langid_confusion,
     "text_unigram_logprob": q_unigram_logprob,
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
@@ -746,6 +780,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25_search": ORACLE_BM25_SEARCH,
     "text_inverted_index": ORACLE_INVERTED_INDEX,
+    "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,

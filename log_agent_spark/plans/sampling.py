@@ -734,10 +734,61 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — the complement of the equi-WIDTH histogram above:
+# bins hold ~equal row counts instead of equal value ranges, which is what
+# an optimizer's statistics or a data-profile report actually wants on a
+# skewed column. Two passes, no global sort: one exact-percentile
+# aggregate produces the 9 decile boundaries (a one-row broadcast), then
+# bin assignment is a map-side array expression (count of boundaries below
+# the value). At scale the exact percentile swaps for approx_percentile
+# with the same downstream shape.
+# ---------------------------------------------------------------------------
+EQUIDEPTH_BINS = 10
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    qs = [i / EQUIDEPTH_BINS for i in range(1, EQUIDEPTH_BINS)]
+    bounds = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+        ).alias("bs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(
+            F.filter("bs", lambda b: F.col("o_totalprice") > b)
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+ORACLE_HISTOGRAM_EQUIDEPTH = f"""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice,
+                       [{', '.join(str(i / EQUIDEPTH_BINS) for i in range(1, EQUIDEPTH_BINS))}]) AS bs
+  FROM orders
+), binned AS (
+  SELECT o_totalprice,
+         len(list_filter(bs, b -> o_totalprice > b)) AS bin
+  FROM orders CROSS JOIN bounds
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "sample_shuffle_shard": q_sample_shuffle_shard,
     "sample_importance_weighted": q_sample_importance_weighted,
     "anomaly_mad": q_anomaly_mad,
+    "histogram_equidepth": q_histogram_equidepth,
     "layout_zorder_stats": q_layout_zorder_stats,
     "sample_source_mixture": q_sample_source_mixture,
     "sample_hash_split": q_sample_hash_split,
@@ -756,6 +807,7 @@ ORACLES = {
     "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
     "sample_importance_weighted": ORACLE_SAMPLE_IMPORTANCE_WEIGHTED,
     "anomaly_mad": ORACLE_ANOMALY_MAD,
+    "histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
     "layout_zorder_stats": ORACLE_LAYOUT_ZORDER_STATS,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,

@@ -44,6 +44,7 @@ HEADLINE = [
     "customer_rfm",
     "stats_regression_by_brand",
     "pareto_revenue_concentration",
+    "revenue_seasonality",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

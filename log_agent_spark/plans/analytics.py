@@ -421,8 +421,68 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonality report: monthly revenue with month-over-month and
+# year-over-year growth — the standard reporting reshape (calendar rollup
+# + offset self-comparison) done as ONE aggregate and ONE ordered window
+# (lag 1 / lag 12 on the month series; explicit month arithmetic guards
+# the lag-12 against gaps). The windowed series is |months| rows, driver-
+# negligible at any corpus size; growth ratios are rounded 4dp — the only
+# doubles are the month sums, whose accumulation order varies.
+# ---------------------------------------------------------------------------
+def q_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = W.orderBy("y", "m")
+    series = monthly.select(
+        "y",
+        "m",
+        F.col("rev").alias("rev_raw"),
+        F.lag("rev", 1).over(w).alias("prev_raw"),
+        F.lag("y", 12).over(w).alias("y12"),
+        F.lag("m", 12).over(w).alias("m12"),
+        F.lag("rev", 12).over(w).alias("rev12_raw"),
+    )
+    return series.select(
+        "y",
+        "m",
+        F.round("rev_raw", 2).alias("rev"),
+        F.round(F.col("rev_raw") / F.col("prev_raw") - 1, 4).alias("mom_growth"),
+        F.when(
+            (F.col("y12") == F.col("y") - 1) & (F.col("m12") == F.col("m")),
+            F.round(F.col("rev_raw") / F.col("rev12_raw") - 1, 4),
+        ).alias("yoy_growth"),
+    )
+
+
+ORACLE_REVENUE_SEASONALITY = """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+), series AS (
+  SELECT y, m, rev AS rev_raw,
+         LAG(rev, 1) OVER w AS prev_raw,
+         LAG(y, 12) OVER w AS y12, LAG(m, 12) OVER w AS m12,
+         LAG(rev, 12) OVER w AS rev12_raw
+  FROM monthly WINDOW w AS (ORDER BY y, m)
+)
+SELECT y, m, ROUND(rev_raw, 2) AS rev,
+       ROUND(rev_raw / prev_raw - 1, 4) AS mom_growth,
+       CASE WHEN y12 = y - 1 AND m12 = m
+            THEN ROUND(rev_raw / rev12_raw - 1, 4) END AS yoy_growth
+FROM series
+"""
+
+
 QUERIES = {
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
+    "revenue_seasonality": q_revenue_seasonality,
     "basket_part_pairs_lift": q_basket_part_pairs_lift,
     "customer_rfm": q_customer_rfm,
     "stats_regression_by_brand": q_stats_regression_by_brand,
@@ -437,6 +497,7 @@ ORACLES = {
     "customer_rfm": ORACLE_CUSTOMER_RFM,
     "stats_regression_by_brand": ORACLE_STATS_REGRESSION_BY_BRAND,
     "pareto_revenue_concentration": ORACLE_PARETO_REVENUE_CONCENTRATION,
+    "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

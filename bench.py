@@ -94,6 +94,8 @@ HEADLINE = [
     "events_scd2_dimension",
     "events_transition_matrix",
     "events_pit_versioned_join",
+    "events_dwell_percentiles",
+    "events_error_bursts",
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
     "text_decontaminate",

@@ -721,7 +721,101 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-event dwell time: per event type, exact percentiles of the gap to
+# the user's previous event — the latency-distribution profile behind
+# debounce-window tuning (is 3000 ms the right quiescence gap? look at
+# the gap distribution, plugins/plugin.go:122). One user_id shuffle for
+# the lag, one event_type shuffle for the percentile aggregate.
+# ---------------------------------------------------------------------------
+def q_dwell_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "gap_ms",
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 1).alias("p50_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 1).alias("p90_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.99)"), 1).alias("p99_ms"),
+        F.max("gap_ms").alias("max_ms"),
+    )
+
+
+ORACLE_DWELL_TIME_PERCENTILES = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) AS BIGINT)
+           - CAST(epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS BIGINT)
+           AS gap_ms
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap_ms, 0.5), 1) AS p50_ms,
+       ROUND(quantile_cont(gap_ms, 0.9), 1) AS p90_ms,
+       ROUND(quantile_cont(gap_ms, 0.99), 1) AS p99_ms,
+       MAX(gap_ms) AS max_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Error-burst detection: 15-minute tumbling error counts, flagged where a
+# window exceeds 3× the mean window count — the alerting query a log
+# warehouse runs on the ingested stream. The threshold is derived from
+# the SAME aggregate (one-row broadcast back), so the whole detector is
+# two shuffles: (window) agg, then a scalar join + filter. Integer counts
+# compared against an exact-ratio threshold — no float ambiguity.
+# ---------------------------------------------------------------------------
+def q_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    windows = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_errors"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"), "n_errors"
+        )
+    )
+    stats = windows.agg(F.sum("n_errors").alias("total"), F.count("*").alias("n_w"))
+    return (
+        windows.crossJoin(F.broadcast(stats))
+        # integer cross-multiplication: n_errors > 3 * mean without division
+        .filter(F.col("n_errors") * F.col("n_w") > 3 * F.col("total"))
+        .select(
+            "w_start_ms",
+            "n_errors",
+            F.round(F.col("total") / F.col("n_w"), 4).alias("mean_errors"),
+        )
+    )
+
+
+ORACLE_ERROR_BURST_WINDOWS = """
+WITH windows AS (
+  SELECT CAST(epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS w_start_ms,
+         COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1
+), stats AS (
+  SELECT SUM(n_errors) AS total, COUNT(*) AS n_w FROM windows
+)
+SELECT w_start_ms, n_errors, ROUND(total * 1.0 / n_w, 4) AS mean_errors
+FROM windows CROSS JOIN stats
+WHERE n_errors * n_w > 3 * total
+"""
+
+
 QUERIES = {
+    "events_dwell_percentiles": q_dwell_time_percentiles,
+    "events_error_bursts": q_error_burst_windows,
     "events_pit_versioned_join": q_pit_versioned_join,
     "events_transition_matrix": q_event_transition_matrix,
     "events_scd2_dimension": q_scd2_user_dimension,
@@ -742,6 +836,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,
+    "events_error_bursts": ORACLE_ERROR_BURST_WINDOWS,
     "events_pit_versioned_join": ORACLE_PIT_VERSIONED_JOIN,
     "events_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "events_scd2_dimension": ORACLE_SCD2_USER_DIMENSION,

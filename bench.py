@@ -50,6 +50,7 @@ HEADLINE = [
     "histogram_totalprice",
     "histogram_equidepth",
     "text_langid_confusion",
+    "text_vocab_growth",
     "anomaly_zscore",
     "anomaly_mad",
     "gapfill_locf",

@@ -758,10 +758,60 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law): distinct tokens seen as the corpus
+# grows, computed WITHOUT any cumulative-distinct state — each token
+# contributes exactly once, at its FIRST document (min doc_id), so the
+# curve is: explode → min per token → count per doc bucket → running sum
+# over the (tiny) bucket series. The same first-occurrence trick is how a
+# tokenizer-budget or vocab-cap study reads a 100 TB corpus in one pass.
+# ---------------------------------------------------------------------------
+VOCAB_BUCKET_DOCS = 50
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = first_seen.groupBy(
+        (F.col("first_doc") - F.col("first_doc") % VOCAB_BUCKET_DOCS).alias(
+            "bucket_start"
+        )
+    ).agg(F.count("*").alias("new_tokens"))
+    w = W.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket_start",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH first_seen AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+  ) GROUP BY token
+), per_bucket AS (
+  SELECT first_doc - first_doc % {VOCAB_BUCKET_DOCS} AS bucket_start,
+         COUNT(*) AS new_tokens
+  FROM first_seen GROUP BY 1
+)
+SELECT bucket_start, new_tokens,
+       SUM(new_tokens) OVER (ORDER BY bucket_start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS vocab_size
+FROM per_bucket
+"""
+
+
 QUERIES = {
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
     "text_langid_confusion": q_langid_confusion,
+    "text_vocab_growth": q_vocab_growth,
     "text_unigram_logprob": q_unigram_logprob,
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
@@ -781,6 +831,7 @@ ORACLES = {
     "text_bm25_search": ORACLE_BM25_SEARCH,
     "text_inverted_index": ORACLE_INVERTED_INDEX,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
+    "text_vocab_growth": ORACLE_VOCAB_GROWTH,
     "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,

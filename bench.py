@@ -45,6 +45,7 @@ HEADLINE = [
     "stats_regression_by_brand",
     "pareto_revenue_concentration",
     "revenue_seasonality",
+    "cohort_ltv",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

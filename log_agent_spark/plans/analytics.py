@@ -480,9 +480,57 @@ FROM series
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix: customers grouped by FIRST-order month, revenue
+# accumulated by months-since-acquisition — the (cohort, age) lifetime-
+# value triangle. The cohort assignment is one per-customer aggregate
+# joined back (broadcast — |customers| keys, 2 small columns); the matrix
+# is then a single (cohort, age) aggregate. Month arithmetic is integer
+# (12*y + m deltas); revenue sums round 2dp.
+# ---------------------------------------------------------------------------
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    month_idx = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(F.min(month_idx).alias("cohort_idx"))
+    )
+    return (
+        o.select("o_custkey", month_idx.alias("midx"), "o_totalprice")
+        .join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort_idx",
+            (F.col("midx") - F.col("cohort_idx")).alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1
+           AS midx,
+         o_totalprice
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(midx) AS cohort_idx FROM o GROUP BY o_custkey
+)
+SELECT cohort_idx, midx - cohort_idx AS months_since,
+       COUNT(DISTINCT o_custkey) AS n_active,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM o JOIN firsts USING (o_custkey)
+GROUP BY cohort_idx, months_since
+"""
+
+
 QUERIES = {
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
     "revenue_seasonality": q_revenue_seasonality,
+    "cohort_ltv": q_cohort_ltv,
     "basket_part_pairs_lift": q_basket_part_pairs_lift,
     "customer_rfm": q_customer_rfm,
     "stats_regression_by_brand": q_stats_regression_by_brand,
@@ -498,6 +546,7 @@ ORACLES = {
     "stats_regression_by_brand": ORACLE_STATS_REGRESSION_BY_BRAND,
     "pareto_revenue_concentration": ORACLE_PARETO_REVENUE_CONCENTRATION,
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
+    "cohort_ltv": ORACLE_COHORT_LTV,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

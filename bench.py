@@ -52,6 +52,8 @@ HEADLINE = [
     "histogram_equidepth",
     "text_langid_confusion",
     "text_vocab_growth",
+    "text_zipf_fit",
+    "part_supplier_hhi",
     "anomaly_zscore",
     "anomaly_mad",
     "gapfill_locf",

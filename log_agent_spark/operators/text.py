@@ -807,11 +807,57 @@ FROM per_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Zipf-law fit: the log-log slope of token frequency against frequency
+# rank — the one-number summary of a corpus's token distribution (natural
+# text ≈ -1; synthetic/templated corpora deviate, making this a cheap
+# corpus-health check). One token-frequency aggregate, one rank window
+# over the (vocabulary-sized) frequency table, one regr_slope/regr_r2
+# aggregate — the regression runs over |vocab| rows, never the corpus.
+# ---------------------------------------------------------------------------
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(
+            F.regr_slope(F.log("freq"), F.log("rank")), 4
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKS}) AS token FROM documents
+  ) GROUP BY token
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freqs
+)
+SELECT COUNT(*) AS vocab_size,
+       ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       ROUND(regr_r2(ln(freq), ln(rank)), 4) AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
     "text_langid_confusion": q_langid_confusion,
     "text_vocab_growth": q_vocab_growth,
+    "text_zipf_fit": q_zipf_fit,
     "text_unigram_logprob": q_unigram_logprob,
     "text_repetition_metrics": q_repetition_metrics,
     "text_chunking": q_text_chunking,
@@ -832,6 +878,7 @@ ORACLES = {
     "text_inverted_index": ORACLE_INVERTED_INDEX,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_vocab_growth": ORACLE_VOCAB_GROWTH,
+    "text_zipf_fit": ORACLE_ZIPF_FIT,
     "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "text_repetition_metrics": ORACLE_REPETITION_METRICS,
     "text_chunking": ORACLE_TEXT_CHUNKING,

@@ -527,10 +527,69 @@ GROUP BY cohort_idx, months_since
 """
 
 
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index per part: how concentrated each
+# part's supply is across suppliers (HHI = Σ share², 1/n_suppliers..1).
+# Two keyed aggregates — (part, supplier) quantities, then per-part share
+# squares — with the per-part totals carried by a window on the SAME
+# partitioning (no second shuffle). Shares are exact-integer quantity
+# ratios; HHI rounded 4dp. Reported as a distribution summary so the
+# result stays small at any |parts|.
+# ---------------------------------------------------------------------------
+def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    per_pair = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    wpart = W.partitionBy("l_partkey")
+    hhi = (
+        per_pair.withColumn("total", F.sum("qty").over(wpart))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            # explicit x*x (not pow(x,2)) so the doubles match the oracle
+            F.round(
+                F.sum(
+                    (F.col("qty") / F.col("total"))
+                    * (F.col("qty") / F.col("total"))
+                ),
+                4,
+            ).alias("hhi"),
+        )
+    )
+    return hhi.groupBy("n_suppliers").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("hhi"), 4).alias("avg_hhi"),
+        F.round(F.min("hhi"), 4).alias("min_hhi"),
+        F.round(F.max("hhi"), 4).alias("max_hhi"),
+    )
+
+
+ORACLE_PART_SUPPLIER_HHI = """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), hhi AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers,
+         ROUND(SUM((qty / total) * (qty / total)), 4) AS hhi
+  FROM (
+    SELECT l_partkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS total
+    FROM per_pair
+  ) GROUP BY l_partkey
+)
+SELECT n_suppliers, COUNT(*) AS n_parts,
+       ROUND(AVG(hhi), 4) AS avg_hhi,
+       ROUND(MIN(hhi), 4) AS min_hhi, ROUND(MAX(hhi), 4) AS max_hhi
+FROM hhi GROUP BY n_suppliers
+"""
+
+
 QUERIES = {
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
     "revenue_seasonality": q_revenue_seasonality,
     "cohort_ltv": q_cohort_ltv,
+    "part_supplier_hhi": q_part_supplier_hhi,
     "basket_part_pairs_lift": q_basket_part_pairs_lift,
     "customer_rfm": q_customer_rfm,
     "stats_regression_by_brand": q_stats_regression_by_brand,
@@ -547,6 +606,7 @@ ORACLES = {
     "pareto_revenue_concentration": ORACLE_PARETO_REVENUE_CONCENTRATION,
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
     "cohort_ltv": ORACLE_COHORT_LTV,
+    "part_supplier_hhi": ORACLE_PART_SUPPLIER_HHI,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

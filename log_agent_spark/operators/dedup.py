@@ -113,6 +113,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content md5: representative + copy count."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
     return exact_duplicates(docs)
 
@@ -158,6 +159,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by character n-gram Jaccard similarity above threshold."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
     # Bound the all-pairs candidate set: originals <100 plus their variants.
     docs = docs.filter(F.col("doc_id") % 1_000_000 < 100)
@@ -460,6 +462,7 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESH
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine above threshold (planted dups fixture)."""
     from log_agent_spark.operators.similarity import as_double
 
     emb = (

@@ -262,6 +262,7 @@ FROM d
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media fake-codec feature extraction via mapInPandas (real plumbing, stub codec)."""
     media = media_corpus(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
 
@@ -278,6 +279,7 @@ FROM m
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling: one row per sampled frame of each video blob."""
     media = media_corpus(load_table(spark, sf_dir, "documents"))
     return sample_frames(media)
 
@@ -301,6 +303,7 @@ FROM idx
 
 
 def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-kind corpus stats over the decoded metadata."""
     meta = q_media_decode_meta(spark, sf_dir)
     return meta.groupBy("kind").agg(
         F.count("*").alias("n_media"),

@@ -146,6 +146,7 @@ def probe_buckets(bucket: Column, n_dims: int = LSH_SIGN_DIMS) -> Column:
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN with hamming-1 multi-probe over the query's buckets."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
@@ -255,6 +256,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cell assignment, then search only the query's cell."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
@@ -369,6 +371,7 @@ def quantize_int8(emb: Column) -> Column:
 
 
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN: 4x smaller vectors, top-k re-ranked in int space."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize_int8(as_double(F.col("embedding"))).alias("emb")
     )

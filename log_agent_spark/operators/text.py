@@ -118,6 +118,7 @@ def _lang_hits(toks: Column, words: list[str]) -> Column:
 
 
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-profile hit counts; deterministic tie-break."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     hits = {lang: _lang_hits(toks, ws) for lang, ws in LANG_PROFILES.items()}
@@ -567,6 +568,7 @@ def _eq_term(term: str):
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword relevance: top-k docs for a fixed query term set."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     dl = F.size(toks)

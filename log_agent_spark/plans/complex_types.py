@@ -254,6 +254,7 @@ FROM tree GROUP BY depth
 
 
 def q_recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy rollup; the same SQL text runs on Spark and DuckDB."""
     from log_agent_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir, ["documents"])

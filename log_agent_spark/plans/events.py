@@ -187,6 +187,7 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min quiescence): session bounds + event counts per user."""
     s = _sessionized(spark, sf_dir)
     per_session = s.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),

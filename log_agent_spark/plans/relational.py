@@ -212,6 +212,7 @@ GROUP BY c_mktsegment
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders, counted per nation."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(

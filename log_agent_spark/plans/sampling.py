@@ -461,6 +461,7 @@ WHERE r.rk <= 2
 
 
 def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() text interface: the engine accepts raw ANSI SQL over registered views."""
     from log_agent_spark.sources.tables import register_tables
 
     register_tables(spark, sf_dir, ["customer", "orders", "nation"])
@@ -598,6 +599,7 @@ def _zvalue_sql(xb: str, yb: str) -> str:
 
 
 def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value file assignment with per-file min/max evidence in both dimensions."""
     o = _t(spark, sf_dir, "orders")
     dd = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
     keyed = o.select(

@@ -46,6 +46,7 @@ HEADLINE = [
     "pareto_revenue_concentration",
     "revenue_seasonality",
     "cohort_ltv",
+    "order_backlog",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

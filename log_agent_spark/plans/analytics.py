@@ -585,7 +585,62 @@ FROM hhi GROUP BY n_suppliers
 """
 
 
+# ---------------------------------------------------------------------------
+# Running backlog: open orders over time as a +1/-1 delta stream — an
+# order opens at o_orderdate and closes when its LAST lineitem ships.
+# The classic inventory/queue-depth reshape: two keyed aggregates produce
+# monthly open/close deltas, a union + one running-sum window over the
+# (tiny) month series yields the end-of-month backlog. All-integer
+# arithmetic; the big tables are touched once each.
+# ---------------------------------------------------------------------------
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    month = lambda c: F.year(c) * 12 + (F.month(c) - 1)  # noqa: E731
+    opened = o.groupBy(month(F.col("o_orderdate")).alias("midx")).agg(
+        F.count("*").alias("delta")
+    )
+    closed = (
+        l.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("done"))
+        .groupBy(month(F.col("done")).alias("midx"))
+        .agg((-F.count("*")).alias("delta"))
+    )
+    deltas = opened.unionByName(closed).groupBy("midx").agg(
+        F.sum("delta").alias("net")
+    )
+    w = W.orderBy("midx").rowsBetween(W.unboundedPreceding, 0)
+    return deltas.select(
+        "midx", "net", F.sum("net").over(w).alias("open_backlog")
+    )
+
+
+ORACLE_ORDER_BACKLOG = """
+WITH opened AS (
+  SELECT EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1
+           AS midx,
+         COUNT(*) AS delta
+  FROM orders GROUP BY 1
+), closed AS (
+  SELECT EXTRACT(year FROM done) * 12 + EXTRACT(month FROM done) - 1 AS midx,
+         -COUNT(*) AS delta
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem GROUP BY 1)
+  GROUP BY 1
+), deltas AS (
+  SELECT midx, SUM(delta) AS net
+  FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
+  GROUP BY midx
+)
+SELECT midx, net,
+       SUM(net) OVER (ORDER BY midx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS open_backlog
+FROM deltas
+"""
+
+
 QUERIES = {
+    "order_backlog": q_order_backlog,
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
     "revenue_seasonality": q_revenue_seasonality,
     "cohort_ltv": q_cohort_ltv,
@@ -607,6 +662,7 @@ ORACLES = {
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
     "cohort_ltv": ORACLE_COHORT_LTV,
     "part_supplier_hhi": ORACLE_PART_SUPPLIER_HHI,
+    "order_backlog": ORACLE_ORDER_BACKLOG,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

@@ -103,6 +103,7 @@ HEADLINE = [
     "events_error_bursts",
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
+    "dedup_lsh_quality",
     "text_decontaminate",
     "corpus_snapshot_diff",
     "q02_min_cost_supplier",

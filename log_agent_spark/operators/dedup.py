@@ -624,6 +624,74 @@ WHERE a.doc_id % {_INCR_NEW_MOD} = 0
 
 
 # ---------------------------------------------------------------------------
+# LSH candidate QUALITY report — measuring the banding trade-off in-engine:
+# every LSH candidate pair is scored with its exact token-set Jaccard and
+# bucketed by decile, so "how precise are my bands?" is one query instead
+# of an offline eval. The exact verify runs ONLY on the bucket-bounded
+# candidates (never corpus²), which is precisely the verify-stage cost a
+# production near-dup pipeline pays; integer intersection/union sizes make
+# the decile assignment float-proof.
+# ---------------------------------------------------------------------------
+def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    toks = F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    a = docs.select(F.col("doc_id").alias("doc_a"), toks.alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), toks.alias("tb"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+            F.size(F.array_union("ta", "tb")).alias("u"),
+        )
+    )
+    return (
+        scored.select(
+            F.floor(10 * F.col("i") / F.col("u")).cast("long").alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+ORACLE_DEDUP_LSH_QUALITY = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM corpus
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), toksets AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+  FROM corpus
+), scored AS (
+  SELECT len(list_intersect(ta.tk, tb.tk)) AS i,
+         len(list_distinct(list_concat(ta.tk, tb.tk))) AS u
+  FROM pairs
+  JOIN toksets ta ON ta.doc_id = doc_a
+  JOIN toksets tb ON tb.doc_id = doc_b
+)
+SELECT CAST(FLOOR(10.0 * i / u) AS BIGINT) AS jaccard_decile,
+       COUNT(*) AS n_pairs
+FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # The COMPOSED dedup pipeline — what a training-data build actually emits:
 # tier 1 exact dedup (min doc_id per identical text), tier 2 MinHash-LSH
 # pairs among the exact survivors, resolved to clusters by connected
@@ -698,6 +766,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "dedup_lsh_quality": q_dedup_lsh_quality,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -709,5 +778,6 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,
+    "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

@@ -814,7 +814,47 @@ WHERE n_errors * n_w > 3 * total
 """
 
 
+# ---------------------------------------------------------------------------
+# Weekly load profile: event volume by (day-of-week, hour-of-day) with the
+# deviation from a uniform spread — the capacity-planning heatmap behind
+# "when do the test machines actually emit logs?". One aggregate on a
+# 168-cell key; the load factor is an exact-integer ratio (n·cells/total)
+# rounded 4dp.
+# ---------------------------------------------------------------------------
+def q_weekly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    totals = cells.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_cells")
+    )
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n") * F.col("n_cells") / F.col("total"), 4).alias(
+            "load_factor"
+        ),
+    )
+
+
+ORACLE_WEEKLY_LOAD_PROFILE = """
+WITH cells AS (
+  SELECT dayofweek(ts) + 1 AS dow, EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT SUM(n) AS total, COUNT(*) AS n_cells FROM cells
+)
+SELECT dow, hour, n,
+       ROUND(n * 1.0 * n_cells / total, 4) AS load_factor
+FROM cells CROSS JOIN totals
+"""
+
+
 QUERIES = {
+    "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
     "events_error_bursts": q_error_burst_windows,
     "events_pit_versioned_join": q_pit_versioned_join,
@@ -837,6 +877,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,
     "events_error_bursts": ORACLE_ERROR_BURST_WINDOWS,
     "events_pit_versioned_join": ORACLE_PIT_VERSIONED_JOIN,

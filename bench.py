@@ -102,6 +102,7 @@ HEADLINE = [
     "events_dwell_percentiles",
     "events_error_bursts",
     "events_weekly_load_profile",
+    "events_user_lifecycle",
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
     "dedup_lsh_quality",

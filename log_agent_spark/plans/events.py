@@ -853,7 +853,75 @@ FROM cells CROSS JOIN totals
 """
 
 
+# ---------------------------------------------------------------------------
+# User lifecycle stages (growth accounting): per day, classify every
+# active user as new (first day seen), retained (also active the previous
+# day), or resurrected (returning after a gap) — and count churned (active
+# previous day, absent now) from the NEXT-day view of the same lag. One
+# (user, day) distinct, one user-partitioned lag window, one per-day
+# aggregate; all integers, no churn table materialized.
+# ---------------------------------------------------------------------------
+def q_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    staged = daily.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    stage = (
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff("day", "prev_day") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    counts = (
+        staged.withColumn("stage_", stage)
+        .groupBy(F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"))
+        .agg(
+            F.sum((F.col("stage_") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("stage_") == "retained").cast("long")).alias("n_retained"),
+            F.sum((F.col("stage_") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+            # churned AFTER this day: active today, next activity not tomorrow
+            F.sum(
+                (
+                    F.col("next_day").isNull()
+                    | (F.datediff("next_day", "day") > 1)
+                ).cast("long")
+            ).alias("n_churning_after"),
+        )
+    )
+    return counts
+
+
+ORACLE_USER_LIFECYCLE = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), staged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM daily
+)
+SELECT CAST(epoch_ms(CAST(day AS TIMESTAMP)) AS BIGINT) AS day_ms,
+       SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS n_new,
+       SUM(CASE WHEN datediff('day', prev_day, day) = 1 THEN 1 ELSE 0 END)
+         AS n_retained,
+       SUM(CASE WHEN prev_day IS NOT NULL AND datediff('day', prev_day, day) > 1
+                THEN 1 ELSE 0 END) AS n_resurrected,
+       SUM(CASE WHEN next_day IS NULL OR datediff('day', day, next_day) > 1
+                THEN 1 ELSE 0 END) AS n_churning_after
+FROM staged GROUP BY day
+"""
+
+
 QUERIES = {
+    "events_user_lifecycle": q_user_lifecycle,
     "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
     "events_error_bursts": q_error_burst_windows,
@@ -877,6 +945,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,
     "events_error_bursts": ORACLE_ERROR_BURST_WINDOWS,

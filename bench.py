@@ -106,6 +106,7 @@ HEADLINE = [
     "events_rolling_7d_users",
     "dedup_minhash_incremental",
     "dedup_lsh_quality",
+    "dedup_source_overlap",
     "text_decontaminate",
     "corpus_snapshot_diff",
     "q02_min_cost_supplier",

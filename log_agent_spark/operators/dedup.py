@@ -692,6 +692,80 @@ FROM scored GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Cross-source content overlap: for every source pair, how many exact
+# content hashes they share and the Jaccard of their hash sets — the
+# provenance matrix that surfaces which feeds mirror each other before
+# mixture weights are chosen. Shape: one (source, hash) distinct, a
+# self-equi-join ON HASH (bounded by duplicate content, never |corpus|²),
+# and per-source set sizes broadcast back. Exact-integer Jaccard, 4dp.
+# ---------------------------------------------------------------------------
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # the fixture's sources are disjoint by construction, so plant a
+    # deterministic "mirror" feed re-hosting every third document — the
+    # scraped-site-mirror situation the matrix exists to expose
+    feeds = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            F.lit("mirror0").alias("source"), "text"
+        )
+    )
+    sh = feeds.select("source", F.md5("text").alias("h")).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_SOURCE_OVERLAP = """
+WITH feeds AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror0' AS source, text FROM documents WHERE doc_id % 3 = 0
+), sh AS (
+  SELECT DISTINCT source, md5(text) AS h FROM feeds
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ROUND(n_shared * 1.0 / (na.n + nb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes na ON na.source = source_a
+JOIN sizes nb ON nb.source = source_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # The COMPOSED dedup pipeline — what a training-data build actually emits:
 # tier 1 exact dedup (min doc_id per identical text), tier 2 MinHash-LSH
 # pairs among the exact survivors, resolved to clusters by connected
@@ -767,6 +841,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_lsh_quality": q_dedup_lsh_quality,
+    "dedup_source_overlap": q_dedup_source_overlap,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -779,5 +854,6 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,
     "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
+    "dedup_source_overlap": ORACLE_DEDUP_SOURCE_OVERLAP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

@@ -47,6 +47,8 @@ HEADLINE = [
     "revenue_seasonality",
     "cohort_ltv",
     "order_backlog",
+    "supplier_leadtime",
+    "events_top_movers",
     "sample_hash_split",
     "unpivot_measures",
     "histogram_totalprice",

@@ -639,8 +639,98 @@ FROM deltas
 """
 
 
+# ---------------------------------------------------------------------------
+# Supplier lead-time profile: order-to-ship latency percentiles per
+# supplier nation — the SLA scorecard. One broadcast of orders' (key,
+# date) slice? No: orders is the bigger side, so the lineitem⨝orders join
+# shuffles on orderkey once, then one exact-percentile aggregate per
+# nation (25 groups). Lead times are exact integer days.
+# ---------------------------------------------------------------------------
+def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lead = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lead_days"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return lead.groupBy("n_name").agg(
+        F.count("*").alias("n_shipments"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 1).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)"), 1).alias("p95_days"),
+        F.max("lead_days").alias("max_days"),
+    )
+
+
+ORACLE_SUPPLIER_LEADTIME = """
+WITH lead AS (
+  SELECT l_suppkey,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_name, COUNT(*) AS n_shipments,
+       ROUND(quantile_cont(lead_days, 0.5), 1) AS p50_days,
+       ROUND(quantile_cont(lead_days, 0.95), 1) AS p95_days,
+       MAX(lead_days) AS max_days
+FROM lead
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day top movers: the event types whose daily volume changed the
+# most against the previous day — the "what spiked?" triage query. One
+# (day, type) aggregate, a lag window per type over the small daily
+# series, top-k by absolute delta with deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+def q_events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    moved = daily.select(
+        F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+        "event_type",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    return moved.orderBy(
+        F.abs("delta").desc(), F.asc("day_ms"), F.asc("event_type")
+    ).limit(15)
+
+
+ORACLE_EVENTS_TOP_MOVERS = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), moved AS (
+  SELECT CAST(epoch_ms(CAST(day AS TIMESTAMP)) AS BIGINT) AS day_ms, event_type, n,
+         n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+  FROM daily
+)
+SELECT day_ms, event_type, n, delta FROM moved
+WHERE delta IS NOT NULL
+ORDER BY ABS(delta) DESC, day_ms ASC, event_type ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
     "order_backlog": q_order_backlog,
+    "supplier_leadtime": q_supplier_leadtime,
+    "events_top_movers": q_events_top_movers,
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
     "revenue_seasonality": q_revenue_seasonality,
     "cohort_ltv": q_cohort_ltv,
@@ -663,6 +753,8 @@ ORACLES = {
     "cohort_ltv": ORACLE_COHORT_LTV,
     "part_supplier_hhi": ORACLE_PART_SUPPLIER_HHI,
     "order_backlog": ORACLE_ORDER_BACKLOG,
+    "supplier_leadtime": ORACLE_SUPPLIER_LEADTIME,
+    "events_top_movers": ORACLE_EVENTS_TOP_MOVERS,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,
     "window_rank_variants": ORACLE_WINDOW_RANK_VARIANTS,

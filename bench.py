@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_recall_report",
     "ann_ivf",
     "ann_kmeans_step",
     "ann_hard_negatives",

@@ -706,7 +706,46 @@ SELECT pos, ROUND(v / n, 6) AS component FROM {prev} CROSS JOIN nrm"""
 ORACLE_POWER_ITERATION_PC1 = _power_iteration_oracle()
 
 
+# ---------------------------------------------------------------------------
+# ANN recall report — the evaluation the recall-floor tests run, as an
+# in-engine query: per query vector, how many of the exact top-k the
+# LSH-bucketed index recovered. Ground truth and approximate results are
+# both tiny (n_queries × k), so the comparison join is free; the expensive
+# parts are the two searches themselves, each already scale-shaped. This
+# is the query an index-tuning loop watches while turning the multi-probe
+# / banding knobs.
+# ---------------------------------------------------------------------------
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.a_query)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor").alias("n_recovered"),
+        F.round(F.count("a_neighbor") / float(TOP_K), 4).alias("recall_at_k"),
+    )
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+SELECT e.query_id, COUNT(a.neighbor_id) AS n_recovered,
+       ROUND(COUNT(a.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM ({ORACLE_ANN_COSINE_TOPK}) e
+LEFT JOIN ({ORACLE_ANN_LSH_BUCKETED}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
+    "ann_recall_report": q_ann_recall_report,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
     "embeddings_power_iteration": q_power_iteration_pc1,
@@ -719,6 +758,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "embeddings_power_iteration": ORACLE_POWER_ITERATION_PC1,

@@ -98,3 +98,32 @@ def test_zorder_is_map_side_before_agg(spark):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_basket_pairs_joins_on_order_key(spark):
+    from log_agent_spark.plans import analytics
+
+    plan = _plan(analytics.q_basket_part_pairs_lift(spark, SF))
+    # the pair generator must be a KEYED join on l_orderkey (bounded by
+    # lines-per-order), never a cartesian pair space over parts
+    assert "CartesianProduct" not in plan, plan
+    assert "l_orderkey" in plan, plan
+
+
+def test_supplier_leadtime_broadcasts_dims(spark):
+    from log_agent_spark.plans import analytics
+
+    plan = _plan(analytics.q_supplier_leadtime(spark, SF))
+    # supplier and nation are broadcast; only the fact join shuffles
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pagerank_no_cartesian_and_bounded_exchanges(spark):
+    from log_agent_spark.operators import graph
+
+    plan = _plan(graph.q_pagerank_trade_graph(spark, SF))
+    # every per-round join is keyed (edges.src = ranks.node) — no
+    # cartesian anywhere in the unrolled 3-iteration lineage. (Exchange
+    # COUNTS are not assertable here: the textual plan re-prints the
+    # persisted edge lineage at every reference.)
+    assert "CartesianProduct" not in plan, plan

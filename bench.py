@@ -48,6 +48,7 @@ HEADLINE = [
     "cohort_ltv",
     "order_backlog",
     "supplier_leadtime",
+    "nation_share_of_region",
     "events_top_movers",
     "sample_hash_split",
     "unpivot_measures",

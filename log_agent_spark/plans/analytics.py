@@ -727,7 +727,55 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# Share-of-parent in a hierarchy: each nation's revenue as a fraction of
+# its region's — the drill-down ratio every rollup report shows next to
+# the absolute number. One fact aggregation keyed (region, nation) after
+# broadcast dim joins; the parent total is a window over the aggregate on
+# the same region key (no second scan, no self-join). Decimal-exact sums
+# feed the ratio, rounded 4dp.
+# ---------------------------------------------------------------------------
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wreg = W.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") / F.sum("rev").over(wreg)).cast("double"), 4
+        ).alias("region_share"),
+    )
+
+
+ORACLE_NATION_SHARE_OF_REGION = """
+WITH rev AS (
+  SELECT r_name, n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev / SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 4)
+         AS region_share
+FROM rev
+"""
+
+
 QUERIES = {
+    "nation_share_of_region": q_nation_share_of_region,
     "order_backlog": q_order_backlog,
     "supplier_leadtime": q_supplier_leadtime,
     "events_top_movers": q_events_top_movers,
@@ -754,6 +802,7 @@ ORACLES = {
     "part_supplier_hhi": ORACLE_PART_SUPPLIER_HHI,
     "order_backlog": ORACLE_ORDER_BACKLOG,
     "supplier_leadtime": ORACLE_SUPPLIER_LEADTIME,
+    "nation_share_of_region": ORACLE_NATION_SHARE_OF_REGION,
     "events_top_movers": ORACLE_EVENTS_TOP_MOVERS,
     "events_gaps_islands": ORACLE_EVENTS_GAPS_ISLANDS,
     "events_retention_cohort": ORACLE_EVENTS_RETENTION_COHORT,

@@ -504,6 +504,184 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) /
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup, cluster-then-prune (SemDeDup, Abbas et al. 2023): assign
+# every embedding to its nearest coarse centroid, then compare pairs ONLY
+# within a cluster. This is the scale path for embedding near-dup at 100 TB:
+# the all-pairs O(n²) comparison becomes sum over cells of O(|cell|²), and
+# the cell assignment itself is a broadcast join (centroids are tiny) — the
+# corpus is scanned once, shuffled once on the cell id. Complements the
+# sign-LSH bucketing above (hyperplane buckets) with the k-means-cell
+# family the SemDeDup paper uses; centroids here are deterministic (the
+# first K vectors — operators/similarity.py's IVF coarse quantizer, whose
+# k-means update step is `ann_kmeans_step`) so the oracle can replay them.
+# ---------------------------------------------------------------------------
+_SEMANTIC_CELLS = 16
+
+
+def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid cell assignment, near-dup pairs within cells."""
+    from log_agent_spark.operators.similarity import _dot, _norm, as_double, ivf_assign
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    planted = emb.filter(F.col("vec_id") < _N_PLANTED_EMB).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("emb"), lambda x, i: x + 0.05 * F.sin((i + 1).cast("double"))
+        ).alias("emb"),
+    )
+    corpus = emb.unionByName(planted)
+    centroids = corpus.filter(F.col("vec_id") < _SEMANTIC_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    cells = ivf_assign(corpus, centroids).withColumn("norm", _norm(F.col("emb")))
+    lhs, rhs = cells.hint("merge").alias("a"), cells.hint("merge").alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")),
+        4,
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_SEMANTIC_CLUSTERED = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(list_zip(emb, generate_series(1, len(emb))),
+                        t -> t[1] + 0.05 * sin(t[2]::DOUBLE)) AS emb
+  FROM base WHERE vec_id < {_N_PLANTED_EMB}
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), cent AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM corpus
+  WHERE vec_id < {_SEMANTIC_CELLS}
+), assigned AS (
+  SELECT vec_id, emb, centroid_id AS cell FROM (
+    SELECT c.vec_id, c.emb, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_dot_product(c.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             4) AS cos
+FROM assigned a JOIN assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+            4) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup prefilter with an in-engine false-positive report.
+# The incremental anti-join below ships every prior HASH (16 B/doc — 1.6 TB
+# of state at 100 B docs); the Bloom prefilter compresses the prior corpus
+# to a fixed W-bit membership filter instead. Built from first principles
+# so the DuckDB oracle replays it exactly: K affine hashes over the 28-bit
+# md5 prefix → the filter IS the distinct set-position table (≤ W rows,
+# built with map-side combine, broadcast to the probe side — the Spark-
+# native form of `spark.util.sketch.BloomFilter`, but oracle-portable).
+# A probe doc is "possibly seen" iff all K of its positions are set; the
+# report classifies every positive against ground truth (exact prior-hash
+# semi-join) so the FP rate of the (W, K, n) configuration is visible and
+# oracle-checked. At 100 TB: probes that pass the filter — true dups plus
+# the ~(1-e^{-Kn/W})^K false-positive sliver — are the only docs that pay
+# the full-state anti-join; everything else short-circuits locally.
+# ---------------------------------------------------------------------------
+_BLOOM_W = 2048  # bits (set-position table rows ≤ W)
+_BLOOM_K = 3
+_BLOOM_A = [(i * 0x9E3779B1 + 0x85EBCA6B) % _MERSENNE_P or 1 for i in range(21, 21 + _BLOOM_K)]
+_BLOOM_B = [(i * 0xC2B2AE35 + 0x27D4EB2F) % _MERSENNE_P for i in range(21, 21 + _BLOOM_K)]
+
+
+def _bloom_positions() -> F.Column:
+    return F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P % _BLOOM_W).alias(f"p{j}")
+            for j, (a, b) in enumerate(zip(_BLOOM_A, _BLOOM_B))
+        ]
+    )
+
+
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter vs prior corpus; every positive classified true/false."""
+    corpus = with_planted_dups(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+    prior = corpus.filter(F.col("doc_id") < 250)
+    incoming = corpus.filter(F.col("doc_id") >= 250)
+    bloom = (
+        prior.select(F.explode(_bloom_positions()).alias("pos")).distinct()
+    )
+    probes = incoming.select(
+        "doc_id", "h", F.explode(_bloom_positions()).alias("pos")
+    )
+    positives = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+    )
+    prior_hashes = prior.select("h").distinct()
+    return (
+        positives.join(
+            F.broadcast(prior_hashes.withColumn("seen", F.lit(True))), "h", "left"
+        )
+        .select("doc_id", F.coalesce("seen", F.lit(False)).alias("true_dup"))
+    )
+
+
+_BLOOM_PARAMS_SQL = ", ".join(
+    f"({a}, {b})" for a, b in zip(_BLOOM_A, _BLOOM_B)
+)
+
+ORACLE_DEDUP_BLOOM_PREFILTER = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 7))::UBIGINT AS BIGINT) AS h
+  FROM ({PLANTED_DUPS_SQL})
+), params(a, b) AS (VALUES {_BLOOM_PARAMS_SQL}),
+prior AS (SELECT * FROM corpus WHERE doc_id < 250),
+incoming AS (SELECT * FROM corpus WHERE doc_id >= 250),
+bloom AS (
+  SELECT DISTINCT ((a * h + b) % {_MERSENNE_P}) % {_BLOOM_W} AS pos
+  FROM prior CROSS JOIN params
+), probes AS (
+  SELECT doc_id, h, ((a * h + b) % {_MERSENNE_P}) % {_BLOOM_W} AS pos
+  FROM incoming CROSS JOIN params
+), positives AS (
+  SELECT doc_id, h FROM probes JOIN bloom USING (pos)
+  GROUP BY doc_id, h HAVING COUNT(*) = {_BLOOM_K}
+)
+SELECT p.doc_id,
+       COALESCE(p.h IN (SELECT h FROM prior), FALSE) AS true_dup
+FROM positives p
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup at ingest: new batch anti-joined against the prior
 # corpus's content hashes (the streaming T4 "(path, mtime) seen-state"
 # pattern, fspolling.go:71-87, lifted to content addressing). Scale: only
@@ -837,6 +1015,8 @@ QUERIES = {
     "dedup_canonical_corpus": q_dedup_canonical_corpus,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic_clustered": q_dedup_semantic_clustered,
+    "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -850,6 +1030,8 @@ ORACLES = {
     "dedup_canonical_corpus": ORACLE_DEDUP_CANONICAL_CORPUS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_semantic_clustered": ORACLE_DEDUP_SEMANTIC_CLUSTERED,
+    "dedup_bloom_prefilter": ORACLE_DEDUP_BLOOM_PREFILTER,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,

@@ -300,12 +300,112 @@ r{i} AS (
 ORACLE_PAGERANK = _pagerank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph (parts bought together
+# in one order). The customer→supplier trade graph is bipartite (triangle-
+# free), so the co-purchase projection is the natural triangle substrate —
+# the same graph family the basket-lift query mines for pairs.
+#
+# Scale shape: the classic degree-ordered orientation (compact-forward /
+# MapReduce triangle counting, Suri & Vassilvitskii WWW'11). Every
+# undirected edge is oriented from its lower-(degree, id) endpoint to the
+# higher one, so each node's OUT-degree is bounded by O(sqrt(|E|)) — the
+# wedge self-join (the quadratic step) is keyed on the low-degree endpoint
+# and can never blow up on a hub vertex. A celebrity part with degree 10^6
+# contributes zero wedges from its own key; its triangles are charged to
+# its low-degree neighbors. Per-triangle output is exploded back to all
+# three corners for per-node counts. The oracle enumerates the identical
+# triangle set with plain id-ordering (orientation changes the join
+# strategy, not the triangle set).
+# ---------------------------------------------------------------------------
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient each edge from the lower (deg, id) endpoint to the higher one.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    u_rank = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    v_rank = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    fwd = u_rank < v_rank
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(fwd, v_rank).otherwise(u_rank).alias("hi_rank"),
+    ).persist()
+    # Wedges keyed on the (bounded-out-degree) pivot; close with an edge join.
+    w1 = oriented.select(
+        F.col("lo").alias("pivot"), F.col("hi").alias("x"), F.col("hi_rank").alias("xr")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("pivot"), F.col("hi").alias("y"), F.col("hi_rank").alias("yr")
+    )
+    wedges = (
+        w1.join(w2, "pivot")
+        .filter(F.col("xr") < F.col("yr"))
+        .select("pivot", "x", "y")
+    )
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("pivot", "x", "y")
+    corners = tri.select(
+        F.explode(F.array("pivot", "x", "y")).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+        .select(F.col("node").alias("partkey"), "tri_cnt")
+    )
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node AS partkey, COUNT(*) AS tri_cnt
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_connected_components": q_dedup_connected_components,
     "graph_pagerank": q_pagerank_trade_graph,
+    "graph_triangle_count": q_graph_triangle_count,
 }
 
 ORACLES = {
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
     "graph_pagerank": ORACLE_PAGERANK,
+    "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
 }

@@ -920,6 +920,189 @@ FROM staged GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters, with an in-engine accuracy report.
+# Unlike approx_count_distinct/percentile_approx above (engine-internal
+# sketches, rows-only check), this sketch is built from first principles —
+# d=4 affine hash rows × w=64 buckets as one explode + one hash aggregate —
+# so it is fully deterministic and the DuckDB oracle replays it bit-for-bit.
+#
+# Scale shape: the sketch IS a groupBy((row, bucket)) count — map-side
+# partial combine means each of the 1000 executors ships at most d·w=256
+# partial cells regardless of input size; the merged sketch (256 rows) is a
+# driver-side constant. Estimates are CM-standard min over rows; the output
+# joins estimated vs exact counts for the top-20 keys so the overcount
+# (collision error, ≥ 0 always) is visible and oracle-checked. This is the
+# bounded-memory path for frequency stats when keys don't fit in memory —
+# the exact groupBy here exists only to score the sketch.
+# ---------------------------------------------------------------------------
+_CM_P = 2_147_483_647
+CM_D, CM_W, CM_TOPK = 4, 64, 20
+_CM_A = [(i * 0x9E3779B1 + 0x85EBCA6B) % _CM_P or 1 for i in range(1, CM_D + 1)]
+_CM_B = [(i * 0xC2B2AE35 + 0x27D4EB2F) % _CM_P for i in range(1, CM_D + 1)]
+
+
+def _cm_rows() -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P % CM_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(zip(_CM_A, _CM_B))
+        ]
+    )
+
+
+def q_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch user frequencies; top-20 exact vs estimated report."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sketch = (
+        keyed.select(F.explode(_cm_rows()).alias("rb"))
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = keyed.groupBy("user_id", "h").agg(F.count("*").alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(CM_TOPK)
+    probes = topk.select("user_id", "exact_n", F.explode(_cm_rows()).alias("rb")).select(
+        "user_id", "exact_n", F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+_CM_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_CM_A, _CM_B))
+)
+
+ORACLE_COUNTMIN_HEAVYHITTERS = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::UBIGINT
+              AS BIGINT) AS h
+  FROM events
+), params(i, a, b) AS (VALUES {_CM_PARAMS_SQL}),
+sketch AS (
+  SELECT i, ((a * h + b) % {_CM_P}) % {CM_W} AS bucket, COUNT(*) AS cell_n
+  FROM ev CROSS JOIN params
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, h, COUNT(*) AS exact_n FROM ev GROUP BY user_id, h
+), topk AS (
+  SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT {CM_TOPK}
+), probes AS (
+  SELECT user_id, exact_n, i,
+         ((a * h + b) % {_CM_P}) % {CM_W} AS bucket
+  FROM topk CROSS JOIN params
+)
+SELECT p.user_id, p.exact_n, MIN(s.cell_n) AS est_n,
+       MIN(s.cell_n) - p.exact_n AS overcount
+FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+GROUP BY p.user_id, p.exact_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with time-decay weighting: every purchase splits
+# credit across the user's clicks in the prior 7 days; a click's weight is
+# the rational decay 1/(1 + age_days) (pure arithmetic — identical IEEE
+# ops on both engines, no libm exp() whose last ULP could differ between
+# JVM and DuckDB). Output per purchase: touch count, first/last click
+# (position attribution), and the decayed share of the last touch.
+#
+# Scale shape: a banded range join — equi-key on user_id plus a bounded
+# time interval, so each purchase only meets the clicks inside its window
+# (same family as events_range_join / the as-of funnel). The per-purchase
+# aggregation is one hash agg keyed by the purchase event; no window over
+# the full event stream, no driver loop.
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_DAYS = 7
+
+
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution of purchases to prior-7d clicks."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    age_days = (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(86400.0 * 1e6)
+    touched = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+                <= _ATTR_WINDOW_DAYS * 86400 * 1_000_000
+            )
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "c_ts",
+            (F.lit(1.0) / (F.lit(1.0) + age_days)).alias("w"),
+        )
+    )
+    return touched.groupBy("purchase_id").agg(
+        F.count("*").alias("n_touches"),
+        F.min_by("click_id", F.struct("c_ts", "click_id")).alias("first_click"),
+        F.max_by("click_id", F.struct("c_ts", "click_id")).alias("last_click"),
+        F.round(
+            F.max_by(F.col("w"), F.struct("c_ts", "click_id")) / F.sum("w"), 4
+        ).alias("last_touch_share"),
+    )
+
+
+ORACLE_ATTRIBUTION_MULTITOUCH = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT purchase_id, click_id, c_ts,
+         1.0 / (1.0 + date_diff('microsecond', c_ts, p_ts) / (86400.0 * 1e6)) AS w
+  FROM purchases JOIN clicks USING (user_id)
+  WHERE c_ts <= p_ts
+    AND date_diff('microsecond', c_ts, p_ts) <= {_ATTR_WINDOW_DAYS}::BIGINT * 86400 * 1000000
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts ASC, click_id ASC) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts DESC, click_id DESC) AS rn_desc
+  FROM touched
+)
+SELECT purchase_id,
+       COUNT(*) AS n_touches,
+       MIN(CASE WHEN rn_asc = 1 THEN click_id END) AS first_click,
+       MIN(CASE WHEN rn_desc = 1 THEN click_id END) AS last_click,
+       ROUND(MIN(CASE WHEN rn_desc = 1 THEN w END) / SUM(w), 4) AS last_touch_share
+FROM ranked
+GROUP BY purchase_id
+"""
+
+
 QUERIES = {
     "events_user_lifecycle": q_user_lifecycle,
     "events_weekly_load_profile": q_weekly_load_profile,
@@ -933,6 +1116,8 @@ QUERIES = {
     "events_session_window_native": q_session_window_native,
     "window_range_frame": q_window_range_frame,
     "events_approx_sketches": q_approx_sketches,
+    "events_countmin_heavyhitters": q_countmin_heavyhitters,
+    "events_attribution_multitouch": q_attribution_multitouch,
     "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
     "events_sliding_window": q_sliding_window,
@@ -945,6 +1130,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_countmin_heavyhitters": ORACLE_COUNTMIN_HEAVYHITTERS,
+    "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,

@@ -744,7 +744,139 @@ GROUP BY e.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization with asymmetric-distance scoring (PQ/ADC — Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# The memory-compression scale path: each 64-dim float vector becomes M=4
+# one-byte codes (64× smaller), so a 100 TB embedding corpus's index fits
+# in executor memory. Encoding = per-subspace nearest sub-centroid
+# (codebooks here are deterministic — subvectors of the first K vectors —
+# so the oracle replays them; production would k-means them via
+# ann_kmeans_step). Search = ADC: the query precomputes an M×K distance
+# table (tiny, broadcast), candidate distance = sum of M table lookups —
+# no float vector is touched at scan time. The M partial distances are
+# summed WIDE (one column per subspace, fixed left-assoc adds) so the
+# float addition order is identical on Spark and DuckDB; a groupBy SUM
+# would add in partition order and could differ in the last ULP.
+#
+# Plan shape: codebook and distance tables are broadcast joins; the only
+# shuffle is the final per-query top-k window over |candidates|·M rows.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 16
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, svec) — the M per-subspace slices of each vector."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice("emb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("svec"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub", "s.svec")
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-coded ANN: 4x16 codebook encode, asymmetric-distance top-k."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    subs = _pq_subvectors(emb)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("svec").alias("cvec")
+    )
+
+    def d2(a, b):
+        return (_dot(a, a) - F.lit(2.0) * _dot(a, b)) + _dot(b, b)
+
+    scored = subs.filter(F.col("vec_id") >= N_QUERIES).join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", d2(F.col("svec"), F.col("cvec")).alias("cd2")
+    )
+    wenc = W.partitionBy("vec_id", "sub").orderBy("cd2", "code")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    qtab = subs.filter(F.col("vec_id") < N_QUERIES).join(F.broadcast(cb), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "code",
+        d2(F.col("svec"), F.col("cvec")).alias("qd2"),
+    )
+    parts = codes.join(F.broadcast(qtab), ["sub", "code"]).groupBy(
+        "query_id", "vec_id"
+    ).agg(
+        *[
+            F.min(F.when(F.col("sub") == m, F.col("qd2"))).alias(f"d{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    ad = F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+    wq = W.partitionBy("query_id").orderBy(ad.asc(), F.asc("vec_id"))
+    return (
+        parts.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+ORACLE_ANN_PQ_ADC = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), subs AS (
+  SELECT vec_id, m AS sub,
+         emb[(m * {_PQ_SUBDIM} + 1):(m * {_PQ_SUBDIM} + {_PQ_SUBDIM})] AS svec
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m)
+), cb AS (
+  SELECT sub, vec_id AS code, svec AS cvec FROM subs WHERE vec_id < {_PQ_K}
+), scored AS (
+  SELECT s.vec_id, s.sub, cb.code,
+         (list_dot_product(s.svec, s.svec)
+          - 2.0::DOUBLE * list_dot_product(s.svec, cb.cvec))
+          + list_dot_product(cb.cvec, cb.cvec) AS cd2
+  FROM subs s JOIN cb USING (sub) WHERE s.vec_id >= {N_QUERIES}
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY cd2 ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), qtab AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.code,
+         (list_dot_product(s.svec, s.svec)
+          - 2.0::DOUBLE * list_dot_product(s.svec, cb.cvec))
+          + list_dot_product(cb.cvec, cb.cvec) AS qd2
+  FROM subs s JOIN cb USING (sub) WHERE s.vec_id < {N_QUERIES}
+), parts AS (
+  SELECT query_id, vec_id,
+         MIN(CASE WHEN sub = 0 THEN qd2 END) AS d0,
+         MIN(CASE WHEN sub = 1 THEN qd2 END) AS d1,
+         MIN(CASE WHEN sub = 2 THEN qd2 END) AS d2,
+         MIN(CASE WHEN sub = 3 THEN qd2 END) AS d3
+  FROM codes JOIN qtab USING (sub, code)
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
+  FROM parts
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
+    "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -758,6 +890,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,

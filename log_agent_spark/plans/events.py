@@ -1018,6 +1018,116 @@ GROUP BY p.user_id, p.exact_n
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog from first principles, with an in-engine accuracy report.
+# Like the count-min sketch above, this is the oracle-portable twin of an
+# engine-internal sketch (approx_count_distinct IS HLL++, but its registers
+# aren't replayable in DuckDB). m=64 registers; hash = the 28-bit md5
+# prefix used engine-wide; bucket = low 6 bits, rank = leading-zero count
+# of the remaining 22 bits + 1 computed via length(bin(w)) — a pure
+# integer/string op, so no float log2 whose rounding could differ between
+# engines. Register weights 2^-reg are dyadic rationals built as
+# 1.0/(1<<reg): every partial sum is exactly representable in a double
+# (≤64 terms, granularity 2^-23, needs 29 mantissa bits), so the harmonic
+# denominator — and therefore the estimate — is bit-identical on Spark and
+# DuckDB with no transcendental in the path (keys are chosen so the
+# small-range ln() correction never triggers).
+#
+# Scale shape: the registers ARE a groupBy((group, bucket)) max() — the
+# partial-combine shuffle carries ≤ 64 rows per group per executor, the
+# classic mergeable-sketch property; the bucket spine (explode of a
+# 64-literal sequence) restores empty registers as zeros without a join
+# against the data.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (2^6); alpha_64 = 0.709 (Flajolet et al. 2007)
+_HLL_ALPHA = 0.709
+
+
+def q_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct event_ids per type, first-principles registers vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    ranked = hashed.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.shiftright("h", 6).alias("w"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(23))
+        .otherwise(23 - F.length(F.bin(F.col("w"))))
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("reg"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"))
+    )
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    est = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.sum(
+        F.lit(1.0) / F.expr("shiftleft(1L, reg)")
+    )
+    sketch = full.groupBy("event_type").agg(
+        F.round(est, 4).alias("hll_est"),
+        F.count(F.when(F.col("reg") == 0, 1)).alias("v_zero"),
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_exact"))
+    return exact.join(sketch, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_est",
+        "v_zero",
+        F.round((F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+ORACLE_HLL_REPORT = f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 7))::UBIGINT
+              AS BIGINT) AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> 6) = 0 THEN 23
+              ELSE 23 - length(bin(h >> 6)) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(rank) AS reg
+  FROM ranked GROUP BY event_type, bucket
+), spine AS (
+  SELECT event_type, unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events)
+), filled AS (
+  SELECT s.event_type, COALESCE(r.reg, 0) AS reg
+  FROM spine s LEFT JOIN regs r
+    ON s.event_type = r.event_type AND s.bucket = r.bucket
+), sketch AS (
+  SELECT event_type,
+         ROUND({_HLL_ALPHA * _HLL_M * _HLL_M!r}::DOUBLE /
+               SUM(1::DOUBLE / (1::BIGINT << reg)), 4) AS hll_est,
+         COUNT(CASE WHEN reg = 0 THEN 1 END) AS v_zero
+  FROM filled GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT event_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_exact, hll_est, v_zero,
+       ROUND((hll_est - n_exact) / n_exact, 4) AS rel_err
+FROM exact JOIN sketch USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-touch attribution with time-decay weighting: every purchase splits
 # credit across the user's clicks in the prior 7 days; a click's weight is
 # the rational decay 1/(1 + age_days) (pure arithmetic — identical IEEE
@@ -1118,6 +1228,7 @@ QUERIES = {
     "events_approx_sketches": q_approx_sketches,
     "events_countmin_heavyhitters": q_countmin_heavyhitters,
     "events_attribution_multitouch": q_attribution_multitouch,
+    "events_hll_report": q_hll_report,
     "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
     "events_sliding_window": q_sliding_window,
@@ -1132,6 +1243,7 @@ QUERIES = {
 ORACLES = {
     "events_countmin_heavyhitters": ORACLE_COUNTMIN_HEAVYHITTERS,
     "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
+    "events_hll_report": ORACLE_HLL_REPORT,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,

@@ -161,10 +161,60 @@ GROUP BY day, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# JOIN-view incremental maintenance — the other half of materialized-view
+# upkeep (the rollup above maintains an AGGREGATE; this maintains a JOIN).
+# Delta rule for V = A ⋈ B receiving batches (ΔA, ΔB):
+#
+#     ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+#
+# appended to the stored V — the stored A⋈B result is never recomputed.
+# At 100 TB the three delta joins are each |delta|-sized probes against the
+# (bucketed-by-join-key) stored base tables: a day's increment costs
+# O(delta · fanout), not O(|A| + |B|). The deltas here deliberately split
+# the two bases on UNRELATED attributes (order-key parity vs line-number
+# parity) so all three delta terms are non-empty and an accidentally
+# commuted/dropped term cannot hash-match the one-shot oracle.
+# ---------------------------------------------------------------------------
+def q_orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from log_agent_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 2 == 0).alias("in_a0")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        (F.col("l_linenumber") % 2 == 0).alias("in_b0"),
+    )
+    a0, da = orders.filter("in_a0").drop("in_a0"), orders.filter("NOT in_a0").drop("in_a0")
+    b0, db = li.filter("in_b0").drop("in_b0"), li.filter("NOT in_b0").drop("in_b0")
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_custkey", "l_quantity"
+        )
+
+    path = tempfile.mkdtemp(prefix="log_agent_join_ivm_")
+    j(a0, b0).write.mode("overwrite").parquet(path)  # V0 materialized
+    delta = j(da, b0).unionByName(j(a0, db)).unionByName(j(da, db))
+    delta.write.mode("append").parquet(path)  # ΔV appended, V0 untouched
+    return spark.read.parquet(path)
+
+
+ORACLE_ORDERS_JOIN_IVM = """
+SELECT o_orderkey, l_linenumber, o_custkey, l_quantity
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
+    "orders_join_ivm": q_orders_join_ivm,
 }
 
 ORACLES = {
     "events_incremental_rollup": ORACLE_EVENTS_INCREMENTAL_ROLLUP,
+    "orders_join_ivm": ORACLE_ORDERS_JOIN_IVM,
 }

@@ -1128,6 +1128,136 @@ FROM exact JOIN sketch USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch with SET OPERATIONS — the capability
+# HLL above lacks: distinct-count sketches you can union AND intersect.
+# The sketch of a key set is its k smallest distinct 28-bit hashes; the
+# estimator is (k-1) / θ where θ = h_k / 2^28 (Bar-Yossef et al. 2002;
+# Beyer et al. SIGMOD'07 unbiased form). Union of sketches = k smallest of
+# the merged hash sets (computed here from the raw sets — identical by
+# construction); intersection via inclusion-exclusion on the three
+# estimates. Everything is integer ops + ONE double division per set, so
+# Spark and DuckDB agree bit-for-bit (same discipline as the count-min /
+# HLL reports: sketches built from first principles so the oracle can
+# replay them; each estimate sits next to its exact count and error).
+#
+# Scale shape: per-set k-smallest is a partial top-k — every partition
+# keeps its local k minima (window over ≤ k·P rows after the map-side
+# distinct), so the shuffle carries k rows per partition, never the key
+# set; sketches for 10^4 segments merge the same way (mergeability is the
+# whole point of KMV in a 1000-executor rollup).
+# ---------------------------------------------------------------------------
+_KMV_K = 32
+_KMV_SPACE = 1 << 28  # hashes are 28-bit md5 prefixes
+
+
+def _kmv_est(h_k: F.Column) -> F.Column:
+    return F.lit(float((_KMV_K - 1) * _KMV_SPACE)) / h_k
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta sketches of click/view user sets: union + intersect estimates."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sets = hashed.unionByName(
+        hashed.select(F.lit("union").alias("event_type"), "h").distinct()
+    )
+    wk = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        sets.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == _KMV_K)
+        .select(F.col("event_type").alias("set_name"), F.col("h").alias("h_k"))
+    )
+    est = kth.select("set_name", F.round(_kmv_est(F.col("h_k")), 4).alias("kmv_est"))
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    views = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    exact = (
+        clicks.select(F.lit("click").alias("set_name"), "user_id")
+        .unionByName(views.select(F.lit("view").alias("set_name"), "user_id"))
+        .unionByName(
+            clicks.unionByName(views)
+            .distinct()
+            .select(F.lit("union").alias("set_name"), "user_id")
+        )
+        .unionByName(
+            clicks.join(views, "user_id").select(
+                F.lit("intersect").alias("set_name"), "user_id"
+            )
+        )
+        .groupBy("set_name")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    # intersection estimate by inclusion-exclusion over the three sketches
+    wide = est.groupBy().pivot("set_name", ["click", "view", "union"]).agg(
+        F.first("kmv_est")
+    )
+    inter = wide.select(
+        F.lit("intersect").alias("set_name"),
+        F.round(F.col("click") + F.col("view") - F.col("union"), 4).alias("kmv_est"),
+    )
+    all_est = est.unionByName(inter)
+    return exact.join(all_est, "set_name").select(
+        "set_name",
+        "n_exact",
+        "kmv_est",
+        F.round((F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+ORACLE_KMV_SET_OPS = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))::UBIGINT
+              AS BIGINT) AS h
+  FROM events WHERE event_type IN ('click', 'view')
+), sets AS (
+  SELECT event_type, h FROM hashed
+  UNION ALL
+  SELECT 'union' AS event_type, h FROM (SELECT DISTINCT h FROM hashed)
+), kth AS (
+  SELECT event_type AS set_name, h AS h_k FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM sets
+  ) WHERE rn = {_KMV_K}
+), est AS (
+  SELECT set_name,
+         ROUND({float((_KMV_K - 1) * _KMV_SPACE)!r}::DOUBLE / h_k, 4) AS kmv_est
+  FROM kth
+), inter_est AS (
+  SELECT 'intersect' AS set_name,
+         ROUND((SELECT kmv_est FROM est WHERE set_name = 'click')
+             + (SELECT kmv_est FROM est WHERE set_name = 'view')
+             - (SELECT kmv_est FROM est WHERE set_name = 'union'), 4) AS kmv_est
+), all_est AS (
+  SELECT * FROM est UNION ALL SELECT * FROM inter_est
+), clicks AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), exact AS (
+  SELECT 'click' AS set_name, COUNT(*) AS n_exact FROM clicks
+  UNION ALL SELECT 'view', COUNT(*) FROM views
+  UNION ALL SELECT 'union', COUNT(*) FROM (
+    SELECT user_id FROM clicks UNION SELECT user_id FROM views)
+  UNION ALL SELECT 'intersect', COUNT(*) FROM (
+    SELECT user_id FROM clicks INTERSECT SELECT user_id FROM views)
+)
+SELECT set_name, n_exact, kmv_est,
+       ROUND((kmv_est - n_exact) / n_exact, 4) AS rel_err
+FROM exact JOIN all_est USING (set_name)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-touch attribution with time-decay weighting: every purchase splits
 # credit across the user's clicks in the prior 7 days; a click's weight is
 # the rational decay 1/(1 + age_days) (pure arithmetic — identical IEEE
@@ -1229,6 +1359,7 @@ QUERIES = {
     "events_countmin_heavyhitters": q_countmin_heavyhitters,
     "events_attribution_multitouch": q_attribution_multitouch,
     "events_hll_report": q_hll_report,
+    "events_kmv_set_ops": q_kmv_set_ops,
     "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
     "events_sliding_window": q_sliding_window,
@@ -1244,6 +1375,7 @@ ORACLES = {
     "events_countmin_heavyhitters": ORACLE_COUNTMIN_HEAVYHITTERS,
     "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "events_hll_report": ORACLE_HLL_REPORT,
+    "events_kmv_set_ops": ORACLE_KMV_SET_OPS,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,

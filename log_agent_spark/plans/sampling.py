@@ -786,7 +786,66 @@ FROM binned GROUP BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling WITHOUT replacement — Efraimidis & Spirakis
+# (2006) A-ES: each row draws u ~ U(0,1] and gets key u^(1/w); the k
+# largest keys ARE a weighted sample without replacement. Here u is the
+# deterministic hash-uniform (h+1)/2^28 (the engine-wide md5 prefix), and
+# ranking uses the monotone-equivalent key -ln(u)/w ascending (one ln, no
+# pow — A-ES's own log-space "exponential jitter" form: the key is an
+# Exp(w) draw, smallest first). The keep-probability sampler above
+# (importance_weighted) draws each row INDEPENDENTLY — expected, not
+# exact, sample size; this one returns exactly k rows, the form a fixed
+# training-token budget needs.
+#
+# Scale shape: a global top-k — each partition keeps its local k smallest
+# keys (rank + limit pushes partial top-k map-side), so the shuffle
+# carries k rows per partition, never the table; no per-group state, no
+# driver-side reservoir loop.
+# ---------------------------------------------------------------------------
+_WRS_K = 100
+_WRS_SPACE = float(1 << 28)
+
+
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sample of orders (weight = o_totalprice), A-ES keys."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(_WRS_SPACE)
+    key = -F.log(u) / F.col("o_totalprice").cast("double")
+    ranked = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("weight"),
+        key.alias("k"),
+    )
+    w = W.orderBy(F.asc("k"), F.asc("o_orderkey"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _WRS_K)
+        .select("o_orderkey", "weight", "rank")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED_RESERVOIR = f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice::DOUBLE AS weight,
+         -ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::UBIGINT
+                   AS BIGINT) + 1) / {_WRS_SPACE!r}::DOUBLE)
+           / o_totalprice::DOUBLE AS k
+  FROM orders
+)
+SELECT o_orderkey, weight, rank FROM (
+  SELECT o_orderkey, weight,
+         ROW_NUMBER() OVER (ORDER BY k ASC, o_orderkey ASC) AS rank
+  FROM keyed
+) WHERE rank <= {_WRS_K}
+"""
+
+
 QUERIES = {
+    "sample_weighted_reservoir": q_sample_weighted_reservoir,
     "sample_shuffle_shard": q_sample_shuffle_shard,
     "sample_importance_weighted": q_sample_importance_weighted,
     "anomaly_mad": q_anomaly_mad,
@@ -806,6 +865,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_weighted_reservoir": ORACLE_SAMPLE_WEIGHTED_RESERVOIR,
     "sample_shuffle_shard": ORACLE_SAMPLE_SHUFFLE_SHARD,
     "sample_importance_weighted": ORACLE_SAMPLE_IMPORTANCE_WEIGHTED,
     "anomaly_mad": ORACLE_ANOMALY_MAD,

@@ -121,6 +121,16 @@ HEADLINE = [
     "media_frame_sample",
     "ingest_logfile_tree",
     "kafka_wire_roundtrip",
+    "graph_triangle_count",
+    "dedup_semantic_clustered",
+    "dedup_bloom_prefilter",
+    "events_countmin_heavyhitters",
+    "events_hll_report",
+    "events_kmv_set_ops",
+    "events_attribution_multitouch",
+    "ann_pq_adc",
+    "sample_weighted_reservoir",
+    "orders_join_ivm",
 ]
 
 

@@ -1169,12 +1169,26 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select(F.lit("union").alias("event_type"), "h").distinct()
     )
     wk = W.partitionBy("event_type").orderBy("h")
-    kth = (
+    kept = (
         sets.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") == _KMV_K)
-        .select(F.col("event_type").alias("set_name"), F.col("h").alias("h_k"))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy(F.col("event_type").alias("set_name"))
+        .agg(
+            F.max("rn").alias("n_kept"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+        )
     )
-    est = kth.select("set_name", F.round(_kmv_est(F.col("h_k")), 4).alias("kmv_est"))
+    # standard KMV degenerate case: a set smaller than k IS its own sketch —
+    # the estimate is exact (θ = 1). Keeps the operator correct at any scale.
+    est = kept.select(
+        "set_name",
+        F.round(
+            F.when(
+                F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+            ).otherwise(_kmv_est(F.col("h_k"))),
+            4,
+        ).alias("kmv_est"),
+    )
     clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
     views = e.filter(F.col("event_type") == "view").select("user_id").distinct()
     exact = (
@@ -1222,16 +1236,21 @@ WITH hashed AS (
   SELECT event_type, h FROM hashed
   UNION ALL
   SELECT 'union' AS event_type, h FROM (SELECT DISTINCT h FROM hashed)
-), kth AS (
-  SELECT event_type AS set_name, h AS h_k FROM (
+), kept AS (
+  SELECT event_type AS set_name, MAX(rn) AS n_kept,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k
+  FROM (
     SELECT event_type, h,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
     FROM sets
-  ) WHERE rn = {_KMV_K}
+  ) WHERE rn <= {_KMV_K}
+  GROUP BY event_type
 ), est AS (
   SELECT set_name,
-         ROUND({float((_KMV_K - 1) * _KMV_SPACE)!r}::DOUBLE / h_k, 4) AS kmv_est
-  FROM kth
+         ROUND(CASE WHEN n_kept < {_KMV_K} THEN n_kept::DOUBLE
+               ELSE {float((_KMV_K - 1) * _KMV_SPACE)!r}::DOUBLE / h_k END,
+               4) AS kmv_est
+  FROM kept
 ), inter_est AS (
   SELECT 'intersect' AS set_name,
          ROUND((SELECT kmv_est FROM est WHERE set_name = 'click')

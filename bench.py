@@ -131,6 +131,8 @@ HEADLINE = [
     "ann_pq_adc",
     "sample_weighted_reservoir",
     "orders_join_ivm",
+    "graph_label_propagation",
+    "text_bigram_logprob",
 ]
 
 

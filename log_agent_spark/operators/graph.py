@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from log_agent_spark.sources.tables import load_table
 
@@ -402,14 +403,114 @@ GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (Raghavan et al. 2007)
+# over the SUPPORTED part co-purchase graph (pairs bought together in ≥ 2
+# orders — the min-support prune that keeps the projection sparse at any
+# scale; the unsupported graph's density grows with |orders| per part).
+# Deterministic variant: every round, each node adopts the most frequent
+# label among its neighbors, ties broken by smallest label — so the
+# fixed-round unrolled SQL oracle replays it exactly (same discipline as
+# graph_pagerank). Each round is one |E|-row join + one (node,label)
+# count + one per-node argmax window: two shuffles, state = one label per
+# node. LPA_ROUNDS is fixed (not run-to-convergence) for oracle parity;
+# production would loop with the connected_components convergence-witness
+# pattern above.
+# ---------------------------------------------------------------------------
+LPA_ROUNDS = 2
+_LPA_MIN_SUPPORT = 2
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _LPA_MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA communities on supported co-purchases."""
+    edges = _lpa_edges(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    ).persist()
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        wv = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(F.col("node").alias("partkey"), F.col("lbl").alias("community"))
+
+
+def _lpa_oracle() -> str:
+    base = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+), sym AS (
+  SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges
+), l0 AS (
+  SELECT DISTINCT s AS node, s AS lbl FROM sym
+)"""
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        base += f""",
+v{i} AS (
+  SELECT sym.d AS node, p.lbl, COUNT(*) AS cnt
+  FROM sym JOIN {prev} p ON sym.s = p.node
+  GROUP BY sym.d, p.lbl
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+        prev = f"l{i}"
+    return base + f"\nSELECT node AS partkey, lbl AS community FROM {prev}"
+
+
+ORACLE_LABEL_PROPAGATION = _lpa_oracle()
+
+
 QUERIES = {
     "dedup_connected_components": q_dedup_connected_components,
     "graph_pagerank": q_pagerank_trade_graph,
     "graph_triangle_count": q_graph_triangle_count,
+    "graph_label_propagation": q_graph_label_propagation,
 }
 
 ORACLES = {
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
+    "graph_label_propagation": ORACLE_LABEL_PROPAGATION,
 }

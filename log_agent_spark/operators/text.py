@@ -854,7 +854,123 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring with interpolated add-one smoothing — the
+# sequence-aware upgrade of q_unigram_logprob (garbled-but-common-words
+# text scores fine under a unigram LM; a bigram LM catches broken word
+# ORDER). Model trained on the first _LM_TRAIN_MAX docs, scores the rest:
+# p(w2|w1) = λ·(c12+1)/(c1+V) + (1-λ)·(c2+1)/(N+V), λ=0.75 (dyadic, so
+# the mix is float-exact). Bigrams are built map-side by zipping each
+# token array against its own tail (zip_with over two slices) — no
+# per-doc window/shuffle just to pair neighbors; the two model tables are
+# vocabulary-sized and broadcast, so the only wide shuffle is the final
+# per-doc aggregate. Same cross-engine float rules as the unigram LM
+# (ln + AVG + round-4).
+# ---------------------------------------------------------------------------
+_LM_TRAIN_MAX = 300
+_LM_LAMBDA = 0.75  # dyadic: 0.75 and 0.25 are exact doubles
+
+
+def _bigrams(d: DataFrame) -> DataFrame:
+    l = tokens(F.col("text"))
+    n1 = F.greatest(F.size(l) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(l, 1, n1),
+        F.slice(l, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("term")),
+    )
+    return d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.prev", "b.term"
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out docs scored under an interpolated bigram LM of the train slice."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") < _LM_TRAIN_MAX)
+    toks = train.select(F.explode(tokens(F.col("text"))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c_uni"))
+    big = (
+        _bigrams(train)
+        .groupBy("prev", "term")
+        .agg(F.count("*").alias("c_big"))
+    )
+    consts = uni.agg(
+        F.sum("c_uni").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        _bigrams(d.filter(F.col("doc_id") >= _LM_TRAIN_MAX))
+        .join(F.broadcast(big), ["prev", "term"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("prev"), F.col("c_uni").alias("c_prev"))),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(uni), "term", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    p_big = (F.coalesce(F.col("c_big"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size")
+    )
+    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1) / (
+        F.col("n_total") + F.col("v_size")
+    )
+    logp = F.log(F.lit(_LM_LAMBDA) * p_big + F.lit(1.0 - _LM_LAMBDA) * p_uni)
+    return (
+        scored.select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+_SQL_BIGRAMS = f"""
+  SELECT doc_id, l[i - 1] AS prev, l[i] AS term
+  FROM (
+    SELECT doc_id, l, unnest(generate_series(2, len(l))) AS i
+    FROM (SELECT doc_id, {_SQL_TOKS} AS l FROM {{src}})
+  )
+"""
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_LM_TRAIN_MAX}
+), uni AS (
+  SELECT tok AS term, COUNT(*) AS c_uni
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM train)
+  GROUP BY tok
+), big AS (
+  SELECT prev, term, COUNT(*) AS c_big
+  FROM ({_SQL_BIGRAMS.format(src="train")})
+  GROUP BY prev, term
+), consts AS (
+  SELECT SUM(c_uni) AS n_total, COUNT(*) AS v_size FROM uni
+), held AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= {_LM_TRAIN_MAX}
+), scored AS (
+  SELECT hb.doc_id,
+         ln({_LM_LAMBDA}::DOUBLE
+              * (COALESCE(big.c_big, 0) + 1)
+              / (COALESCE(p.c_uni, 0) + consts.v_size)
+            + {1.0 - _LM_LAMBDA}::DOUBLE
+              * (COALESCE(u.c_uni, 0) + 1)
+              / (consts.n_total + consts.v_size)) AS logp
+  FROM ({_SQL_BIGRAMS.format(src="held")}) hb
+  LEFT JOIN big ON hb.prev = big.prev AND hb.term = big.term
+  LEFT JOIN uni p ON hb.prev = p.term
+  LEFT JOIN uni u ON hb.term = u.term
+  CROSS JOIN consts
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_logprob": q_bigram_logprob,
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
     "text_langid_confusion": q_langid_confusion,
@@ -876,6 +992,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "text_bm25_search": ORACLE_BM25_SEARCH,
     "text_inverted_index": ORACLE_INVERTED_INDEX,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,

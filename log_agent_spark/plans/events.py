@@ -1128,6 +1128,136 @@ FROM exact JOIN sketch USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# Session path mining: the top-k event-type sequences users walk inside
+# one session (the "navigation paths" report downstream of sessionize).
+# Builds on the same gaps-and-islands sessionization as q_sessionize,
+# then reduces each session to its ordered type string. Determinism: the
+# per-session sequence is an array_sort over (ts, event_id, type) structs
+# — collect_list's arrival order never matters — and the top-k tie-breaks
+# on the path string.
+#
+# Scale shape: one shuffle on user_id (sessionize window), one on the
+# session key partials, then a count-shuffle on the path string; sessions
+# are bounded (gap-capped) so no collect_list can exceed a session's
+# length — the classic guard that makes array aggregation safe at 100 TB.
+# ---------------------------------------------------------------------------
+_PATH_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type paths with session counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PATH_TOP_K)
+        .select("path", "n_sessions", "rank")
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), flg AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flg
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+  FROM sess GROUP BY user_id, session_seq
+), counts AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rank FROM (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counts
+) WHERE rank <= {_PATH_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — the batch form of the reference's "INSERT is an
+# upsert on primary-key collision" sink contract (cassandra.go:212),
+# extended with deletes: given a snapshot and a changelog of
+# INSERT/UPDATE/DELETE rows, produce the next snapshot. The apply is one
+# keyed outer merge: snapshot rows anti-joined against touched keys, plus
+# the changelog's upserts — the MERGE INTO shape (sinks/upsert.py runs the
+# same semantics as a parquet writer; this is the oracle-checkable query
+# form). The changelog here is derived deterministically from the fixture
+# (updates double the value of keys <100, deletes remove keys in
+# [100,200), inserts append key+10M copies) so both engines replay it.
+#
+# Scale shape: one shuffle of the changelog (tiny) broadcast-anti-joined
+# into the snapshot scan plus the union — the snapshot is read once and
+# never shuffled; at 100 TB with a partitioned snapshot only partitions
+# holding touched keys rewrite (the rollup module's dynamic-overwrite
+# pattern).
+# ---------------------------------------------------------------------------
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an I/U/D changelog to the events snapshot via keyed merge."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    updates = e.filter(F.col("event_id") < 100).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    deletes = e.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 200)
+    ).select("event_id")
+    inserts = e.filter(F.col("event_id") < 50).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), "user_id", "value"
+    )
+    touched = updates.select("event_id").unionByName(deletes).distinct()
+    survivors = e.join(F.broadcast(touched), "event_id", "left_anti")
+    return survivors.unionByName(updates).unionByName(inserts)
+
+
+ORACLE_CDC_APPLY = """
+WITH base AS (
+  SELECT event_id, user_id, value FROM events
+), updates AS (
+  SELECT event_id, user_id, value * 2 AS value FROM base WHERE event_id < 100
+), deletes AS (
+  SELECT event_id FROM base WHERE event_id >= 100 AND event_id < 200
+), inserts AS (
+  SELECT event_id + 10000000 AS event_id, user_id, value
+  FROM base WHERE event_id < 50
+), touched AS (
+  SELECT event_id FROM updates UNION SELECT event_id FROM deletes
+)
+SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM touched)
+UNION ALL SELECT * FROM updates
+UNION ALL SELECT * FROM inserts
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values) theta sketch with SET OPERATIONS — the capability
 # HLL above lacks: distinct-count sketches you can union AND intersect.
 # The sketch of a key set is its k smallest distinct 28-bit hashes; the
@@ -1379,6 +1509,8 @@ QUERIES = {
     "events_attribution_multitouch": q_attribution_multitouch,
     "events_hll_report": q_hll_report,
     "events_kmv_set_ops": q_kmv_set_ops,
+    "events_cdc_apply": q_cdc_apply,
+    "events_session_paths": q_session_paths,
     "events_pivot": q_events_pivot,
     "events_tumbling_window": q_tumbling_window,
     "events_sliding_window": q_sliding_window,
@@ -1395,6 +1527,8 @@ ORACLES = {
     "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "events_hll_report": ORACLE_HLL_REPORT,
     "events_kmv_set_ops": ORACLE_KMV_SET_OPS,
+    "events_cdc_apply": ORACLE_CDC_APPLY,
+    "events_session_paths": ORACLE_SESSION_PATHS,
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,

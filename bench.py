@@ -133,6 +133,9 @@ HEADLINE = [
     "orders_join_ivm",
     "graph_label_propagation",
     "text_bigram_logprob",
+    "dedup_repeated_spans",
+    "text_bpe_merge_step",
+    "events_quantile_sketch_report",
 ]
 
 

@@ -19,7 +19,7 @@ join needs no exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_agent_spark.sources.tables import load_table
@@ -176,12 +176,76 @@ FROM diff GROUP BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# Intra-corpus repeated-span detection: the span-level exact-substring dedup
+# signal ("Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022 — token n-gram spans occurring >= 2 times anywhere in the corpus,
+# per-doc coverage ratio, keep flag). Distinct from text_decontaminate: that
+# flags train x EVAL overlap; this flags train x train repetition.
+#
+# Scale (100 TB intent): ONE pass. The exploded span stream collapses
+# map-side into distinct (ngram, doc_id) pairs with partial counts, the
+# per-ngram corpus total rides a window over that already-collapsed set
+# (repartition moves (ngram, doc, count) triples, not raw spans), and the
+# final per-doc rollup shuffles one row per (ngram, doc) pair. Production
+# would group on xxhash64(ngram) to narrow the shuffle key; the string key
+# here keeps the DuckDB oracle byte-identical.
+# ---------------------------------------------------------------------------
+DUP_RATIO_CUT = 0.2
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = d.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram")
+    )
+    g = spans.groupBy("ngram", "doc_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("ngram")
+    g2 = g.withColumn("n_occ", F.sum("c").over(w))
+    dup_c = F.when(F.col("n_occ") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        g2.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 4).alias("dup_ratio"),
+            (F.col("dup_spans") / F.col("n_spans") < DUP_RATIO_CUT).alias("keep"),
+        )
+    )
+
+
+ORACLE_REPEATED_SPANS = f"""
+WITH spans AS (
+  {_SQL_NGRAMS.format(where="")}
+),
+g AS (
+  SELECT ngram, doc_id, COUNT(*) AS c FROM spans GROUP BY ngram, doc_id
+),
+g2 AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY ngram) AS n_occ FROM g
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(SUM(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+       SUM(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) < {DUP_RATIO_CUT} AS keep
+FROM g2 GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate": q_decontaminate,
     "corpus_snapshot_diff": q_snapshot_diff,
+    "dedup_repeated_spans": q_repeated_spans,
 }
 
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "dedup_repeated_spans": ORACLE_REPEATED_SPANS,
 }

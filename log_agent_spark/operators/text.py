@@ -969,7 +969,57 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge step: the distributed core of byte-pair-encoding tokenizer
+# training (Sennrich et al. 2016) — count adjacent character pairs across
+# the corpus, weighted by word frequency, and emit the top merge
+# candidates. The key scale property: after the first groupBy the working
+# set is the VOCABULARY (millions of rows), not the corpus (trillions of
+# tokens) — word counting partial-aggregates map-side, and every later
+# stage operates on (word, freq) rows. Pair extraction is a codegen'd
+# transform/substr over the word itself; no Python anywhere.
+# ---------------------------------------------------------------------------
+_BPE_TOP = 20
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("text")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+ORACLE_BPE_MERGE_STEP = f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM vocab, LATERAL unnest(generate_series(1, length(word) - 1)) AS g(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT {_BPE_TOP}
+"""
+
+
 QUERIES = {
+    "text_bpe_merge_step": q_bpe_merge_step,
     "text_bigram_logprob": q_bigram_logprob,
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
@@ -992,6 +1042,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "text_bm25_search": ORACLE_BM25_SEARCH,
     "text_inverted_index": ORACLE_INVERTED_INDEX,

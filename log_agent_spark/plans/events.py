@@ -1492,7 +1492,132 @@ GROUP BY purchase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch with in-engine accuracy report —
+# completes the sketch family (HLL cardinality, count-min frequency, KMV
+# set ops) with the quantile dimension. A fixed-range equi-width histogram
+# is the simplest mergeable quantile sketch: per-partition bucket counts
+# combine map-side (one 128-long vector per partition flows to the
+# reduce), and quantiles interpolate linearly inside the hit bucket —
+# the classic NumericHistogram/streaming-histogram estimate. The report
+# joins the estimate against the EXACT interpolated percentile computed
+# in-engine, so the output carries its own error audit (same pattern as
+# events_hll_report).
+#
+# Scale (100 TB intent): pass 1 (min/max/count) and pass 2 (bucket
+# counts) are both all-JVM partial aggregates — total shuffle traffic is
+# two ~128-row vectors regardless of input size; everything downstream of
+# the histogram runs on <=128-row broadcast tables. The exact percentile
+# is the expensive full-sort path and exists here only to SCORE the
+# sketch; production keeps the sketch and drops the audit. Every
+# arithmetic step (bucket index, cumulative rank, interpolation) is
+# written identically in Spark and DuckDB so the 4dp-rounded doubles hash
+# identically — no transcendentals anywhere.
+# ---------------------------------------------------------------------------
+_QSK_B = 128
+_QSK_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    stats = li.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / _QSK_B
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width), F.lit(_QSK_B - 1)
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = hist.select(
+        "b",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSK_QS], "q double")
+    hit = (
+        qs.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "lo", "hi", "n")
+        .agg(F.min("b").alias("b"))
+    )
+    est = hit.join(F.broadcast(cum), "b").select(
+        "q",
+        (
+            F.col("lo")
+            + (F.col("hi") - F.col("lo"))
+            / _QSK_B
+            * (
+                F.col("b")
+                + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+                / F.col("c")
+            )
+        ).alias("est"),
+    )
+    exact = li.agg(
+        F.expr(
+            "percentile(v, array("
+            + ", ".join(f"{q}D" for q in _QSK_QS)
+            + "))"
+        ).alias("ex"),
+        F.array(*[F.lit(q) for q in _QSK_QS]).alias("qa"),
+    ).select(F.explode(F.arrays_zip("qa", "ex")).alias("z")).select(
+        F.col("z.qa").alias("q"), F.col("z.ex").alias("exact_value")
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("est", 4).alias("est_value"),
+            F.round("exact_value", 4).alias("exact_value"),
+            F.round(F.abs(F.col("est") - F.col("exact_value")), 4).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE_QUANTILE_SKETCH = f"""
+WITH src AS (SELECT l_extendedprice AS v FROM lineitem),
+stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM src),
+hist AS (
+  SELECT least(CAST(floor((v - lo) / ((hi - lo) / {_QSK_B})) AS BIGINT), {_QSK_B - 1}) AS b,
+         COUNT(*) AS c
+  FROM src, stats GROUP BY 1
+),
+cum AS (SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum FROM hist),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _QSK_QS)}]) AS q),
+hit AS (
+  SELECT q, lo, hi, n, MIN(b) AS b
+  FROM qs, stats, cum WHERE cum >= q * n GROUP BY q, lo, hi, n
+),
+est AS (
+  SELECT q,
+         lo + (hi - lo) / {_QSK_B} * (hit.b + (q * n - (cum - c)) / c) AS est
+  FROM hit JOIN cum USING (b)
+),
+exact AS (
+  SELECT unnest([{", ".join(str(q) for q in _QSK_QS)}]) AS q,
+         unnest(quantile_cont(v, [{", ".join(str(q) for q in _QSK_QS)}])) AS exact_value
+  FROM src
+)
+SELECT est.q, ROUND(est, 4) AS est_value, ROUND(exact_value, 4) AS exact_value,
+       ROUND(ABS(est - exact_value), 4) AS abs_err
+FROM est JOIN exact ON est.q = exact.q
+ORDER BY est.q
+"""
+
+
 QUERIES = {
+    "events_quantile_sketch_report": q_quantile_sketch_report,
     "events_user_lifecycle": q_user_lifecycle,
     "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
@@ -1523,6 +1648,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_quantile_sketch_report": ORACLE_QUANTILE_SKETCH,
     "events_countmin_heavyhitters": ORACLE_COUNTMIN_HEAVYHITTERS,
     "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "events_hll_report": ORACLE_HLL_REPORT,

@@ -136,6 +136,8 @@ HEADLINE = [
     "dedup_repeated_spans",
     "text_bpe_merge_step",
     "events_quantile_sketch_report",
+    "graph_bfs_hops",
+    "events_ewma_daily",
 ]
 
 

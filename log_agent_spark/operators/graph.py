@@ -514,7 +514,106 @@ l{i} AS (
 ORACLE_LABEL_PROPAGATION = _lpa_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Level-synchronous BFS: hop-distance distribution from the minimum-id
+# customer over the (symmetrized) trade graph — the frontier-expansion
+# primitive behind reachability, ego-network extraction, and
+# degrees-of-separation analytics. Each level is one frontier⨝edges join
+# + distinct + anti-join against the visited set; with node-sized
+# frontier/visited tables broadcast (same n<=10M guard as PageRank) the
+# |E|-row edge table never shuffles — only the per-level distinct does,
+# and it dedups map-side first. Web-scale graphs keep shuffle joins and
+# would carry visited as a partitioned state table. The oracle unrolls
+# the same three levels as chained CTEs.
+# ---------------------------------------------------------------------------
+BFS_ITERS = 3
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    # Symmetrize: the two id spaces are disjoint, so the union is dup-free.
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    n_nodes_total = und.select("src").distinct().count()
+    small = n_nodes_total <= 10_000_000
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    seed = edges.agg(F.min("src")).first()[0]
+    visited = spark.createDataFrame([(seed, 0)], "node bigint, hop int")
+    frontier = visited.select("node")
+    for k in range(1, BFS_ITERS + 1):
+        fr = _maybe_bcast(frontier)
+        nxt = (
+            und.join(fr, und.src == fr.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(_maybe_bcast(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(k).alias("hop"))
+            .persist()
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+def _bfs_oracle() -> str:
+    base = f"""
+WITH edges0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0
+),
+f0 AS (SELECT MIN(src) AS node FROM edges0),
+v0 AS (SELECT node FROM f0)"""
+    for i in range(1, BFS_ITERS + 1):
+        base += f""",
+f{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN f{i - 1} f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM v{i - 1})
+),
+v{i} AS (SELECT node FROM v{i - 1} UNION ALL SELECT node FROM f{i})"""
+    levels = " UNION ALL ".join(
+        f"SELECT node, {i} AS hop FROM f{i}" for i in range(BFS_ITERS + 1)
+    )
+    return (
+        base
+        + f""",
+lv AS ({levels})
+SELECT hop, COUNT(*) AS n_nodes, MIN(node) AS min_node, MAX(node) AS max_node
+FROM lv GROUP BY hop ORDER BY hop"""
+    )
+
+
+ORACLE_BFS_HOPS = _bfs_oracle()
+
+
 QUERIES = {
+    "graph_bfs_hops": q_graph_bfs_hops,
     "dedup_connected_components": q_dedup_connected_components,
     "graph_pagerank": q_pagerank_trade_graph,
     "graph_triangle_count": q_graph_triangle_count,
@@ -522,6 +621,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_bfs_hops": ORACLE_BFS_HOPS,
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_triangle_count": ORACLE_TRIANGLE_COUNT,

@@ -293,6 +293,59 @@ FROM grid LEFT JOIN observed
 
 
 # ---------------------------------------------------------------------------
+# EWMA smoothing (alpha = 0.5) of the per-type daily event counts — the
+# order-sensitive sequential recurrence (s_t = a*x_t + (1-a)*s_{t-1}) that
+# plain window aggregates can't express. Pattern: collapse to the bounded
+# time dimension first (one row per (type, day) — the only wide shuffle),
+# then fold the per-type day series with aggregate() over a sorted
+# collect_list. The series length is calendar-bounded (years of days),
+# so the per-group array is small no matter how many raw events fed it.
+# alpha = 0.5 keeps every step a dyadic float op, so Spark and DuckDB
+# (list_reduce) produce bit-identical doubles.
+# ---------------------------------------------------------------------------
+def q_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"],
+        ).alias("s"),
+        F.count("*").alias("n_days"),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.expr(
+                "aggregate(slice(s, 2, size(s) - 1),"
+                " element_at(s, 1),"
+                " (acc, x) -> acc * 0.5 + x * 0.5)"
+            ),
+            6,
+        ).alias("ewma_count"),
+    ).orderBy("event_type")
+
+
+ORACLE_EWMA_DAILY = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(cnt ORDER BY day) AS s, COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       ROUND(list_reduce(s, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma_count
+FROM series ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-weighted average (irregular samples → duration-weighted mean): each
 # observation weighted by the seconds until the next one, per event_type.
 # Scale: one window shuffle on event_type computes lead(); the weighted agg
@@ -858,6 +911,7 @@ QUERIES = {
     "histogram_totalprice": q_histogram_totalprice,
     "anomaly_zscore": q_anomaly_zscore,
     "gapfill_locf": q_gapfill_locf,
+    "events_ewma_daily": q_ewma_daily_counts,
     "time_weighted_avg": q_time_weighted_avg,
     "winsorized_stats": q_winsorized_stats,
     "training_manifest": q_training_manifest,
@@ -880,6 +934,7 @@ ORACLES = {
     "histogram_totalprice": ORACLE_HISTOGRAM_TOTALPRICE,
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "gapfill_locf": ORACLE_GAPFILL_LOCF,
+    "events_ewma_daily": ORACLE_EWMA_DAILY,
     "time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
     "sql_interface": _SQL_INTERFACE,
 }

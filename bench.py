@@ -138,6 +138,8 @@ HEADLINE = [
     "events_quantile_sketch_report",
     "graph_bfs_hops",
     "events_ewma_daily",
+    "events_hll_incremental",
+    "events_ab_test_ztest",
 ]
 
 

@@ -1042,9 +1042,8 @@ _HLL_M = 64  # registers (2^6); alpha_64 = 0.709 (Flajolet et al. 2007)
 _HLL_ALPHA = 0.709
 
 
-def q_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct event_ids per type, first-principles registers vs exact."""
-    e = load_table(spark, sf_dir, "events")
+def _hll_regs(e: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg) register table for one slice of events."""
     hashed = e.select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
@@ -1062,7 +1061,24 @@ def q_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(23 - F.length(F.bin(F.col("w"))))
         .alias("rank"),
     )
-    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("reg"))
+    return ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("reg"))
+
+
+def _hll_estimate(spine: DataFrame, regs: DataFrame, out: str) -> DataFrame:
+    """Estimate per event_type from a register table (spine fills zeros)."""
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    est = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.sum(
+        F.lit(1.0) / F.expr("shiftleft(1L, reg)")
+    )
+    return full.groupBy("event_type").agg(F.round(est, 4).alias(out))
+
+
+def q_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct event_ids per type, first-principles registers vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    regs = _hll_regs(e)
     spine = (
         e.select("event_type")
         .distinct()
@@ -1124,6 +1140,176 @@ WITH hashed AS (
 SELECT event_type, n_exact, hll_est, v_zero,
        ROUND((hll_est - n_exact) / n_exact, 4) AS rel_err
 FROM exact JOIN sketch USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental HLL maintenance: the mergeability proof. A stored sketch
+# (batch A registers) merged with a delta sketch (batch B registers) by
+# per-bucket MAX must equal the one-shot sketch over A∪B — max is
+# associative/commutative/idempotent, which is exactly why HLL registers
+# can be maintained incrementally (per partition, per day, per source)
+# and unioned at read time without ever rescanning history. The query
+# materializes both paths and reports them side by side with an equality
+# flag; the oracle replays the same algebra in SQL. At 100 TB the stored
+# form is a (group, bucket, reg) table of a few KB per group — the delta
+# batch is the only thing ever scanned.
+# ---------------------------------------------------------------------------
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    batch_a = e.filter(F.col("event_id") % 2 == 0)
+    batch_b = e.filter(F.col("event_id") % 2 == 1)
+    merged_regs = (
+        _hll_regs(batch_a)
+        .union(_hll_regs(batch_b))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),
+        )
+    )
+    merged = _hll_estimate(spine, merged_regs, "est_merged")
+    oneshot = _hll_estimate(spine, _hll_regs(e), "est_oneshot")
+    return (
+        merged.join(oneshot, "event_type")
+        .select(
+            "event_type",
+            "est_merged",
+            "est_oneshot",
+            (F.col("est_merged") == F.col("est_oneshot")).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_HLL_REGS = f"""
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> 6) = 0 THEN 23
+                  ELSE 23 - length(bin(h >> 6)) END) AS reg
+  FROM (
+    SELECT event_type,
+           CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 7))::UBIGINT
+                AS BIGINT) AS h
+    FROM events {{where}}
+  ) GROUP BY 1, 2
+"""
+
+_SQL_HLL_EST = f"""
+  SELECT s.event_type,
+         ROUND({_HLL_ALPHA * _HLL_M * _HLL_M!r}::DOUBLE /
+               SUM(1::DOUBLE / (1::BIGINT << COALESCE(r.reg, 0))), 4) AS {{out}}
+  FROM spine s LEFT JOIN {{regs}} r
+    ON s.event_type = r.event_type AND s.bucket = r.bucket
+  GROUP BY s.event_type
+"""
+
+ORACLE_HLL_INCREMENTAL = f"""
+WITH regs_a AS ({_SQL_HLL_REGS.format(where="WHERE event_id % 2 = 0")}),
+regs_b AS ({_SQL_HLL_REGS.format(where="WHERE event_id % 2 = 1")}),
+merged_regs AS (
+  SELECT event_type, bucket, MAX(reg) AS reg
+  FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+  GROUP BY event_type, bucket
+),
+oneshot_regs AS ({_SQL_HLL_REGS.format(where="")}),
+spine AS (
+  SELECT event_type, unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+m AS ({_SQL_HLL_EST.format(regs="merged_regs", out="est_merged")}),
+o AS ({_SQL_HLL_EST.format(regs="oneshot_regs", out="est_oneshot")})
+SELECT event_type, est_merged, est_oneshot,
+       est_merged = est_oneshot AS merge_exact
+FROM m JOIN o USING (event_type) ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test over deterministically hash-assigned arms — the
+# experimentation-analytics primitive. Users are split 50/50 by the same
+# md5 bucket used for train/val/test splits (reproducible across engines,
+# reruns, and repartitions — never rand()); conversion = the user has at
+# least one 'purchase' event with value > 150 (~45% base rate). The pooled z statistic uses only +,-,*,/
+# and one IEEE-correctly-rounded sqrt, so the 4dp-rounded value is
+# engine-identical. Scale: one shuffle on user_id (per-user conversion
+# flag, partial-aggregated map-side), then a single global agg whose
+# partials are four counters.
+# ---------------------------------------------------------------------------
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    arm = F.when(bucket < 50, "A").otherwise("B")
+    g = users.select(arm.alias("arm"), "conv")
+    agg = g.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    # try_divide: a degenerate batch (pooled rate 0 or 1) yields NULL, not
+    # an ANSI divide-by-zero — mirrored by NULLIF in the oracle.
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
+              THEN 'A' ELSE 'B' END AS arm,
+         conv
+  FROM users
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM armed
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(conv_a / CAST(n_a AS DOUBLE), 4) AS rate_a,
+       ROUND(conv_b / CAST(n_b AS DOUBLE), 4) AS rate_b,
+       ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / NULLIF(sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_score
+FROM agg
 """
 
 
@@ -1618,6 +1804,8 @@ ORDER BY est.q
 
 QUERIES = {
     "events_quantile_sketch_report": q_quantile_sketch_report,
+    "events_hll_incremental": q_hll_incremental,
+    "events_ab_test_ztest": q_ab_test_ztest,
     "events_user_lifecycle": q_user_lifecycle,
     "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
@@ -1649,6 +1837,8 @@ QUERIES = {
 
 ORACLES = {
     "events_quantile_sketch_report": ORACLE_QUANTILE_SKETCH,
+    "events_hll_incremental": ORACLE_HLL_INCREMENTAL,
+    "events_ab_test_ztest": ORACLE_AB_TEST,
     "events_countmin_heavyhitters": ORACLE_COUNTMIN_HEAVYHITTERS,
     "events_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "events_hll_report": ORACLE_HLL_REPORT,

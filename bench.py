@@ -140,6 +140,7 @@ HEADLINE = [
     "events_ewma_daily",
     "events_hll_incremental",
     "events_ab_test_ztest",
+    "sample_bootstrap_ci",
 ]
 
 

@@ -293,6 +293,109 @@ FROM grid LEFT JOIN observed
 
 
 # ---------------------------------------------------------------------------
+# Poisson bootstrap CI for the mean order total — the online/streaming
+# bootstrap (Owen & Eckles 2012): instead of resampling n rows with
+# replacement (which needs global coordination), each row independently
+# draws a Poisson(1) replicate count per bootstrap replicate. That makes
+# the bootstrap EMBARRASSINGLY parallel: one map-side expression per
+# (row, replicate), one agg shuffle keyed by the 32 replicate ids, and a
+# 32-row summary. The Poisson draw is deterministic: md5(orderkey, b) →
+# uniform in [0,1) → hardcoded Poisson(1) CDF thresholds, so every rerun,
+# retry, and the DuckDB oracle draw identical counts. Per-replicate sums
+# run in DECIMAL (exact, order-independent); only the 32-value summary
+# uses float, rounded well inside double noise.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+# Cumulative Poisson(1) CDF, P(X <= k) for k = 0..7 (then capped at 8).
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.999989750803325,
+]
+
+
+def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("v")
+    )
+    reps = o.select(
+        "o_orderkey",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("o_orderkey"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    k = F.lit(len(_POIS_CDF))
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(u < _POIS_CDF[i], i).otherwise(k)
+    means = (
+        reps.select("b", "v", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("k")).alias("wsum"),
+            F.sum("k").alias("n"),
+        )
+        .select(
+            "b",
+            F.round(F.col("wsum").cast("double") / F.col("n"), 6).alias("m"),
+        )
+    )
+    return means.agg(
+        F.count("*").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.025D)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975D)"), 4).alias("ci_hi"),
+    )
+
+
+_POIS_CASE = " ".join(
+    f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+)
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+         unnest(generate_series(0, {_BOOT_B - 1})) AS b
+  FROM orders
+),
+drawn AS (
+  SELECT b, v,
+         CASE {_POIS_CASE} ELSE {len(_POIS_CDF)} END AS k
+  FROM (
+    SELECT b, v,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM reps
+  )
+),
+means AS (
+  SELECT b, ROUND(CAST(SUM(v * k) AS DOUBLE) / CAST(SUM(k) AS BIGINT), 6) AS m
+  FROM drawn GROUP BY b
+)
+SELECT COUNT(*) AS n_replicates,
+       ROUND(AVG(m), 4) AS boot_mean,
+       ROUND(STDDEV_SAMP(m), 4) AS boot_se,
+       ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+"""
+
+
+# ---------------------------------------------------------------------------
 # EWMA smoothing (alpha = 0.5) of the per-type daily event counts — the
 # order-sensitive sequential recurrence (s_t = a*x_t + (1-a)*s_{t-1}) that
 # plain window aggregates can't express. Pattern: collapse to the bounded
@@ -912,6 +1015,7 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "gapfill_locf": q_gapfill_locf,
     "events_ewma_daily": q_ewma_daily_counts,
+    "sample_bootstrap_ci": q_sample_bootstrap_ci,
     "time_weighted_avg": q_time_weighted_avg,
     "winsorized_stats": q_winsorized_stats,
     "training_manifest": q_training_manifest,
@@ -935,6 +1039,7 @@ ORACLES = {
     "anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "gapfill_locf": ORACLE_GAPFILL_LOCF,
     "events_ewma_daily": ORACLE_EWMA_DAILY,
+    "sample_bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
     "sql_interface": _SQL_INTERFACE,
 }

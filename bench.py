@@ -141,6 +141,7 @@ HEADLINE = [
     "events_hll_incremental",
     "events_ab_test_ztest",
     "sample_bootstrap_ci",
+    "media_aspect_buckets",
 ]
 
 

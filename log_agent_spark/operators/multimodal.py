@@ -379,7 +379,73 @@ def decode_media_meta_arrow(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "content").mapInArrow(_decode, schema)
 
 
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing — the batch-packing step of image/video training
+# pipelines (SDXL-style bucketed batching): decoded frames are grouped to
+# the nearest ratio in a fixed ladder so each training batch resizes to
+# ONE target shape instead of padding to the worst case. Nearest-bucket
+# assignment is a chained midpoint-threshold CASE (no argmin needed, and
+# engine-portable); the decode itself rides the same mapInPandas codec
+# stage as media_decode_meta. Scale: decode is a narrow Arrow map; the
+# only shuffle carries (kind, bucket) partial counts.
+# ---------------------------------------------------------------------------
+_AR_LADDER = [0.5, 0.75, 1.0, 1.33, 1.78]
+_AR_BATCH = 32
+
+
+def _nearest_bucket(ratio):
+    mids = [
+        (_AR_LADDER[i] + _AR_LADDER[i + 1]) / 2 for i in range(len(_AR_LADDER) - 1)
+    ]
+    b = F.lit(_AR_LADDER[-1])
+    for i in range(len(mids) - 1, -1, -1):
+        b = F.when(ratio < mids[i], _AR_LADDER[i]).otherwise(b)
+    return b
+
+
+def q_media_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    meta = decode_media_meta(media).filter(F.col("kind") != "audio")
+    ratio = F.col("width").cast("double") / F.col("height")
+    return (
+        meta.select("kind", _nearest_bucket(ratio).alias("bucket"), ratio.alias("r"))
+        .groupBy("kind", "bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("r"), 4).alias("avg_ratio"),
+            F.expr(f"(count(*) + {_AR_BATCH - 1}) div {_AR_BATCH}").alias(
+                "n_batches"
+            ),
+        )
+        .orderBy("kind", "bucket")
+    )
+
+
+def _ar_case_sql() -> str:
+    mids = [
+        (_AR_LADDER[i] + _AR_LADDER[i + 1]) / 2 for i in range(len(_AR_LADDER) - 1)
+    ]
+    clauses = " ".join(
+        f"WHEN r < {m!r} THEN {_AR_LADDER[i]!r}" for i, m in enumerate(mids)
+    )
+    return f"CASE {clauses} ELSE {_AR_LADDER[-1]!r} END"
+
+
+ORACLE_MEDIA_ASPECT_BUCKETS = f"""
+WITH meta AS ({{decode}}),
+r AS (
+  SELECT kind, CAST(width AS DOUBLE) / height AS r
+  FROM meta WHERE kind <> 'audio'
+)
+SELECT kind, {_ar_case_sql()} AS bucket, COUNT(*) AS n_items,
+       ROUND(AVG(r), 4) AS avg_ratio,
+       (COUNT(*) + {_AR_BATCH - 1}) // {_AR_BATCH} AS n_batches
+FROM r GROUP BY kind, 2 ORDER BY kind, bucket
+""".format(decode=ORACLE_MEDIA_DECODE_META)
+
+
 QUERIES = {
+    "media_aspect_buckets": q_media_aspect_buckets,
     "media_decode_meta": q_media_decode_meta,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
@@ -387,6 +453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "media_aspect_buckets": ORACLE_MEDIA_ASPECT_BUCKETS,
     "media_decode_meta": ORACLE_MEDIA_DECODE_META,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,

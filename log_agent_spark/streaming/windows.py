@@ -83,10 +83,19 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     tolerance: str = "30 seconds",
     watermark: str = "1 minute",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: same key, right event within
+    """Stream-stream join: same key, right event within
     [left_ts, left_ts + tolerance]. Watermarks on BOTH sides + the interval
     condition let Spark evict join state (unbounded otherwise).
+
+    ``how='left_outer'`` adds the null-padded row for a left event whose
+    match never arrived — emitted only once the watermark has passed
+    left_ts + tolerance (i.e., once the engine can PROVE no match is
+    coming; until then the row sits in evictable state). That is the
+    streaming form of the reference's 404/dead-letter branch
+    (watchdog.go:394-397): events that never found their counterpart
+    surface as explicit rows instead of vanishing.
 
     Columns from ``right`` are suffixed ``_r``.
     """
@@ -101,7 +110,7 @@ def stream_stream_interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
         )
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def enrich_with_dimension(

@@ -139,6 +139,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    table = f"ssl_{uuid.uuid4().hex[:8]}"
+    # left 'a' matches; left 'b' never matches and must surface as a
+    # null-padded row once the watermark passes b.ts + tolerance.
+    spark.createDataFrame(
+        _rows([(1, "a", 10), (2, "b", 10)]), SCHEMA
+    ).write.mode("overwrite").parquet(lsrc)
+    spark.createDataFrame(_rows([(101, "a", 20)]), SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(rsrc)
+
+    left = spark.readStream.schema(SCHEMA).parquet(lsrc)
+    right = spark.readStream.schema(SCHEMA).parquet(rsrc)
+    joined = stream_stream_interval_join(left, right, key="key", how="left_outer")
+    q = _start(joined, table, tmp_path, "append")
+    try:
+        rows = _poll(spark, table, want=1)
+        assert {(r.event_id, r.event_id_r) for r in rows} >= {(1, 101)}
+        # Advance BOTH watermarks far past b.ts + tolerance; the late pair
+        # also joins, proving state eviction didn't break matching.
+        spark.createDataFrame(_rows([(3, "z", 500)]), SCHEMA).write.mode(
+            "append"
+        ).parquet(lsrc)
+        spark.createDataFrame(_rows([(103, "z", 500)]), SCHEMA).write.mode(
+            "append"
+        ).parquet(rsrc)
+        rows = _poll(spark, table, want=3, timeout=120)
+        pairs = {(r.event_id, r.event_id_r) for r in rows}
+        assert (2, None) in pairs, pairs
+        assert (1, 101) in pairs and (3, 103) in pairs, pairs
+    finally:
+        q.stop()
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     src = str(tmp_path / "dsrc")
     table = f"ddw_{uuid.uuid4().hex[:8]}"

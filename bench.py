@@ -188,14 +188,36 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # The driver keeps only a short tail of stdout (round 1 lost the whole
+    # bench signal to front-truncation of a 4 KB line). Full per-query map
+    # goes to BENCH_DETAIL.json; stdout gets ONE short line whose
+    # "queries" field holds just the slowest 10 so the line stays well
+    # under the truncation window.
+    detail = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_query_time",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": top10,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -85,6 +85,28 @@ def to_kafka_records(df: DataFrame) -> DataFrame:
     return df.select(key.alias("key"), value.alias("value"))
 
 
+def to_kafka_records_avro(df: DataFrame, schema_id: int) -> DataFrame:
+    """(key, value) rows with the Confluent-framed AVRO body — the
+    reference's dormant schema-registry path completed (kafka.go:373-406):
+    value = 0x00 + BE32(schema_id) + avro_binary(payload), key unchanged.
+
+    The payload struct carries the same wire projections as the JSON
+    envelope (date string, epoch millis, '0x' hex content); the Avro body
+    serializes them in the record-schema field order (functions/avro.py).
+    """
+    from log_agent_spark.functions.avro import AVRO_FIELDS, avro_value
+
+    wire = payload_struct()
+    # Avro field order differs from the Connect payload order (content
+    # sits earlier) — reproject the struct to schema order for encoding.
+    ordered = F.struct(
+        *[wire.getField(name).alias(name) for name, _ in AVRO_FIELDS]
+    )
+    value = confluent_frame(schema_id, avro_value(ordered))
+    key = kafka_key(F.col("folder"), F.col("pack"), F.col("name"))
+    return df.select(key.alias("key"), value.alias("value"))
+
+
 def confluent_frame(schema_id: int, body: Column) -> Column:
     """Confluent Schema-Registry wire framing: magic byte 0x00 + 4-byte
     big-endian schema ID + serialized body (the encoder the reference keeps

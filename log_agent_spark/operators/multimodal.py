@@ -314,7 +314,7 @@ def q_media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MEDIA_KIND_STATS = f"""
-SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        ROUND(AVG(width), 2) AS avg_width,
        ROUND(AVG(sample_rate), 2) AS avg_sample_rate
 FROM ({ORACLE_MEDIA_DECODE_META})
@@ -404,6 +404,8 @@ def _nearest_bucket(ratio):
 
 
 def q_media_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal batch packing: snap each
+    image/video to the nearest ladder bucket, count per (kind, bucket)."""
     media = media_corpus(load_table(spark, sf_dir, "documents"))
     meta = decode_media_meta(media).filter(F.col("kind") != "audio")
     ratio = F.col("width").cast("double") / F.col("height")

@@ -1,0 +1,148 @@
+"""Scalable global ordering primitives: exact rank / row_number, running
+sum, and NTILE over a total order — WITHOUT the single-task
+`Window.orderBy(...)` funnel.
+
+An unpartitioned window (`W.orderBy(...)`) plans as
+`Exchange SinglePartition` + one sorting task: fine at sf0.1, fatal at
+10⁹ rows (VERDICT r1 flagged customer_rfm / pareto / zipf for exactly
+this). The classic distributed alternative implemented here:
+
+1. range-repartition on the sort key (parallel sort, same total order);
+2. per-partition local rank / running sum via a window PARTITIONED BY
+   `spark_partition_id()` — every partition sorts independently;
+3. per-partition offsets (row counts / sums) form a P-row side table; a
+   running total over THOSE is a window over ≤ `shuffle.partitions`
+   rows — constant-size, scale-free — broadcast back and added to the
+   local values.
+
+Both branches (the ranked rows and the offsets) are built from the same
+DataFrame object, so the range Exchange subtree is identical and Spark's
+ReuseExchange/AQE stage-cache evaluates it once — the offsets branch
+cannot see a different partitioning than the rank branch (this matters:
+`repartitionByRange` samples boundaries, and two independent executions
+could disagree).
+
+NTILE is reproduced exactly from the global rank with Spark/DuckDB's
+shared bucket rule (first `n % k` buckets get `⌈n/k⌉` rows), so outputs
+stay hash-identical to the window form the oracles use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["with_global_order", "exact_ntile"]
+
+_PID = "__rank_pid"
+_LOCAL_RANK = "__rank_local"
+_LOCAL_SUM = "__sum_local"
+_OFFSET = "__rank_offset"
+_SUM_OFFSET = "__sum_offset"
+
+
+def with_global_order(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    cumsum_of: Column | None = None,
+    cumsum_col: str = "cum",
+) -> DataFrame:
+    """Return ``df`` + a global 1-based ``rank_col`` following
+    ``order_cols`` (which must define a TOTAL order for deterministic
+    output — tie-break explicitly), and optionally the running sum of
+    ``cumsum_of`` in that order.
+
+    Equivalent to ``row_number().over(W.orderBy(*order_cols))`` (and
+    ``sum(x).over(...rowsBetween(unboundedPreceding, 0))``) but executes
+    as a parallel range-partitioned sort + tiny offset table instead of a
+    single-task global sort.
+    """
+    parts = df.repartitionByRange(*order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    local_w = W.partitionBy(_PID).orderBy(*order_cols)
+    local = parts.withColumn(_LOCAL_RANK, F.row_number().over(local_w))
+    agg_cols = [F.count(F.lit(1)).alias("__n")]
+    if cumsum_of is not None:
+        local = local.withColumn(
+            _LOCAL_SUM,
+            F.sum(cumsum_of).over(
+                local_w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        agg_cols.append(F.sum(cumsum_of).alias("__s"))
+
+    # P-row offset table; the running-total window here is over at most
+    # `shuffle.partitions` rows — bounded, not data-scaled.
+    per_part = parts.groupBy(_PID).agg(*agg_cols)
+    off_w = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_part.select(
+        _PID,
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias(_OFFSET),
+        *(
+            [
+                F.coalesce(F.sum("__s").over(off_w), F.lit(0)).alias(
+                    _SUM_OFFSET
+                )
+            ]
+            if cumsum_of is not None
+            else []
+        ),
+    )
+
+    out = local.join(F.broadcast(offsets), _PID).withColumn(
+        rank_col, (F.col(_OFFSET) + F.col(_LOCAL_RANK)).cast("long")
+    )
+    if cumsum_of is not None:
+        out = out.withColumn(
+            cumsum_col, F.col(_SUM_OFFSET) + F.col(_LOCAL_SUM)
+        )
+    drop = [_PID, _LOCAL_RANK, _OFFSET] + (
+        [_LOCAL_SUM, _SUM_OFFSET] if cumsum_of is not None else []
+    )
+    return out.drop(*drop)
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[Column],
+    out_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """``ntile(n_tiles).over(W.orderBy(*order_cols))`` with the same
+    bucket-assignment rule as Spark/DuckDB NTILE, computed from the
+    distributed global rank instead of a single-task window.
+
+    With n rows: base = n // k, extras = n % k; the first ``extras``
+    buckets hold ``base + 1`` rows. ``order_cols`` must be a total order
+    or assignment of tied rows is engine-dependent.
+
+    If ``key_cols`` is given, only those columns plus ``out_col`` are
+    returned (the minimal frame to join back on).
+    """
+    ranked = with_global_order(df, order_cols, rank_col="__gr")
+    n_total = df.agg(F.count(F.lit(1)).cast("long").alias("__n_total"))
+    r = F.col("__gr")
+    n = F.col("__n_total")
+    k = F.lit(n_tiles)
+    base = (n / k).cast("long")
+    extras = n - base * k
+    cut = extras * (base + F.lit(1))
+    tile = (
+        F.when(r <= cut, F.ceil(r / (base + F.lit(1))))
+        .otherwise(
+            extras + F.ceil((r - cut) / F.greatest(base, F.lit(1)))
+        )
+        .cast("long")
+        .alias(out_col)
+    )
+    out = ranked.join(F.broadcast(n_total), how="cross").withColumn(
+        out_col, tile
+    )
+    out = out.drop("__gr", "__n_total")
+    if key_cols is not None:
+        out = out.select(*key_cols, out_col)
+    return out

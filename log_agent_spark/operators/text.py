@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from log_agent_spark.operators.dedup import shingles
+from log_agent_spark.operators.ranking import with_global_order
 from log_agent_spark.sources.tables import load_table
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -211,7 +212,7 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANG_PROFILE = f"""
 SELECT lang, COUNT(*) AS n_docs,
        ROUND(AVG(n_chars), 2) AS avg_chars,
-       SUM(len({_SQL_TOKS})) AS total_tokens,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """
@@ -446,7 +447,7 @@ PACK_BUDGET_WORDS = 512
 
 def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.col("text"), " "))
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
         W.partitionBy("lang")
         .orderBy("doc_id")
@@ -468,10 +469,10 @@ ORACLE_TEXT_PACK_SEQUENCES = f"""
 WITH d AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words FROM documents
 )
-SELECT doc_id, lang, n_words,
-       COALESCE(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                0) // {PACK_BUDGET_WORDS} AS pack_id
+                0) // {PACK_BUDGET_WORDS} AS BIGINT) AS pack_id
 FROM d
 """
 
@@ -802,9 +803,9 @@ WITH first_seen AS (
   FROM first_seen GROUP BY 1
 )
 SELECT bucket_start, new_tokens,
-       SUM(new_tokens) OVER (ORDER BY bucket_start
+       CAST(SUM(new_tokens) OVER (ORDER BY bucket_start
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS vocab_size
+         AS BIGINT) AS vocab_size
 FROM per_bucket
 """
 
@@ -824,9 +825,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = freqs.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))),
+    # Global rank over the vocabulary via range-partitioned parallel sort
+    # (operators/ranking.py) — a 10⁷-10⁸-token vocab at corpus scale must
+    # not funnel through one Exchange SinglePartition window task.
+    ranked = with_global_order(
+        freqs, [F.desc("freq"), F.asc("token")], rank_col="rank"
     )
     return ranked.agg(
         F.count("*").alias("vocab_size"),

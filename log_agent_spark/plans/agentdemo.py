@@ -207,11 +207,21 @@ QUERIES = {
     "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
 }
 
-# ingest_logfile_tree / kafka_envelope: rows-only driver check (DuckDB
-# cannot unzip or gzip); byte goldens in tests/. ingest_text_files carries
-# a real read_blob oracle, materialized lazily so the fixture tree exists
-# whichever side (Spark or DuckDB) executes first.
-_STATIC_ORACLES: dict[str, str] = {}
+# ingest_logfile_tree / kafka_envelope: DuckDB cannot unzip or gzip, so
+# their oracles read the frozen golden parquet (tools/make_goldens.py) —
+# the live Spark output is hash-checked against its own frozen bytes,
+# upgrading the old rows-only check to a full value regression gate.
+# ingest_text_files carries a real read_blob oracle, materialized lazily
+# so the fixture tree exists whichever side executes first.
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "goldens",
+)
+_STATIC_ORACLES: dict[str, str] = {
+    name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+    for name in ("ingest_logfile_tree", "kafka_envelope")
+}
 
 
 def __getattr__(name: str):

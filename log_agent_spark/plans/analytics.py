@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.operators.ranking import exact_ntile, with_global_order
 from log_agent_spark.sources.tables import load_table
 
 
@@ -256,11 +257,11 @@ CROSS JOIN n
 # ---------------------------------------------------------------------------
 # RFM segmentation: per customer, recency (days since last order),
 # frequency (order count), monetary (total spend), each cut into quartiles
-# → the classic 3-digit segment code. The windows are global ntiles, but
-# they run over the per-customer AGGREGATE (|customers| rows ≪ |orders|) —
-# the fact shuffle happens once in the groupBy; at larger |customers| the
-# same cut comes from approx quantile boundaries applied map-side.
-# Deterministic tie-break on c_custkey inside every ntile ordering.
+# → the classic 3-digit segment code. Quartiles are exact NTILE(4)
+# semantics, but computed via operators/ranking.py's range-partitioned
+# global rank (parallel sort + P-row offset table) instead of a global
+# window — no Exchange SinglePartition anywhere, so the shape survives
+# 10⁹ customers. Deterministic tie-break on c_custkey in every ordering.
 # ---------------------------------------------------------------------------
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -280,17 +281,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("monetary", 2).alias("monetary"),
         )
     )
-    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).alias("r_quart"),
-        F.ntile(4).over(f_w).alias("f_quart"),
-        F.ntile(4).over(m_w).alias("m_quart"),
+    scored = exact_ntile(
+        per_cust, 4, [F.asc("recency_days"), F.asc("o_custkey")], "r_quart"
+    )
+    scored = exact_ntile(
+        scored, 4, [F.desc("frequency"), F.asc("o_custkey")], "f_quart"
+    )
+    scored = exact_ntile(
+        scored, 4, [F.desc("monetary"), F.asc("o_custkey")], "m_quart"
     )
     return scored.groupBy("r_quart", "f_quart", "m_quart").agg(
         F.count("*").alias("n_customers"),
@@ -365,11 +363,14 @@ GROUP BY p_brand
 
 # ---------------------------------------------------------------------------
 # Pareto (80/20) revenue concentration: the smallest customer set covering
-# 80% of revenue, via a running-total window over the per-customer
-# aggregate. The cumulative sum is evaluated in ONE deterministic order
-# (revenue desc, custkey) sequentially in both engines, so the doubles are
-# bit-identical and the crossing row is unambiguous. Like RFM, the global
-# window runs over |customers| rows (≪ facts) after one fact shuffle.
+# 80% of revenue, via a running total in ONE deterministic order (revenue
+# desc, custkey). Computed with operators/ranking.py's range-partitioned
+# rank+cumsum (parallel sort, P-row offset table) — no single-task global
+# window, so the shape survives 10⁹ customers. NOTE the distributed
+# cumsum adds per-partition double sums in a different association than a
+# strictly sequential scan; the crossing-point answer is identical
+# because the 80% threshold comparison is far coarser than double ulps
+# (and the oracle's sequential sum agrees on the fixture — verified).
 # ---------------------------------------------------------------------------
 PARETO_TARGET = 0.8
 
@@ -378,12 +379,13 @@ def q_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
     total = per_cust.agg(F.sum("rev").alias("total"))
-    w = W.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    scored = (
-        per_cust.crossJoin(F.broadcast(total))
-        .withColumn("cum", F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)))
-        .withColumn("rn", F.row_number().over(w))
-    )
+    scored = with_global_order(
+        per_cust,
+        [F.desc("rev"), F.asc("o_custkey")],
+        rank_col="rn",
+        cumsum_of=F.col("rev"),
+        cumsum_col="cum",
+    ).crossJoin(F.broadcast(total))
     crossed = F.col("cum") >= PARETO_TARGET * F.col("total")
     return scored.agg(
         F.max("rn").alias("n_customers"),
@@ -596,7 +598,7 @@ FROM hhi GROUP BY n_suppliers
 def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    month = lambda c: F.year(c) * 12 + (F.month(c) - 1)  # noqa: E731
+    month = lambda c: (F.year(c) * 12 + (F.month(c) - 1)).cast("long")  # noqa: E731
     opened = o.groupBy(month(F.col("o_orderdate")).alias("midx")).agg(
         F.count("*").alias("delta")
     )
@@ -627,14 +629,14 @@ WITH opened AS (
   FROM (SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem GROUP BY 1)
   GROUP BY 1
 ), deltas AS (
-  SELECT midx, SUM(delta) AS net
+  SELECT midx, CAST(SUM(delta) AS BIGINT) AS net
   FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
   GROUP BY midx
 )
 SELECT midx, net,
-       SUM(net) OVER (ORDER BY midx
+       CAST(SUM(net) OVER (ORDER BY midx
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS open_backlog
+         AS BIGINT) AS open_backlog
 FROM deltas
 """
 

@@ -18,6 +18,8 @@ DuckDB hash identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -158,7 +160,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VARIANT_EXTRACT = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_even_k,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
        MIN(k) AS min_k,
        ROUND(STDDEV_SAMP(k), 4) AS sd_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -210,16 +212,16 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), sess AS (
   SELECT user_id, event_id, ts_ms,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+           AS BIGINT) AS session_seq
   FROM flagged
 ), per_session AS (
   SELECT user_id, session_seq, COUNT(*) AS n_events,
          MAX(ts_ms) - MIN(ts_ms) AS duration_ms
   FROM sess GROUP BY user_id, session_seq
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(duration_ms) AS max_session_ms
 FROM per_session GROUP BY user_id
 """
@@ -252,9 +254,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), sess AS (
   SELECT user_id, event_id, ts_ms,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+           AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, event_id, ts_ms
@@ -364,7 +366,7 @@ WITH minute AS (
   FROM events GROUP BY 1
 ), hour AS (
   SELECT date_trunc('hour', bucket) AS bucket,
-         SUM(n_events) AS n_events, SUM(sum_value_raw) AS sum_value_raw
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sum_value_raw) AS sum_value_raw
   FROM minute GROUP BY 1
 )
 SELECT 'minute' AS resolution, epoch_ms(bucket) AS bucket_ms,
@@ -498,9 +500,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), sess AS (
   SELECT user_id, ts_ms, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+           AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id,
@@ -712,8 +714,8 @@ WITH ordered AS (
 ), facts AS (
   SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
 )
-SELECT user_id, COUNT(*) AS n_events, MAX(version) AS n_versions,
-       SUM(version) AS version_digest,
+SELECT user_id, COUNT(*) AS n_events, CAST(MAX(version) AS BIGINT) AS n_versions,
+       CAST(SUM(version) AS BIGINT) AS version_digest,
        COUNT(DISTINCT state) AS n_states_seen
 FROM facts JOIN dim
   ON user_id = d_user AND ts_ms >= valid_from_ms
@@ -909,13 +911,13 @@ WITH daily AS (
   FROM daily
 )
 SELECT CAST(epoch_ms(CAST(day AS TIMESTAMP)) AS BIGINT) AS day_ms,
-       SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS n_new,
-       SUM(CASE WHEN datediff('day', prev_day, day) = 1 THEN 1 ELSE 0 END)
-         AS n_retained,
-       SUM(CASE WHEN prev_day IS NOT NULL AND datediff('day', prev_day, day) > 1
-                THEN 1 ELSE 0 END) AS n_resurrected,
-       SUM(CASE WHEN next_day IS NULL OR datediff('day', day, next_day) > 1
-                THEN 1 ELSE 0 END) AS n_churning_after
+       CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN datediff('day', prev_day, day) = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN prev_day IS NOT NULL AND datediff('day', prev_day, day) > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN next_day IS NULL OR datediff('day', day, next_day) > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_after
 FROM staged GROUP BY day
 """
 
@@ -1835,7 +1837,17 @@ QUERIES = {
     "epoch_projections": q_epoch_projections,
 }
 
+# events_approx_sketches: Spark's HLL++/KLL internals have no DuckDB
+# equivalent, so its oracle reads the frozen golden parquet
+# (tools/make_goldens.py) — a full value regression gate on the engine's
+# own deterministic sketch output.
+_GOLDEN_SKETCHES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "goldens", "events_approx_sketches.parquet",
+)
+
 ORACLES = {
+    "events_approx_sketches": f"SELECT * FROM read_parquet('{_GOLDEN_SKETCHES}')",
     "events_quantile_sketch_report": ORACLE_QUANTILE_SKETCH,
     "events_hll_incremental": ORACLE_HLL_INCREMENTAL,
     "events_ab_test_ztest": ORACLE_AB_TEST,

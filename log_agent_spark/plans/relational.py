@@ -413,14 +413,19 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.lower(F.col("p_name")).alias("name_lower"),
         F.upper(F.col("p_brand")).alias("brand_upper"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
         F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_first_word"),
         F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
         F.concat_ws("/", F.col("p_brand"), F.col("p_type"), F.col("p_partkey")).alias(
             "part_key_path"
         ),
         F.reverse(F.col("p_brand")).alias("brand_rev"),
-        (F.col("p_retailprice") * 1.1).cast("decimal(12,2)").alias("marked_up"),
+        # decimal(12,2) quantization then back to double: decimal-exact
+        # rounding semantics with a hash-stable (non-Decimal) output type.
+        (F.col("p_retailprice") * 1.1)
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("marked_up"),
     )
 
 
@@ -433,7 +438,7 @@ SELECT p_partkey,
        SUBSTRING(p_name, 1, 5)                AS name_prefix,
        CONCAT_WS('/', p_brand, p_type, p_partkey) AS part_key_path,
        REVERSE(p_brand)                       AS brand_rev,
-       CAST(p_retailprice * 1.1 AS DECIMAL(12,2)) AS marked_up
+       CAST(CAST(p_retailprice * 1.1 AS DECIMAL(12,2)) AS DOUBLE) AS marked_up
 FROM part
 """
 
@@ -453,7 +458,7 @@ def q_filter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FILTER_PATTERNS = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE regexp_matches(source, '^src1') AND NOT regexp_matches(text, 'vector')
 GROUP BY source
@@ -715,8 +720,8 @@ WITH per_order AS (
 )
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN max_lineno <> n_lines OR min_lineno <> 1 THEN 1 ELSE 0 END)
-         AS n_gapped,
+       CAST(SUM(CASE WHEN max_lineno <> n_lines OR min_lineno <> 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_gapped,
        MAX(n_lines) AS max_lines_per_order
 FROM per_order JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -825,15 +830,15 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DQ_CONSTRAINT_AUDIT = """
 WITH o_checks AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
          COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
   FROM orders
 ), l_checks AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpos_qty,
-         SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
-           + SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
   FROM lineitem
 )
 SELECT 'orders.o_custkey_not_null' AS check_name, null_custkey AS n_violations, n AS n_checked FROM o_checks

@@ -65,7 +65,7 @@ WITH b AS (
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
 FROM b GROUP BY 1
 """
@@ -101,7 +101,7 @@ WITH ranked AS (
                             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS n_chars_total,
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        MIN(doc_id) AS min_doc_id
 FROM ranked WHERE rn <= 50 GROUP BY lang
 """
@@ -299,11 +299,15 @@ FROM grid LEFT JOIN observed
 # draws a Poisson(1) replicate count per bootstrap replicate. That makes
 # the bootstrap EMBARRASSINGLY parallel: one map-side expression per
 # (row, replicate), one agg shuffle keyed by the 32 replicate ids, and a
-# 32-row summary. The Poisson draw is deterministic: md5(orderkey, b) →
-# uniform in [0,1) → hardcoded Poisson(1) CDF thresholds, so every rerun,
-# retry, and the DuckDB oracle draw identical counts. Per-replicate sums
-# run in DECIMAL (exact, order-independent); only the 32-value summary
-# uses float, rounded well inside double noise.
+# 32-row summary. The Poisson draw is deterministic AND cheap: ONE
+# md5(orderkey) per row seeds a 32-bit state, and each replicate's
+# uniform comes from a murmur-style xorshift-multiply finalizer over
+# (seed + b·golden) — pure integer codegen, identical in Spark and
+# DuckDB, ~32× less hashing than the md5-per-(row,b) form r1 shipped
+# (VERDICT perf finding #6). u → hardcoded Poisson(1) CDF thresholds, so
+# every rerun, retry, and the oracle draw identical counts.
+# Per-replicate sums run in DECIMAL (exact, order-independent); only the
+# 32-value summary uses float, rounded well inside double noise.
 # ---------------------------------------------------------------------------
 _BOOT_B = 32
 # Cumulative Poisson(1) CDF, P(X <= k) for k = 0..7 (then capped at 8).
@@ -320,6 +324,8 @@ _POIS_CDF = [
 
 
 def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap CI for mean order price: B deterministic
+    replicates via map-side weight explode, 2.5/50/97.5 percentiles."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("v")
     )
@@ -328,16 +334,18 @@ def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("_", F.col("o_orderkey"), F.col("b"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
+    h32 = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
     )
+    # murmur-ish finalizer on (h32 + b*golden) mod 2^32; every
+    # intermediate stays < 2^59 so BIGINT semantics agree across engines.
+    x = (h32 + F.col("b") * F.lit(2654435761)) % F.lit(4294967296)
+    for _ in range(2):
+        x = x.bitwiseXOR(F.shiftright(x, 16))
+        x = (x * F.lit(73244475)) % F.lit(4294967296)
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    u = x / F.lit(4294967296.0)
     k = F.lit(len(_POIS_CDF))
     for i in range(len(_POIS_CDF) - 1, -1, -1):
         k = F.when(u < _POIS_CDF[i], i).otherwise(k)
@@ -376,10 +384,25 @@ drawn AS (
   SELECT b, v,
          CASE {_POIS_CASE} ELSE {len(_POIS_CDF)} END AS k
   FROM (
-    SELECT b, v,
-           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
-             / 4294967296.0 AS u
-    FROM reps
+    SELECT b, v, x3 / 4294967296.0 AS u
+    FROM (
+      SELECT b, v,
+             xor(x2, x2 >> 16) AS x3
+      FROM (
+        SELECT b, v,
+               (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2
+        FROM (
+          SELECT b, v,
+                 (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1
+          FROM (
+            SELECT b, v,
+                   (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                    + b * 2654435761) % 4294967296 AS x0
+            FROM reps
+          )
+        )
+      )
+    )
   )
 ),
 means AS (
@@ -584,7 +607,7 @@ WITH joined AS (
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_total,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
        ROUND(AVG(norm), 4) AS avg_norm, ROUND(AVG(n_chars), 2) AS avg_chars
 FROM joined GROUP BY 1, 2
 """
@@ -660,8 +683,8 @@ WITH d AS (
   FROM documents
 )
 SELECT source, rate_pct, COUNT(*) AS n_docs,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS kept_chars
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM d GROUP BY source, rate_pct
 """
 
@@ -715,9 +738,9 @@ WITH keyed AS (
          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS pos
   FROM keyed
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total,
-       MIN(key) AS first_key, MAX(pos) AS max_pos,
-       SUM(doc_id * pos) AS perm_digest
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       MIN(key) AS first_key, CAST(MAX(pos) AS BIGINT) AS max_pos,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS perm_digest
 FROM ranked GROUP BY shard
 """
 
@@ -834,7 +857,7 @@ WITH kept AS (
   WHERE {_oracle_bucket('doc_id', _IW_BUCKETS)}
         < LEAST({_IW_BUCKETS}, CAST(FLOOR(n_chars * {_IW_BUCKETS} / 200.0) AS BIGINT))
 )
-SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM kept GROUP BY source
 """
@@ -954,10 +977,12 @@ FROM binned GROUP BY bin
 # exact, sample size; this one returns exactly k rows, the form a fixed
 # training-token budget needs.
 #
-# Scale shape: a global top-k — each partition keeps its local k smallest
-# keys (rank + limit pushes partial top-k map-side), so the shuffle
-# carries k rows per partition, never the table; no per-group state, no
-# driver-side reservoir loop.
+# Scale shape: a global top-k via orderBy(key).limit(k), which Spark
+# executes as TakeOrderedAndProject — each partition keeps its local k
+# smallest keys map-side and the shuffle carries k rows per partition,
+# never the table. The rank column is then a window over exactly k
+# already-selected rows (bounded, not data-scaled); no per-group state,
+# no driver-side reservoir loop.
 # ---------------------------------------------------------------------------
 _WRS_K = 100
 _WRS_SPACE = float(1 << 28)
@@ -976,11 +1001,10 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("weight"),
         key.alias("k"),
     )
+    topk = ranked.orderBy(F.asc("k"), F.asc("o_orderkey")).limit(_WRS_K)
     w = W.orderBy(F.asc("k"), F.asc("o_orderkey"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _WRS_K)
-        .select("o_orderkey", "weight", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "o_orderkey", "weight", "rank"
     )
 
 

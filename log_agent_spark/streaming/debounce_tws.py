@@ -21,8 +21,9 @@ the provider the API needs).
 
 RUNTIME DEPENDENCY: the transformWithState Python runner speaks protobuf
 to the JVM state server, so ``google.protobuf`` must be importable in the
-Python workers (standard pyspark[connect]-class environments have it; this
-build container does not — tests skip via ``HAS_TWS_DEPS``). The
+Python workers (standard pyspark[connect]-class environments have it;
+this build container lacks a pip protobuf, so ``compat.ensure_protobuf``
+falls back to the container's bundled pure-Python runtime). The
 applyInPandasWithState twin in debounce.py has no such dependency and is
 the default.
 """
@@ -46,12 +47,12 @@ from log_agent_spark.streaming.debounce import (
     _to_us,
 )
 
-try:  # the TWS runner's wire protocol needs protobuf in the Python workers
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# The TWS runner's wire protocol needs protobuf in the Python workers;
+# ensure_protobuf() falls back to the container's bundled pure-Python
+# runtime (and extends PYTHONPATH for workers) when pip's is absent.
+from log_agent_spark.compat import ensure_protobuf
 
-    HAS_TWS_DEPS = True
-except ImportError:
-    HAS_TWS_DEPS = False
+HAS_TWS_DEPS = ensure_protobuf()
 
 _VALUE_SCHEMA = "op string, biz string, root_path string, ts_us long, mod_time_us long"
 _TIMER_SCHEMA = "expiry_ms long"

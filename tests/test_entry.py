@@ -4,9 +4,10 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-# Genuinely non-SQL-expressible entries (the driver records a weaker
-# rows-only check for these — SURVEY.md §5).
-ROWS_ONLY = {"ingest_logfile_tree", "kafka_envelope", "events_approx_sketches"}
+# Since round 2 every query has an oracle: the three non-SQL-expressible
+# entries (ingest_logfile_tree, kafka_envelope, events_approx_sketches)
+# hash-check against frozen golden parquet (tools/make_goldens.py).
+ROWS_ONLY: set[str] = set()
 
 
 def test_entry_flagship(spark):

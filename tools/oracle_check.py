@@ -1,9 +1,18 @@
-"""Local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate (strict, type-sensitive).
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
-at sf0.01, compares row count + column names + order-insensitive value hash
-(columns sorted by name, rows sorted, values normalized), and prints a
-pass/fail table. Usage:
+at sf0.01 and compares row count + column names + an order-insensitive
+value hash. Round-1 lesson (VERDICT.md "What's wrong"): the driver's hash
+is *type-sensitive* — DuckDB ``SUM(integer)`` returns HUGEINT which lands
+in pandas as float64 while Spark returns int64, and the two hash
+differently even when values are equal. So this mirror now:
+
+  * fetches BOTH sides through pandas (``sdf.toPandas()`` /
+    ``rel.df()``) so dtype coercions match what the driver sees;
+  * normalizes ints and floats to *different* reprs (``5`` vs ``5.0``);
+  * reports per-column dtype mismatches explicitly.
+
+Usage::
 
     python tools/oracle_check.py [query_name ...]
 """
@@ -27,36 +36,65 @@ TABLES = [
 
 
 def _norm(v):
+    import datetime
+    import decimal
+
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(float(v))
-        return repr(v)
-    if isinstance(v, bool):
+        return repr(f)
+    if isinstance(v, (np.bool_, bool)):
         return "true" if v else "false"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, np.datetime64):
+        # normalize to isoformat; dates have no time component
+        ts = v.astype("datetime64[us]").item()
+        if isinstance(ts, datetime.datetime) and ts.time() == datetime.time(0, 0):
+            return ts.date().isoformat()
+        return ts.isoformat()
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return "0x" + bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm(x) for x in v.tolist()) + "]"
     if isinstance(v, list):
         return "[" + ",".join(_norm(x) for x in v) + "]"
-    import decimal
-
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return "dec:" + str(v)
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+def frame_hash(pdf) -> tuple[int, str, dict]:
+    """(n_rows, order-insensitive md5, {col: dtype_str}) for a pandas frame."""
     import hashlib
 
+    cols = sorted(pdf.columns)
+    dtypes = {c: str(pdf[c].dtype) for c in pdf.columns}
+    # NaN in object columns arrives as float('nan'); pandas NA as pd.NA
+    import pandas as pd
+
+    def cell(v):
+        if v is pd.NaT or v is pd.NA:
+            return "NULL"
+        return _norm(v)
+
+    lines = sorted(
+        "|".join(cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    )
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return len(rows), h
+    return len(pdf), h, dtypes
 
 
 def main() -> int:
@@ -78,9 +116,8 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            sn, sh = value_hash(scols, srows)
+            spdf = sdf.toPandas()
+            sn, sh, sdt = frame_hash(spdf)
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc()
@@ -89,40 +126,56 @@ def main() -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only ({sn} rows, {time.time()-t0:.1f}s)")
             if sn == 0 and name != "join_anti":
-                print(f"     WARNING: zero rows")
+                print("     WARNING: zero rows")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
-            dn, dh = value_hash(dcols, drows)
+            dpdf = con.sql(oracles[name]).df()
+            dn, dh, ddt = frame_hash(dpdf)
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")
             traceback.print_exc()
             failures += 1
             continue
         status = []
-        if sorted(scols) != sorted(dcols):
-            status.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            status.append(
+                f"cols spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+            )
         if sn != dn:
             status.append(f"rows spark={sn} duck={dn}")
         if sh != dh:
             status.append("value-hash mismatch")
+        dt_diff = {
+            c: (sdt.get(c), ddt.get(c))
+            for c in sdt
+            if c in ddt and sdt[c] != ddt[c]
+        }
         if status:
             failures += 1
             print(f"FAIL {name}: {'; '.join(status)} ({time.time()-t0:.1f}s)")
-            if sn and dn and sorted(scols) == sorted(dcols):
-                # show first differing normalized rows to debug
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                ls = sorted("|".join(_norm(r[i]) for i in order_s) for r in srows)
-                ld = sorted("|".join(_norm(r[i]) for i in order_d) for r in drows)
+            if dt_diff:
+                print(f"     dtype diff (spark,duck): {dt_diff}")
+            if sn and dn and sorted(spdf.columns) == sorted(dpdf.columns):
+                _, _, _ = sdt, ddt, None
+                cols = sorted(spdf.columns)
+                ls = sorted(
+                    "|".join(_norm(row[c]) for c in cols)
+                    for _, row in spdf.iterrows()
+                )
+                ld = sorted(
+                    "|".join(_norm(row[c]) for c in cols)
+                    for _, row in dpdf.iterrows()
+                )
+                shown = 0
                 for a, b in zip(ls, ld):
                     if a != b:
                         print(f"     spark: {a}\n     duck : {b}")
-                        break
+                        shown += 1
+                        if shown >= 2:
+                            break
         else:
-            print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+            extra = f" [dtype diff: {dt_diff}]" if dt_diff else ""
+            print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s){extra}")
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -42,7 +42,7 @@ from log_agent_spark.plans import (
 # graph, multimodal, sampling, temporal) and puts the already-green
 # relational modules last.
 _MODULES = [
-    dedup, similarity, text, decontaminate, graph, multimodal, events,
+    dedup, similarity, multimodal, text, decontaminate, graph, events,
     sampling, temporal, skew, rollup, analytics, complex_types, agentdemo,
     tpch_extra, tpch_partsupp, relational,
 ]

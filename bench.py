@@ -142,6 +142,8 @@ HEADLINE = [
     "events_ab_test_ztest",
     "sample_bootstrap_ci",
     "media_aspect_buckets",
+    "text_quality_classifier",
+    "sample_temperature_mixture",
 ]
 
 

@@ -1021,7 +1021,81 @@ ORDER BY pair_count DESC, pair LIMIT {_BPE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# fastText-style hashed-bigram linear quality classifier (inference).
+# The production pretraining-quality filter shape (CCNet / fastText
+# "wiki-vs-crawl" classifiers): featurize each doc as a hashed bag of
+# word bigrams, dot with a weight vector, sigmoid, threshold. Everything
+# is JVM column expressions — explode-free: the bigram array maps through
+# transform() to bucket weights and aggregate()s to the dot product, so
+# the plan is a pure codegen map + one agg shuffle on the (tiny) lang key.
+# Weights here are a deterministic hash-derived stand-in (the container
+# has no trained model); production swaps `_bucket_weight` for a lookup
+# into a broadcast weight array — identical plan shape.
+# Scale: no shuffle before the final 5-row aggregate; md5 feature hashing
+# is engine-portable (same buckets in the DuckDB oracle).
+# ---------------------------------------------------------------------------
+_QC_BUCKETS = 1 << 16
+_QC_GOLD = 2654435761
+_QC_MOD = 1 << 31
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    # feature hash: md5-prefix bucket (cross-engine), then a centered
+    # pseudo-weight in [-1, 1) derived from the bucket id.
+    def _w(bg):
+        bucket = (
+            F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("bigint")
+            % _QC_BUCKETS
+        )
+        return ((bucket * _QC_GOLD) % _QC_MOD) / F.lit(float(_QC_MOD) / 2.0) - 1.0
+
+    score = F.when(
+        n >= 2,
+        F.aggregate(bigrams, F.lit(0.0), lambda acc, bg: acc + _w(bg))
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    sig = 1.0 / (1.0 + F.exp(-score))
+    scored = d.select(
+        "doc_id", "lang", sig.alias("p_quality")
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("p_quality") > 0.5).cast("long")).alias("n_pass"),
+        F.round(F.avg("p_quality"), 4).alias("avg_p"),
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         1.0 / (1.0 + exp(-(CASE WHEN len(toks) >= 2 THEN
+           list_sum(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> ((('0x' || substr(md5(toks[i] || '_' || toks[i + 1]), 1, 8))::BIGINT
+                    % {_QC_BUCKETS}) * {_QC_GOLD} % {_QC_MOD})
+                  / ({_QC_MOD} / 2.0) - 1.0
+           )) / (len(toks) - 1)
+         ELSE 0.0 END))) AS p_quality
+  FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p_quality > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(AVG(p_quality), 4) AS avg_p
+FROM scored GROUP BY lang
+"""
+
+
 QUERIES = {
+    "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
     "text_bigram_logprob": q_bigram_logprob,
     "text_bm25_search": q_bm25_search,
@@ -1045,6 +1119,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "text_bm25_search": ORACLE_BM25_SEARCH,

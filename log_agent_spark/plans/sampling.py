@@ -690,6 +690,80 @@ FROM d GROUP BY source, rate_pct
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (XLM-R / multilingual-pretraining
+# style): target share of source i is p_i ∝ n_i^α with α < 1, flattening
+# the head sources and up-weighting the tail; per-source keep-rate =
+# min(1, p_i·B/n_i) for a total budget of B docs, applied by the
+# content-addressed hash draw. Unlike sample_source_mixture (fixed
+# per-source rates), the rates here are DATA-DEPENDENT — computed
+# in-engine from the corpus itself.
+# Scale: per-source counts are a tiny aggregate; the rate table (|sources|
+# rows) broadcasts back onto the corpus; assignment is map-side; one final
+# agg shuffle on the small source key. No data-scaled window, no second
+# pass over the corpus.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+_MIX_BUDGET_FRAC = 0.5  # B = half the corpus, rebalanced
+
+
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    denom = counts.agg(
+        F.sum(F.pow("n_src", _MIX_ALPHA)).alias("z"),
+        F.sum("n_src").alias("n_total"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_src",
+            F.least(
+                F.lit(1.0),
+                (F.pow("n_src", _MIX_ALPHA) / F.col("z"))
+                * (F.lit(_MIX_BUDGET_FRAC) * F.col("n_total"))
+                / F.col("n_src"),
+            ).alias("rate"),
+        )
+    )
+    u = _hash_bucket(F.col("doc_id"), 1 << 20) / F.lit(float(1 << 20))
+    keep = F.col("u") < F.col("rate")
+    return (
+        d.select("source", "doc_id", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.max("rate"), 6).alias("keep_rate"),
+        )
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+), denom AS (
+  SELECT SUM(POW(n_src, {_MIX_ALPHA})) AS z, CAST(SUM(n_src) AS BIGINT) AS n_total
+  FROM counts
+), rates AS (
+  SELECT source, n_src,
+         LEAST(1.0, (POW(n_src, {_MIX_ALPHA}) / z)
+                    * ({_MIX_BUDGET_FRAC} * n_total) / n_src) AS rate
+  FROM counts CROSS JOIN denom
+), drawn AS (
+  SELECT d.source, r.n_src, r.rate,
+         {_oracle_bucket('doc_id', 1 << 20)} / {float(1 << 20)!r} AS u
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(MAX(rate), 6) AS keep_rate
+FROM drawn GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic epoch shuffle + sharding: the "global shuffle" a training
 # run needs — a content-addressed permutation of the corpus, split into N
 # shards with a stable position within each shard. Seeded by an epoch tag
@@ -1032,6 +1106,7 @@ QUERIES = {
     "histogram_equidepth": q_histogram_equidepth,
     "layout_zorder_stats": q_layout_zorder_stats,
     "sample_source_mixture": q_sample_source_mixture,
+    "sample_temperature_mixture": q_sample_temperature_mixture,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified_cap": q_sample_stratified_cap,
     "unpivot_measures": q_unpivot_measures,
@@ -1054,6 +1129,7 @@ ORACLES = {
     "histogram_equidepth": ORACLE_HISTOGRAM_EQUIDEPTH,
     "layout_zorder_stats": ORACLE_LAYOUT_ZORDER_STATS,
     "sample_source_mixture": ORACLE_SAMPLE_SOURCE_MIXTURE,
+    "sample_temperature_mixture": ORACLE_SAMPLE_TEMPERATURE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,

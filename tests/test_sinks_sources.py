@@ -63,6 +63,23 @@ def test_multisink_priority_order_and_commit(spark):
     assert calls == ["high", "low", "commit"]  # watchdog.go:98 desc order, K8 last
 
 
+def test_rabbitmq_stub_parity(spark):
+    """K5: the RabbitMQ sink is a log-and-succeed stub, exactly like the
+    reference adapter (rabbitmq.go:25-33) - records flow through a chain
+    containing it, nothing fails, commit still fires."""
+    from log_agent_spark.sinks.rabbitmq import rabbitmq_sink
+
+    df = spark.range(3)
+    calls: list[str] = []
+    chain = MultiSink(
+        [rabbitmq_sink(priority=5),
+         Sink(name="after", write=lambda d: calls.append("after"), priority=1)],
+        on_success=lambda d: calls.append("commit"),
+    )
+    chain(df)
+    assert calls == ["after", "commit"]
+
+
 def test_multisink_fail_fast_no_commit(spark):
     df = spark.range(3)
     calls: list[str] = []

@@ -48,6 +48,7 @@ def with_global_order(
     rank_col: str = "rank",
     cumsum_of: Column | None = None,
     cumsum_col: str = "cum",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Return ``df`` + a global 1-based ``rank_col`` following
     ``order_cols`` (which must define a TOTAL order for deterministic
@@ -58,6 +59,11 @@ def with_global_order(
     ``sum(x).over(...rowsBetween(unboundedPreceding, 0))``) but executes
     as a parallel range-partitioned sort + tiny offset table instead of a
     single-task global sort.
+
+    ``total_col``: also attach the total row count as a column, derived
+    from the P-row per-partition count table (NOT a second pass over
+    ``df`` — callers like exact_ntile need n and would otherwise
+    recompute the whole upstream plan for one scalar).
     """
     parts = df.repartitionByRange(*order_cols).withColumn(
         _PID, F.spark_partition_id()
@@ -99,6 +105,9 @@ def with_global_order(
         out = out.withColumn(
             cumsum_col, F.col(_SUM_OFFSET) + F.col(_LOCAL_SUM)
         )
+    if total_col is not None:
+        total = per_part.agg(F.sum("__n").cast("long").alias(total_col))
+        out = out.join(F.broadcast(total), how="cross")
     drop = [_PID, _LOCAL_RANK, _OFFSET] + (
         [_LOCAL_SUM, _SUM_OFFSET] if cumsum_of is not None else []
     )
@@ -123,8 +132,9 @@ def exact_ntile(
     If ``key_cols`` is given, only those columns plus ``out_col`` are
     returned (the minimal frame to join back on).
     """
-    ranked = with_global_order(df, order_cols, rank_col="__gr")
-    n_total = df.agg(F.count(F.lit(1)).cast("long").alias("__n_total"))
+    ranked = with_global_order(
+        df, order_cols, rank_col="__gr", total_col="__n_total"
+    )
     r = F.col("__gr")
     n = F.col("__n_total")
     k = F.lit(n_tiles)
@@ -139,9 +149,7 @@ def exact_ntile(
         .cast("long")
         .alias(out_col)
     )
-    out = ranked.join(F.broadcast(n_total), how="cross").withColumn(
-        out_col, tile
-    )
+    out = ranked.withColumn(out_col, tile)
     out = out.drop("__gr", "__n_total")
     if key_cols is not None:
         out = out.select(*key_cols, out_col)

@@ -784,12 +784,16 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_start"
         )
     ).agg(F.count("*").alias("new_tokens"))
-    w = W.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
-    return per_bucket.select(
-        "bucket_start",
-        "new_tokens",
-        F.sum("new_tokens").over(w).alias("vocab_size"),
-    )
+    # bucket count grows with the corpus (n_docs / bucket width), so the
+    # running total uses the distributed range-partitioned cumsum, not a
+    # single-task global window.
+    return with_global_order(
+        per_bucket,
+        [F.asc("bucket_start")],
+        rank_col="__r",
+        cumsum_of=F.col("new_tokens"),
+        cumsum_col="vocab_size",
+    ).select("bucket_start", "new_tokens", "vocab_size")
 
 
 ORACLE_VOCAB_GROWTH = f"""

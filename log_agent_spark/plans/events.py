@@ -1356,11 +1356,15 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # path vocabulary grows with the corpus: global top-k via
+    # orderBy().limit() (TakeOrderedAndProject — per-partition heaps,
+    # k-row shuffle), then rank over the k already-selected rows.
+    topk = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(
+        _PATH_TOP_K
+    )
     wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _PATH_TOP_K)
-        .select("path", "n_sessions", "rank")
+    return topk.withColumn("rank", F.row_number().over(wr)).select(
+        "path", "n_sessions", "rank"
     )
 
 

@@ -977,6 +977,149 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity filter (Wenzek et al. 2020): score every held-out
+# doc under the interpolated bigram LM, then split each LANGUAGE at its
+# perplexity terciles into head/middle/tail quality buckets — the standard
+# LM-based pretraining-corpus gate. Bucketing happens on avg_logprob
+# directly (perplexity = exp(-x) is monotone, so terciles of one are
+# terciles of the other) — no exp() in the compared output, keeping the
+# cross-engine float surface identical to the proven LM queries (ln + AVG
+# + round-4). Scale: the per-doc scoring reuses the broadcast bigram
+# model (corpus-wide shuffle only at the per-doc aggregate); the tercile
+# table is |langs|×2 rows — computed with exact interpolated percentile
+# here, the drop-in at 100 TB is percentile_approx over the same
+# doc-count-sized score table, and the bucket assignment join stays
+# broadcast either way. p = 1/3 keeps rank fractions in {0, 1/3, 2/3},
+# so interpolated boundaries sit strictly between round-4-separated
+# sample values and the head/middle/tail comparisons cannot flip on
+# engine ulp differences.
+# ---------------------------------------------------------------------------
+_P1 = 1.0 / 3.0
+_P2 = 2.0 / 3.0
+
+
+def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-doc (doc_id, lang, avg_logprob) under the bigram LM —
+    the scoring core of q_bigram_logprob with lang carried through."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = d.filter(F.col("doc_id") < _LM_TRAIN_MAX)
+    toks = train.select(F.explode(tokens(F.col("text"))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c_uni"))
+    big = _bigrams(train).groupBy("prev", "term").agg(F.count("*").alias("c_big"))
+    consts = uni.agg(
+        F.sum("c_uni").alias("n_total"), F.count("*").alias("v_size")
+    )
+    held = d.filter(F.col("doc_id") >= _LM_TRAIN_MAX)
+    scored = (
+        _bigrams(held)
+        .join(F.broadcast(big), ["prev", "term"], "left")
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("prev"), F.col("c_uni").alias("c_prev"))
+            ),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(uni), "term", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    p_big = (F.coalesce(F.col("c_big"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size")
+    )
+    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1) / (
+        F.col("n_total") + F.col("v_size")
+    )
+    logp = F.log(F.lit(_LM_LAMBDA) * p_big + F.lit(1.0 - _LM_LAMBDA) * p_uni)
+    per_doc = (
+        scored.select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 4).alias("score"))
+    )
+    return per_doc.join(held.select("doc_id", "lang"), "doc_id")
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang head/middle/tail perplexity buckets of the held-out docs."""
+    per_doc = _doc_logprob(spark, sf_dir)
+    terc = per_doc.groupBy("lang").agg(
+        F.percentile("score", F.lit(_P1)).alias("q1"),
+        F.percentile("score", F.lit(_P2)).alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("score") > F.col("q2"), "head")
+        .when(F.col("score") > F.col("q1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.join(F.broadcast(terc), "lang")
+        .select("lang", bucket.alias("bucket"), "score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # order-independent average: scores are round-4, so summing
+            # them as exact 1e-4-scaled integers removes float-summation
+            # order sensitivity; one shared division at the end.
+            F.round(
+                F.sum(F.round(F.col("score") * 10000, 0).cast("long"))
+                / (F.lit(10000.0) * F.count("*")),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_PERPLEXITY_FILTER = f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_LM_TRAIN_MAX}
+), uni AS (
+  SELECT tok AS term, COUNT(*) AS c_uni
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM train)
+  GROUP BY tok
+), big AS (
+  SELECT prev, term, COUNT(*) AS c_big
+  FROM ({_SQL_BIGRAMS.format(src="train")})
+  GROUP BY prev, term
+), consts AS (
+  SELECT SUM(c_uni) AS n_total, COUNT(*) AS v_size FROM uni
+), held AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id >= {_LM_TRAIN_MAX}
+), scored AS (
+  SELECT hb.doc_id,
+         ln({_LM_LAMBDA}::DOUBLE
+              * (COALESCE(big.c_big, 0) + 1)
+              / (COALESCE(p.c_uni, 0) + consts.v_size)
+            + {1.0 - _LM_LAMBDA}::DOUBLE
+              * (COALESCE(u.c_uni, 0) + 1)
+              / (consts.n_total + consts.v_size)) AS logp
+  FROM ({_SQL_BIGRAMS.format(src="held")}) hb
+  LEFT JOIN big ON hb.prev = big.prev AND hb.term = big.term
+  LEFT JOIN uni p ON hb.prev = p.term
+  LEFT JOIN uni u ON hb.term = u.term
+  CROSS JOIN consts
+), per_doc AS (
+  SELECT s.doc_id, h.lang, ROUND(AVG(s.logp), 4) AS score
+  FROM scored s JOIN held h ON s.doc_id = h.doc_id
+  GROUP BY s.doc_id, h.lang
+), terc AS (
+  SELECT lang,
+         quantile_cont(score, {_P1!r}) AS q1,
+         quantile_cont(score, {_P2!r}) AS q2
+  FROM per_doc GROUP BY lang
+)
+SELECT d.lang,
+       CASE WHEN d.score > t.q2 THEN 'head'
+            WHEN d.score > t.q1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(CAST(ROUND(d.score * 10000, 0) AS BIGINT))
+             / (10000.0 * COUNT(*)), 4) AS avg_logprob
+FROM per_doc d JOIN terc t ON d.lang = t.lang
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE merge step: the distributed core of byte-pair-encoding tokenizer
 # training (Sennrich et al. 2016) — count adjacent character pairs across
 # the corpus, weighted by word frequency, and emit the top merge
@@ -1102,6 +1245,7 @@ QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
     "text_bigram_logprob": q_bigram_logprob,
+    "text_perplexity_filter": q_perplexity_filter,
     "text_bm25_search": q_bm25_search,
     "text_inverted_index": q_inverted_index,
     "text_langid_confusion": q_langid_confusion,
@@ -1126,6 +1270,7 @@ ORACLES = {
     "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+    "text_perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "text_bm25_search": ORACLE_BM25_SEARCH,
     "text_inverted_index": ORACLE_INVERTED_INDEX,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,

@@ -164,6 +164,53 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF sink→source round trip over the documents table: write
+    through the pure-Python Object Container File writer (deflate codec,
+    one file per partition, executor-side), read back through the matching
+    reader, and aggregate per lang. The oracle runs the same aggregate on
+    the ORIGINAL parquet — a value-hash match proves encode∘decode is the
+    identity through the full OCF wire format (header map, zigzag varints,
+    deflate blocks, sync markers). Completes the §2.7 format inventory
+    without the spark-avro jar."""
+    from log_agent_spark.sources.avro_ocf import register
+    from log_agent_spark.sources.tables import load_table
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    outdir = os.path.join(
+        tempfile.gettempdir(),
+        "log_agent_spark_avro",
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    docs.write.format("avro_ocf").mode("overwrite").option(
+        "codec", "deflate"
+    ).save(outdir)
+    back = spark.read.format("avro_ocf").schema(docs.schema).load(outdir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_AVRO_ROUNDTRIP = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _BSI_TS_RE = r"(\d{4}-\d{2}-\d{2}_\d{2}_\d{2}_\d{2}_\d{3})$"
 
 # NOTE: the oracle reads the SAME raw fixture files DuckDB-side; the tree is
@@ -205,6 +252,7 @@ QUERIES = {
     "ingest_text_files": q_ingest_text_files,
     "kafka_envelope": q_kafka_envelope,
     "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
+    "ingest_avro_roundtrip": q_ingest_avro_roundtrip,
 }
 
 # ingest_logfile_tree / kafka_envelope: DuckDB cannot unzip or gzip, so
@@ -229,6 +277,7 @@ def __getattr__(name: str):
         root = _fixture_root()
         return {
             **_STATIC_ORACLES,
+            "ingest_avro_roundtrip": _ORACLE_AVRO_ROUNDTRIP,
             "ingest_text_files": _ORACLE_INGEST_TEXT_FILES.replace("{root}", root),
             # same truth: the wire round trip must be the identity
             "kafka_wire_roundtrip": _ORACLE_INGEST_TEXT_FILES.replace("{root}", root),

@@ -23,6 +23,7 @@ from log_agent_spark.operators import (
     skew,
     temporal,
     text,
+    timeseries,
 )
 from log_agent_spark.plans import (
     agentdemo,
@@ -42,9 +43,9 @@ from log_agent_spark.plans import (
 # graph, multimodal, sampling, temporal) and puts the already-green
 # relational modules last.
 _MODULES = [
-    dedup, similarity, multimodal, text, decontaminate, graph, events,
-    sampling, temporal, skew, rollup, analytics, complex_types, agentdemo,
-    tpch_extra, tpch_partsupp, relational,
+    dedup, similarity, multimodal, text, decontaminate, graph, timeseries,
+    events, sampling, temporal, skew, rollup, analytics, complex_types,
+    agentdemo, tpch_extra, tpch_partsupp, relational,
 ]
 
 

@@ -144,6 +144,9 @@ HEADLINE = [
     "media_aspect_buckets",
     "text_quality_classifier",
     "sample_temperature_mixture",
+    "text_perplexity_filter",
+    "events_sax_similarity",
+    "ingest_avro_roundtrip",
 ]
 
 

@@ -1,0 +1,201 @@
+"""Time-series similarity search over per-user activity series.
+
+The missing retrieval modality next to ANN-over-embeddings: find users
+whose ACTIVITY SHAPE over a fixed window is most similar (per
+"Time Series Similarity Search for Streaming Data in Distributed
+Systems", EDBT 2019, and the SAX symbolic indexing of Lin et al. 2003).
+Pipeline, all built-in expressions:
+
+  1. densify: per-(user, day) event counts over a fixed 28-day spine
+     (missing days are real zeros — shape similarity needs them);
+  2. z-normalize per user (constant series dropped: no shape), with the
+     variance computed as avg(v²) − avg(v)² over exact integer counts so
+     both engines derive bit-identical moments;
+  3. quantize z to 1e-3 integers — every downstream sum is EXACT integer
+     arithmetic, immune to float summation order across engines;
+  4. SAX words: 4 PAA segments × alphabet {a,b,c,d} at the Gaussian
+     quartile breakpoints ±0.6745/0 (PAA means reconstructed from the
+     integer segment sums, so symbol comparisons can't sit on an
+     engine-dependent ulp);
+  5. candidates = exact SAX-word equi-join (u1 < u2) — the bucketed
+     candidate structure of the LSH/ANN family applied to series: NEVER
+     all-pairs;
+  6. exact z-space Euclidean distance on candidates only (integer sums),
+     deterministic top-k by (distance², u1, u2).
+
+Scale (100 TB intent): per-(user, day) counts partial-aggregate
+map-side; the spine densification joins on user — one shuffle each. The
+SAX-word join is the ANN-bucket shape: candidates within buckets only;
+a hot word (everyone flat-ish) is the documented skew case — salt the
+word or lengthen it (more segments / bigger alphabet), exactly like
+narrowing an LSH band. The final distance join moves only
+candidate-pair series (28 rows each), not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+
+_TS_ANCHOR = "2024-01-01"  # fixture epoch (TESTDATA.md); day 0 of the window
+_TS_D = 28  # window length: 4 whole weeks inside the 30-day fixture span
+_TS_SEG = 7  # PAA segment length -> 4 segments
+_TS_K = 10
+_BPS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles, alphabet size 4
+
+
+def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar user activity series via SAX-bucketed candidates."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    idx = F.datediff(F.to_date("ts"), F.to_date(F.lit(_TS_ANCHOR)))
+    counts = (
+        e.select("user_id", idx.alias("idx"))
+        .filter((F.col("idx") >= 0) & (F.col("idx") < _TS_D))
+        .groupBy("user_id", "idx")
+        .agg(F.count("*").alias("v"))
+    )
+    users = counts.select("user_id").distinct()
+    spine = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_TS_D - 1))).alias("idx")
+    )
+    dense = spine.join(counts, ["user_id", "idx"], "left").select(
+        "user_id", "idx", F.coalesce("v", F.lit(0)).cast("double").alias("v")
+    )
+    stats = (
+        dense.groupBy("user_id")
+        .agg(F.avg("v").alias("m"), F.avg(F.col("v") * F.col("v")).alias("msq"))
+        .select("user_id", "m", (F.col("msq") - F.col("m") * F.col("m")).alias("s2"))
+        .filter(F.col("s2") > 0)
+        .select("user_id", "m", F.sqrt("s2").alias("s"))
+    )
+    z = dense.join(stats, "user_id").select(
+        "user_id",
+        "idx",
+        F.round((F.col("v") - F.col("m")) / F.col("s") * 1000, 0)
+        .cast("long")
+        .alias("zi"),
+    )
+    segs = z.groupBy(
+        "user_id", F.floor(F.col("idx") / _TS_SEG).cast("int").alias("seg")
+    ).agg(F.sum("zi").alias("ss"))
+    p = F.col("ss") / F.lit(_TS_SEG * 1000.0)
+    sym = (
+        F.when(p < _BPS[0], "a")
+        .when(p < _BPS[1], "b")
+        .when(p < _BPS[2], "c")
+        .otherwise("d")
+    )
+    words = (
+        segs.select("user_id", "seg", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                *[
+                    F.max(F.when(F.col("seg") == i, F.col("sym")))
+                    for i in range(_TS_D // _TS_SEG)
+                ]
+            ).alias("word")
+        )
+    )
+    cand = (
+        words.alias("x")
+        .join(
+            words.alias("y"),
+            (F.col("x.word") == F.col("y.word"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("u1"),
+            F.col("y.user_id").alias("u2"),
+            F.col("x.word").alias("word"),
+        )
+    )
+    z1 = z.select(F.col("user_id").alias("u1"), "idx", F.col("zi").alias("z1"))
+    z2 = z.select(F.col("user_id").alias("u2"), "idx", F.col("zi").alias("z2"))
+    d2 = (
+        cand.join(z1, "u1")
+        .join(z2, ["u2", "idx"])
+        .groupBy("u1", "u2", "word")
+        .agg(
+            F.sum(
+                (F.col("z1") - F.col("z2")) * (F.col("z1") - F.col("z2"))
+            ).alias("d2")
+        )
+    )
+    return (
+        d2.orderBy("d2", "u1", "u2")
+        .limit(_TS_K)
+        .select(
+            "u1",
+            "u2",
+            "word",
+            F.round(F.sqrt(F.col("d2")) / 1000.0, 4).alias("dist"),
+        )
+    )
+
+
+ORACLE_SAX_SIMILARITY = f"""
+WITH counts AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_TS_ANCHOR}', CAST(ts AS DATE)) AS idx,
+         COUNT(*) AS v
+  FROM events
+  WHERE date_diff('day', DATE '{_TS_ANCHOR}', CAST(ts AS DATE))
+        BETWEEN 0 AND {_TS_D - 1}
+  GROUP BY 1, 2
+), users AS (
+  SELECT DISTINCT user_id FROM counts
+), spine AS (
+  SELECT user_id, unnest(generate_series(0, {_TS_D - 1})) AS idx FROM users
+), dense AS (
+  SELECT s.user_id, s.idx, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+  FROM spine s LEFT JOIN counts c ON s.user_id = c.user_id AND s.idx = c.idx
+), stats AS (
+  SELECT user_id, AVG(v) AS m, AVG(v*v) AS msq FROM dense GROUP BY 1
+), st2 AS (
+  SELECT user_id, m, sqrt(msq - m*m) AS s FROM stats WHERE msq - m*m > 0
+), z AS (
+  SELECT d.user_id, d.idx,
+         CAST(ROUND((d.v - t.m) / t.s * 1000, 0) AS BIGINT) AS zi
+  FROM dense d JOIN st2 t USING (user_id)
+), segs AS (
+  SELECT user_id, idx // {_TS_SEG} AS seg, SUM(zi) AS ss FROM z GROUP BY 1, 2
+), syms AS (
+  SELECT user_id, seg,
+         CASE WHEN ss / {_TS_SEG * 1000.0} < {_BPS[0]} THEN 'a'
+              WHEN ss / {_TS_SEG * 1000.0} < {_BPS[1]} THEN 'b'
+              WHEN ss / {_TS_SEG * 1000.0} < {_BPS[2]} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM segs
+), words AS (
+  SELECT user_id,
+         MAX(CASE WHEN seg = 0 THEN sym END) ||
+         MAX(CASE WHEN seg = 1 THEN sym END) ||
+         MAX(CASE WHEN seg = 2 THEN sym END) ||
+         MAX(CASE WHEN seg = 3 THEN sym END) AS word
+  FROM syms GROUP BY 1
+), cand AS (
+  SELECT x.user_id AS u1, y.user_id AS u2, x.word
+  FROM words x JOIN words y ON x.word = y.word AND x.user_id < y.user_id
+), d2 AS (
+  SELECT c.u1, c.u2, c.word, SUM((a.zi - b.zi) * (a.zi - b.zi)) AS d2
+  FROM cand c
+  JOIN z a ON a.user_id = c.u1
+  JOIN z b ON b.user_id = c.u2 AND b.idx = a.idx
+  GROUP BY 1, 2, 3
+)
+SELECT u1, u2, word,
+       ROUND(sqrt(CAST(d2 AS DOUBLE)) / 1000.0, 4) AS dist
+FROM d2 ORDER BY d2, u1, u2 LIMIT {_TS_K}
+"""
+
+
+QUERIES = {
+    "events_sax_similarity": q_sax_similarity,
+}
+
+ORACLES = {
+    "events_sax_similarity": ORACLE_SAX_SIMILARITY,
+}

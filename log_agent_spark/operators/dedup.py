@@ -626,9 +626,18 @@ def _bloom_positions() -> F.Column:
 
 def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom prefilter vs prior corpus; every positive classified true/false."""
-    corpus = with_planted_dups(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("long").alias("h"),
+    corpus = (
+        with_planted_dups(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        # (doc_id, h) is 16 B/row; three branches consume it (filter build,
+        # probe stream, ground-truth hashes) — persist so the full-text md5
+        # scan runs once instead of three times.
+        .persist()
     )
     prior = corpus.filter(F.col("doc_id") < 250)
     incoming = corpus.filter(F.col("doc_id") >= 250)

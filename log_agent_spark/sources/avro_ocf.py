@@ -371,11 +371,24 @@ class _StreamReader:
         return self._f.read(n)
 
 
-def iter_ocf(path: str):
-    """Yield rows (tuples in field order) from one OCF file."""
+def iter_ocf(path: str, field_names: list[str] | None = None):
+    """Yield rows from one OCF file.
+
+    Without ``field_names``, rows are tuples in the WRITER schema's field
+    order. With it, Avro schema resolution applies: every record is
+    projected to the requested names (fields matched by name, missing
+    names filled with None) — so a reader schema that reorders, prunes,
+    or extends the writer schema gets correctly-aligned columns instead
+    of positional garbage.
+    """
     with open(path, "rb") as f:
         schema, codec, sync = read_ocf_header(f)
         field_types = [fld["type"] for fld in schema["fields"]]
+        if field_names is None:
+            project = None
+        else:
+            writer_pos = {fld["name"]: i for i, fld in enumerate(schema["fields"])}
+            project = [writer_pos.get(n) for n in field_names]
         cursor = _StreamReader(f)
         while True:
             first = f.read(1)
@@ -391,7 +404,13 @@ def iter_ocf(path: str):
                 raise ValueError(f"avro_ocf: unsupported codec {codec!r}")
             buf = io.BytesIO(payload)
             for _ in range(count):
-                yield tuple(_decode_value(t, buf) for t in field_types)
+                row = tuple(_decode_value(t, buf) for t in field_types)
+                if project is None:
+                    yield row
+                else:
+                    yield tuple(
+                        None if i is None else row[i] for i in project
+                    )
             if f.read(16) != sync:
                 raise ValueError("avro_ocf: sync marker mismatch (corrupt block)")
 
@@ -413,10 +432,13 @@ class AvroCommit(WriterCommitMessage):
 
 
 class AvroOcfReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("avro_ocf reader requires a load path")
+        # requested (reader) schema — resolution by NAME against each
+        # file's writer schema, so reordered/pruned/extended schemas work
+        self._field_names = [f.name for f in schema.fields]
 
     def partitions(self):
         files = sorted(
@@ -427,7 +449,7 @@ class AvroOcfReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        yield from iter_ocf(partition.path)
+        yield from iter_ocf(partition.path, self._field_names)
 
 
 class AvroOcfWriter(DataSourceWriter):
@@ -490,7 +512,7 @@ class AvroOcfDataSource(DataSource):
         raise ValueError(f"avro_ocf: no .avro files under {path}")
 
     def reader(self, schema: StructType) -> AvroOcfReader:
-        return AvroOcfReader(dict(self.options))
+        return AvroOcfReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroOcfWriter:
         return AvroOcfWriter(dict(self.options), schema, overwrite)

@@ -191,6 +191,42 @@ def test_spark_overwrite_clears_stale_parts(spark, tmp_path):
     assert spark.read.format("avro_ocf").load(out).count() == 10
 
 
+def test_schema_resolution_reorder_prune_extend(spark, tmp_path):
+    # Avro schema resolution: the reader schema is matched by NAME against
+    # each file's writer schema — reordering, pruning, and extending must
+    # all produce correctly-aligned columns, never positional garbage.
+    spark.dataSource.register(AvroOcfDataSource)
+    out = str(tmp_path / "resolve")
+    df = spark.range(3).select(
+        F.col("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        (F.col("id") * 2.5).alias("score"),
+    )
+    df.coalesce(1).write.format("avro_ocf").mode("append").save(out)
+
+    reordered = StructType(
+        [
+            StructField("score", DoubleType(), True),
+            StructField("id", LongType(), True),
+        ]
+    )
+    got = {
+        r.id: r.score
+        for r in spark.read.format("avro_ocf").schema(reordered).load(out).collect()
+    }
+    assert got == {0: 0.0, 1: 2.5, 2: 5.0}
+
+    extended = StructType(
+        [
+            StructField("name", StringType(), True),
+            StructField("missing_col", StringType(), True),
+        ]
+    )
+    rows = spark.read.format("avro_ocf").schema(extended).load(out).collect()
+    assert sorted(r.name for r in rows) == ["n0", "n1", "n2"]
+    assert all(r.missing_col is None for r in rows)
+
+
 def test_corrupt_sync_marker_raises(tmp_path):
     schema = {"type": "record", "name": "t",
               "fields": [{"name": "id", "type": "long"}]}

@@ -171,11 +171,19 @@ def main() -> None:
     # spike can inflate a single 1 s query to 10 s+. Min-of-N is the
     # standard noise-robust estimator for deterministic workloads.
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — one bad query must
+                # not void the other 120+ measurements on the driver's box
+                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
             best = min(best, time.perf_counter() - t0)
             # Measurement hygiene between attempts (outside the timer),
             # JMH-style: drop blocks pinned by queries that persist()
@@ -186,7 +194,8 @@ def main() -> None:
             # 4-20x inflation on the wire-roundtrip query).
             spark.catalog.clearCache()
             spark._jvm.System.gc()
-        timings[name] = round(best, 3)
+        if name not in failures:
+            timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -206,6 +215,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "failures": failures,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -221,6 +231,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "n_failures": len(failures),
                 "queries": top10,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -227,6 +227,17 @@ def test_schema_resolution_reorder_prune_extend(spark, tmp_path):
     assert all(r.missing_col is None for r in rows)
 
 
+def test_empty_partitions_write_header_only_files(spark, tmp_path):
+    # 1 row over 8 partitions -> 7 header-only OCF files; the reader must
+    # treat them as empty, not corrupt, and schema inference still works
+    spark.dataSource.register(AvroOcfDataSource)
+    out = str(tmp_path / "mostly_empty")
+    spark.range(1).repartition(8).write.format("avro_ocf").mode("append").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 8
+    back = spark.read.format("avro_ocf").load(out)
+    assert back.count() == 1
+
+
 def test_corrupt_sync_marker_raises(tmp_path):
     schema = {"type": "record", "name": "t",
               "fields": [{"name": "id", "type": "long"}]}

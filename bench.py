@@ -146,6 +146,7 @@ HEADLINE = [
     "sample_temperature_mixture",
     "text_perplexity_filter",
     "events_sax_similarity",
+    "events_cusum_shift",
     "ingest_avro_roundtrip",
 ]
 

@@ -192,10 +192,155 @@ FROM d2 ORDER BY d2, u1, u2 LIMIT {_TS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (Page 1954) over per-type daily volumes —
+# LEVEL-SHIFT detection, the sequential complement to the point-outlier
+# detectors (anomaly_zscore/anomaly_mad flag single weird days; CUSUM
+# accumulates small sustained drifts until they cross a decision
+# threshold). The recursive filter S_t = max(0, S_{t-1} + y_t) is not a
+# plain window aggregate, but it has an exact windowed identity:
+#
+#     S_t = P_t - min(0, min_{i<=t} P_i),   P = prefix sum of y
+#
+# so the whole detector is two partitioned windows (prefix sum + running
+# min) over integer-quantized standardized deviations — exact arithmetic,
+# no fold, engine-portable. Baseline mu/sigma come from the first 14 days
+# (the in-control period); k = 0.5 sigma allowance, h = 4 sigma decision
+# interval (the classic tuning).
+#
+# Scale: the only data-sized shuffle is the per-(type, day) count; every
+# window is partitionBy(event_type) over a bounded ~30-row series per
+# key. At 100 TB the same plan holds — window state is days-per-key, not
+# events-per-key.
+# ---------------------------------------------------------------------------
+_CU_DAYS = 30
+_CU_BASE = 14  # in-control baseline window (days)
+_CU_K = 500  # allowance, 0.5 sigma in 1e-3 units
+_CU_H = 4000  # decision interval, 4 sigma in 1e-3 units
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM level-shift report over daily event volumes."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    idx = F.datediff(F.to_date("ts"), F.to_date(F.lit(_TS_ANCHOR)))
+    counts = (
+        e.select("event_type", idx.alias("idx"))
+        .filter((F.col("idx") >= 0) & (F.col("idx") < _CU_DAYS))
+        .groupBy("event_type", "idx")
+        .agg(F.count("*").alias("v"))
+    )
+    types = counts.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_CU_DAYS - 1))).alias("idx"),
+    )
+    dense = spine.join(counts, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("v", F.lit(0)).cast("double").alias("v")
+    )
+    base = (
+        dense.filter(F.col("idx") < _CU_BASE)
+        .groupBy("event_type")
+        .agg(F.avg("v").alias("m"), F.avg(F.col("v") * F.col("v")).alias("msq"))
+        .select(
+            "event_type", "m", (F.col("msq") - F.col("m") * F.col("m")).alias("s2")
+        )
+        .filter(F.col("s2") > 0)
+        .select("event_type", "m", F.sqrt("s2").alias("s"))
+    )
+    z = dense.join(base, "event_type").select(
+        "event_type",
+        "idx",
+        F.round((F.col("v") - F.col("m")) / F.col("s") * 1000, 0)
+        .cast("long")
+        .alias("zi"),
+    )
+    wseq = W.partitionBy("event_type").orderBy("idx")
+    wrun = wseq.rowsBetween(W.unboundedPreceding, 0)
+    p_hi = F.sum(F.col("zi") - _CU_K).over(wrun)
+    p_lo = F.sum(-F.col("zi") - _CU_K).over(wrun)
+    cus = z.select(
+        "event_type",
+        "idx",
+        (p_hi - F.least(F.lit(0), F.min(p_hi).over(wrun))).alias("c_hi"),
+        (p_lo - F.least(F.lit(0), F.min(p_lo).over(wrun))).alias("c_lo"),
+    )
+    flagged = F.when(
+        (F.col("c_hi") > _CU_H) | (F.col("c_lo") > _CU_H), F.col("idx")
+    )
+    return (
+        cus.groupBy("event_type")
+        .agg(
+            F.max("c_hi").alias("max_cusum_up"),
+            F.max("c_lo").alias("max_cusum_down"),
+            F.count(flagged).cast("long").alias("n_days_flagged"),
+            # long: DuckDB date_diff yields BIGINT where datediff is INT
+            F.min(flagged).cast("long").alias("first_flag_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CUSUM_SHIFT = f"""
+WITH counts AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_TS_ANCHOR}', CAST(ts AS DATE)) AS idx,
+         COUNT(*) AS v
+  FROM events
+  WHERE date_diff('day', DATE '{_TS_ANCHOR}', CAST(ts AS DATE))
+        BETWEEN 0 AND {_CU_DAYS - 1}
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM counts
+), spine AS (
+  SELECT event_type, unnest(generate_series(0, {_CU_DAYS - 1})) AS idx
+  FROM types
+), dense AS (
+  SELECT s.event_type, s.idx, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+  FROM spine s
+  LEFT JOIN counts c ON s.event_type = c.event_type AND s.idx = c.idx
+), base AS (
+  SELECT event_type, m, sqrt(s2) AS s FROM (
+    SELECT event_type, AVG(v) AS m, AVG(v*v) - AVG(v)*AVG(v) AS s2
+    FROM dense WHERE idx < {_CU_BASE} GROUP BY 1
+  ) WHERE s2 > 0
+), z AS (
+  SELECT d.event_type, d.idx,
+         CAST(ROUND((d.v - b.m) / b.s * 1000, 0) AS BIGINT) AS zi
+  FROM dense d JOIN base b USING (event_type)
+), pre AS (
+  SELECT event_type, idx,
+         SUM(zi - {_CU_K}) OVER w AS p_hi,
+         SUM(-zi - {_CU_K}) OVER w AS p_lo
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cus AS (
+  SELECT event_type, idx,
+         p_hi - LEAST(0, MIN(p_hi) OVER w) AS c_hi,
+         p_lo - LEAST(0, MIN(p_lo) OVER w) AS c_lo
+  FROM pre
+  WINDOW w AS (PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(MAX(c_hi) AS BIGINT) AS max_cusum_up,
+       CAST(MAX(c_lo) AS BIGINT) AS max_cusum_down,
+       CAST(COUNT(CASE WHEN c_hi > {_CU_H} OR c_lo > {_CU_H} THEN 1 END)
+            AS BIGINT) AS n_days_flagged,
+       MIN(CASE WHEN c_hi > {_CU_H} OR c_lo > {_CU_H} THEN idx END)
+         AS first_flag_day
+FROM cus GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
+    "events_cusum_shift": q_cusum_shift,
 }
 
 ORACLES = {
     "events_sax_similarity": ORACLE_SAX_SIMILARITY,
+    "events_cusum_shift": ORACLE_CUSUM_SHIFT,
 }

@@ -351,13 +351,12 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        # materialize once: the edge list feeds BOTH the degree pass and
-        # the orientation join, and recomputing the per-order pair
-        # self-join is the single most expensive subtree in the query
-        # (~30% of wall at sf0.1). MEMORY_AND_DISK — |E| rows, spills at
-        # cluster scale instead of OOMing (standard iterative-graph
-        # practice, same as `oriented` below).
-        .persist()
+        # NOT persisted although two branches (degree pass, orientation
+        # join) consume it: the trailing distinct's Exchange is shared as
+        # a ReusedExchange, so both consumers read the same shuffle files
+        # and nothing upstream recomputes. An explicit persist measured
+        # ~2x SLOWER interleaved at sf0.1 (storage write + double read vs
+        # free shuffle reuse).
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -148,6 +148,8 @@ HEADLINE = [
     "events_sax_similarity",
     "events_cusum_shift",
     "ingest_avro_roundtrip",
+    "dedup_split_leakage",
+    "dedup_group_split",
 ]
 
 

@@ -1019,6 +1019,135 @@ WHERE c.doc_id = c.comp
 """
 
 
+# ---------------------------------------------------------------------------
+# Train/test leakage: split assignment + split hygiene.
+#
+# Two complementary operators a training-data pipeline runs before cutting a
+# corpus into train/val/test:
+#
+#   * `dedup_split_leakage` AUDITS a naive per-doc hash split: how many
+#     near-duplicate pairs (LSH candidates) straddle two different splits?
+#     Every such pair is test-set contamination — the model sees a near-copy of
+#     an eval document during training.
+#   * `dedup_group_split` FIXES it for exact-duplicate groups: key the split
+#     on the group ROOT's hash (min doc_id per content checksum) so a whole
+#     duplicate group lands in one split, and report how many docs the
+#     group-aware assignment moved relative to the naive per-doc split.
+#     (The production form keys on the connected-component root from
+#     `dedup_canonical_corpus`, covering near-dups too; the exact-group form
+#     here is the SQL-expressible tier of the same shape.)
+#
+# Scale: the split of a doc is a PURE function of its id hash — computing
+# split_a/split_b for LSH pairs needs no join at all, so the audit adds zero
+# shuffles beyond the LSH candidate join itself. The group split is one
+# checksum-partitioned window min (group sizes = duplicate multiplicity,
+# bounded), again no extra join.
+# ---------------------------------------------------------------------------
+def _split_expr(col):
+    """train/val/test (80/10/10) from an md5 hash bucket of a column —
+    deterministic, partition-layout independent (sampling.py precedent)."""
+    b = (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
+def _split_sql(expr: str) -> str:
+    b = f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    return f"CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+
+
+def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: LSH near-dup pairs bucketed by the
+    (split_a, split_b) cell of a naive per-doc hash split; off-diagonal
+    cells are train/test leakage."""
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    return (
+        pairs.select(
+            _split_expr(F.col("doc_a")).alias("split_a"),
+            _split_expr(F.col("doc_b")).alias("split_b"),
+            "doc_a",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_a").alias("sample_doc_a"),
+        )
+    )
+
+
+ORACLE_DEDUP_SPLIT_LEAKAGE = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM corpus
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT {_split_sql('doc_a')} AS split_a,
+       {_split_sql('doc_b')} AS split_b,
+       COUNT(*) AS n_pairs, MIN(doc_a) AS sample_doc_a
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: exact-dup groups assigned wholly by the group
+    root's hash; reports docs moved vs the naive per-doc split."""
+    from pyspark.sql.window import Window as W
+
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("checksum")
+    ).withColumn("root", F.min("doc_id").over(W.partitionBy("checksum")))
+    return (
+        keyed.select(
+            "checksum",
+            _split_expr(F.col("root")).alias("split"),
+            (_split_expr(F.col("root")) != _split_expr(F.col("doc_id")))
+            .cast("int")
+            .alias("moved"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("checksum").alias("n_groups"),
+            F.sum("moved").alias("n_moved"),
+        )
+    )
+
+
+ORACLE_DEDUP_GROUP_SPLIT = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+keyed AS (
+  SELECT doc_id, md5(text) AS checksum,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS root
+  FROM corpus
+)
+SELECT {_split_sql('root')} AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT checksum) AS n_groups,
+       CAST(SUM(CASE WHEN {_split_sql('root')} <> {_split_sql('doc_id')}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+FROM keyed GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_canonical_corpus": q_dedup_canonical_corpus,
@@ -1032,6 +1161,8 @@ QUERIES = {
     "dedup_lsh_quality": q_dedup_lsh_quality,
     "dedup_source_overlap": q_dedup_source_overlap,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_split_leakage": q_dedup_split_leakage,
+    "dedup_group_split": q_dedup_group_split,
 }
 
 ORACLES = {
@@ -1047,4 +1178,6 @@ ORACLES = {
     "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
     "dedup_source_overlap": ORACLE_DEDUP_SOURCE_OVERLAP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_split_leakage": ORACLE_DEDUP_SPLIT_LEAKAGE,
+    "dedup_group_split": ORACLE_DEDUP_GROUP_SPLIT,
 }

@@ -50,6 +50,44 @@ def test_ngram_jaccard_scores(spark, sf_dir):
         assert near is not None and 0.5 < near < 1.0  # truncated copy
 
 
+def test_group_split_never_splits_a_group(spark, sf_dir):
+    """Group-aware split invariant: every member of an exact-dup group gets
+    the root's split, so per-checksum split cardinality is exactly 1 — and
+    the planted exact copies (whose ids hash differently from their
+    originals) are what n_moved counts."""
+    from pyspark.sql.window import Window as W
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("doc_id", F.md5("text").alias("checksum")).withColumn(
+        "root", F.min("doc_id").over(W.partitionBy("checksum"))
+    )
+    assigned = keyed.select(
+        "checksum", dedup._split_expr(F.col("root")).alias("split")
+    )
+    multi = (
+        assigned.groupBy("checksum")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    totals = dedup.q_dedup_group_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in totals) == docs.count()
+    # some planted copy must land in a different naive bucket than its root
+    assert sum(r.n_moved for r in totals) > 0
+
+
+def test_split_leakage_flags_cross_split_pairs(spark, sf_dir):
+    """The audit's per-cell counts must sum to the LSH pair count, and the
+    planted dups (ids ~1e6 apart → independent hash buckets) must produce
+    at least one off-diagonal (leaked) cell."""
+    docs = _docs(spark, sf_dir)
+    n_pairs = dedup.lsh_candidate_pairs(docs).count()
+    cells = dedup.q_dedup_split_leakage(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in cells) == n_pairs
+    assert any(r.split_a != r.split_b and r.n_pairs > 0 for r in cells)
+
+
 def test_simhash_stability_and_width(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.filter(F.col("doc_id") == 3).select(

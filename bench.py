@@ -150,6 +150,7 @@ HEADLINE = [
     "ingest_avro_roundtrip",
     "dedup_split_leakage",
     "dedup_group_split",
+    "pipeline_corpus_funnel",
 ]
 
 

@@ -238,14 +238,214 @@ FROM g2 GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# The COMPOSED corpus-build funnel — the whole pretraining hygiene pipeline
+# as ONE declarative plan with per-stage survivor counts (the report every
+# corpus build publishes): raw → quality gate (token count + mean word
+# length, gopher-style) → exact dedup (min doc_id per content hash) →
+# near-dedup (LSH candidates verified by exact token-set Jaccard; greedy
+# drop-the-larger-id, the documented alternative to full connected
+# components in dedup_canonical_corpus) → eval-set decontamination
+# (token 8-gram collision). Distinct from dedup_canonical_corpus (which
+# emits the surviving corpus): this emits the FUNNEL — (stage, n_docs,
+# n_chars) per stage — so mixture planning can see where volume goes.
+#
+# Scale: every stage is the already-audited shape (narrow quality filter,
+# one checksum-window exact dedup, bucket-bounded LSH verify, broadcast
+# eval-n-gram semi-join); the Jaccard cut uses the integer identity
+# 2·|A∩B| >= |A∪B| so the verify is float-free on both engines.
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 25
+MAX_MEAN_WORD_LEN = 6.0
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
+    quality gate → exact dedup → LSH near-dedup → decontamination."""
+    from log_agent_spark.operators.dedup import lsh_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
+    raw = (
+        base.unionByName(
+            base.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            base.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.expr("substring(text, 1, greatest(length(text) - 15, 1))").alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    ntoks = F.size(_toks(F.col("text")))
+    quality = raw.filter(
+        (ntoks >= MIN_TOKENS) & (F.length("text") / ntoks <= MAX_MEAN_WORD_LEN)
+    )
+    exact = (
+        quality.withColumn(
+            "root", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("root"))
+        .drop("root")
+    )
+    tokset = F.array_distinct(_toks(F.col("text")))
+    ta = exact.select(F.col("doc_id").alias("doc_a"), tokset.alias("ta"))
+    tb = exact.select(F.col("doc_id").alias("doc_b"), tokset.alias("tb"))
+    losers = (
+        lsh_candidate_pairs(exact)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            2 * F.size(F.array_intersect("ta", "tb"))
+            >= F.size(F.array_union("ta", "tb"))
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = exact.join(losers, "doc_id", "left_anti")
+    eval_ngrams = (
+        d.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .distinct()
+    )
+    contaminated = (
+        near.select("doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = near.join(contaminated, "doc_id", "left_anti")
+    stages = [
+        (1, "raw", raw),
+        (2, "quality", quality),
+        (3, "exact_dedup", exact),
+        (4, "near_dedup", near),
+        (5, "decontaminated", clean),
+    ]
+    parts = [
+        df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        ).select(
+            F.lit(i).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_chars",
+        )
+        for i, name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _funnel_oracle() -> str:
+    from log_agent_spark.operators.dedup import (
+        _BAND_SELECTS,
+        _MH_EXPRS,
+        SHINGLE_LEN,
+    )
+
+    n = NGRAM_N
+    stage_select = (
+        "SELECT {i} AS stage_ord, '{name}' AS stage, COUNT(*) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM {cte}"
+    )
+    return f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE source <> '{EVAL_SOURCE}'
+), raw AS (
+  SELECT doc_id, text FROM train
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM train WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 15, 1)) AS text
+  FROM train WHERE doc_id < 100
+), quality AS (
+  SELECT doc_id, text FROM raw
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= {MIN_TOKENS}
+    AND length(text) * 1.0
+        / len(list_filter(string_split(text, ' '), t -> t <> ''))
+        <= {MAX_MEAN_WORD_LEN}
+), exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS root
+    FROM quality
+  ) WHERE doc_id = root
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM exact
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+  FROM exact
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN toksets ta ON ta.doc_id = doc_a
+  JOIN toksets tb ON tb.doc_id = doc_b
+  WHERE 2 * len(list_intersect(ta.tk, tb.tk))
+        >= len(list_distinct(list_concat(ta.tk, tb.tk)))
+), near AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), eval_ngrams AS (
+  SELECT DISTINCT ngram
+  FROM ({_SQL_NGRAMS.format(where="WHERE source = '" + EVAL_SOURCE + "'")})
+), near_ngrams AS (
+  SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS ngram
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM near
+  ),
+  LATERAL unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS g(i)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM near_ngrams
+  WHERE ngram IN (SELECT ngram FROM eval_ngrams)
+), clean AS (
+  SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+{stage_select.format(i=1, name="raw", cte="raw")}
+UNION ALL {stage_select.format(i=2, name="quality", cte="quality")}
+UNION ALL {stage_select.format(i=3, name="exact_dedup", cte="exact")}
+UNION ALL {stage_select.format(i=4, name="near_dedup", cte="near")}
+UNION ALL {stage_select.format(i=5, name="decontaminated", cte="clean")}
+"""
+
+
+ORACLE_CORPUS_FUNNEL = _funnel_oracle()
+
+
 QUERIES = {
     "text_decontaminate": q_decontaminate,
     "corpus_snapshot_diff": q_snapshot_diff,
     "dedup_repeated_spans": q_repeated_spans,
+    "pipeline_corpus_funnel": q_corpus_funnel,
 }
 
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "dedup_repeated_spans": ORACLE_REPEATED_SPANS,
+    "pipeline_corpus_funnel": ORACLE_CORPUS_FUNNEL,
 }

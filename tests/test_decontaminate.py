@@ -44,3 +44,23 @@ def test_snapshot_diff_partitions_docids(spark):
         assert rows["added"].min_doc % 7 == 0
     if "removed" in rows:  # removed docs are v1-only: doc_id % 5 == 0
         assert rows["removed"].min_doc % 5 == 0
+
+
+def test_corpus_funnel_monotone_and_discriminating(spark):
+    """Funnel invariants: stage populations only shrink, every gate before
+    decontamination actually removes something on the planted fixture (the
+    50 exact copies die at exact_dedup, the truncated copies at near_dedup),
+    and chars shrink with docs."""
+    rows = sorted(
+        decontaminate.q_corpus_funnel(spark, SF).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup", "decontaminated",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_chars <= prev.n_chars
+    by = {r.stage: r for r in rows}
+    assert by["exact_dedup"].n_docs < by["quality"].n_docs
+    assert by["near_dedup"].n_docs < by["exact_dedup"].n_docs

@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_split_leakage",
     "dedup_group_split",
     "pipeline_corpus_funnel",
+    "dedup_containment",
 ]
 
 

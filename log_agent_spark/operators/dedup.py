@@ -187,6 +187,70 @@ WHERE inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter) >= {JACCARD_THRESHOL
 
 
 # ---------------------------------------------------------------------------
+# Tier 2b: asymmetric CONTAINMENT (doc-in-doc) on the bounded candidate set.
+# Jaccard misses inclusion: a short doc quoted verbatim inside a long one
+# has tiny |A∩B|/|A∪B| but containment(A in B) = |A∩B|/|A| ≈ 1 — the
+# signal for boilerplate extraction, quote detection, and prefix/suffix
+# truncated mirrors (the planted truncations here score exactly 1.0 on the
+# contained side while their Jaccard is < 1). Same bounded-candidate rule
+# as Jaccard: at scale this runs ONLY on LSH candidates.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc pairs: shingle-set containment in either direction above
+    threshold, with both directional scores (4dp)."""
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    docs = docs.filter(F.col("doc_id") % 1_000_000 < 100)
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    # integer-exact gate: max containment >= t  ⇔  10·inter >= 8·min(size)
+    gate = 10 * F.col("inter") >= 8 * F.least("size_a", "size_b")
+    return scored.filter(gate).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter") / F.col("size_a"), 4).alias("contain_a"),
+        F.round(F.col("inter") / F.col("size_b"), 4).alias("contain_b"),
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT * FROM ({PLANTED_DUPS_SQL}) WHERE doc_id % 1000000 < 100
+), sh AS ({_shingles_sql("SELECT * FROM corpus")}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / sa.n_shingles, 4) AS contain_a,
+       ROUND(inter * 1.0 / sb.n_shingles, 4) AS contain_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 10 * inter >= 8 * least(sa.n_shingles, sb.n_shingles)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tier 3: MinHash + LSH banding — the scale path.
 # One md5 per DISTINCT shingle (28-bit prefix → int), then the k "hash
 # permutations" are affine maps h_i(x) = (a_i·x + b_i) mod P (P = 2^31-1),
@@ -1156,6 +1220,7 @@ QUERIES = {
     "dedup_semantic_clustered": q_dedup_semantic_clustered,
     "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_lsh_quality": q_dedup_lsh_quality,
@@ -1173,6 +1238,7 @@ ORACLES = {
     "dedup_semantic_clustered": ORACLE_DEDUP_SEMANTIC_CLUSTERED,
     "dedup_bloom_prefilter": ORACLE_DEDUP_BLOOM_PREFILTER,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,
     "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,

@@ -50,6 +50,22 @@ def test_ngram_jaccard_scores(spark, sf_dir):
         assert near is not None and 0.5 < near < 1.0  # truncated copy
 
 
+def test_containment_catches_truncations_jaccard_misses(spark, sf_dir):
+    """The asymmetry signal: a truncated copy is fully CONTAINED in its
+    original (contain_b == 1.0) even though its Jaccard is < 1; exact
+    copies score 1.0 in both directions."""
+    out = {
+        (r.doc_a, r.doc_b): (r.contain_a, r.contain_b)
+        for r in dedup.q_dedup_containment(spark, sf_dir).collect()
+    }
+    for i in range(20):
+        ca, cb = out[(i, i + 1_000_000)]
+        assert ca == 1.0 and cb == 1.0  # exact copy
+        ca, cb = out[(i, i + 2_000_000)]
+        assert cb == 1.0  # truncation's shingles all appear in the original
+        assert ca < 1.0  # but the original is NOT contained in it
+
+
 def test_group_split_never_splits_a_group(spark, sf_dir):
     """Group-aware split invariant: every member of an exact-dup group gets
     the root's split, so per-checksum split cardinality is exactly 1 — and

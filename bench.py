@@ -153,6 +153,7 @@ HEADLINE = [
     "pipeline_corpus_funnel",
     "dedup_containment",
     "graph_kcore",
+    "events_seasonal_anomaly",
 ]
 
 

@@ -335,12 +335,103 @@ FROM cus GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# STL-lite seasonal anomaly: multiplicative trend × day-of-week
+# decomposition of per-type daily volumes. Complements the detector
+# family: z-score/MAD flag POINT outliers against a global distribution,
+# CUSUM flags LEVEL SHIFTS; this flags days abnormal FOR THEIR WEEKDAY
+# after removing the local trend (the "quiet Saturday spike" a global
+# z-score misses under weekly seasonality).
+#
+#   trend(d)    = centered 7-day moving average (calendar-bounded window)
+#   dow index   = ratio of INTEGER sums Σ(cnt·n7)/Σ(s7) per weekday — not
+#                 an avg of per-day float ratios, so no engine-order
+#                 float accumulation exists anywhere in the query
+#   residual(d) = cnt·n7·iden / (s7·inum)  (one double division of two
+#                 exact integer products)
+#   anomaly     = residual outside [0.8, 1.2], decided by the integer
+#                 cross-multiplication 5·cnt·n7·iden ≷ {4,6}·s7·inum —
+#                 no float threshold compare at all.
+#
+# Weekday comes from days-since-1970-01-01 mod 7 (portable across
+# engines; Spark's dayofweek() and DuckDB's differ in origin). Scale: one
+# shuffle builds the daily counts; the trend window is partitioned by
+# event_type and bounded by the calendar; the dow-index table is
+# |types|×7 rows and broadcasts back. The integer gate products fit long
+# up to ~1e6 events/type/day per 7-day window at iden ~ 1e10; beyond
+# that, pre-divide counts by a constant or fall back to the double gate
+# (the docstring'd extreme-volume caveat).
+# ---------------------------------------------------------------------------
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend × day-of-week seasonal decomposition of per-type daily
+    volumes; flags days outside ±20% of their seasonal expectation."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "dow",
+            (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).cast("long"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn("s7", F.sum("cnt").over(w)).withColumn(
+        "n7", F.count("*").over(w)
+    )
+    idx = t.groupBy("event_type", "dow").agg(
+        F.sum(F.col("cnt") * F.col("n7")).alias("inum"),
+        F.sum("s7").alias("iden"),
+    )
+    j = t.join(F.broadcast(idx), ["event_type", "dow"])
+    expected = (F.col("s7") / F.col("n7")) * (F.col("inum") / F.col("iden"))
+    num = F.col("cnt") * F.col("n7") * F.col("iden")
+    den = F.col("s7") * F.col("inum")
+    return j.select(
+        "event_type",
+        "day",
+        "dow",
+        F.col("cnt").alias("n_events"),
+        F.round(expected, 2).alias("expected"),
+        F.round(num / den, 4).alias("residual"),
+        ((5 * num > 6 * den) | (5 * num < 4 * den)).alias("is_anomaly"),
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), d2 AS (
+  SELECT *, CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow FROM daily
+), t AS (
+  SELECT *, SUM(cnt) OVER w AS s7, COUNT(*) OVER w AS n7
+  FROM d2
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), idx AS (
+  SELECT event_type, dow, SUM(cnt * n7) AS inum, SUM(s7) AS iden
+  FROM t GROUP BY 1, 2
+)
+SELECT t.event_type, day, dow, cnt AS n_events,
+       ROUND((s7 * 1.0 / n7) * (inum * 1.0 / iden), 2) AS expected,
+       ROUND((cnt * n7 * iden) * 1.0 / (s7 * inum), 4) AS residual,
+       (5 * cnt * n7 * iden > 6 * s7 * inum
+        OR 5 * cnt * n7 * iden < 4 * s7 * inum) AS is_anomaly
+FROM t JOIN idx USING (event_type, dow)
+"""
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
+    "events_seasonal_anomaly": q_seasonal_anomaly,
 }
 
 ORACLES = {
     "events_sax_similarity": ORACLE_SAX_SIMILARITY,
     "events_cusum_shift": ORACLE_CUSUM_SHIFT,
+    "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
 }

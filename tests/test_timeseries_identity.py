@@ -31,3 +31,22 @@ def _windowed(ys):
 @given(st.lists(st.integers(min_value=-10_000, max_value=10_000), max_size=200))
 def test_cusum_windowed_identity(ys):
     assert _windowed(ys) == _fold(ys)
+
+
+def test_seasonal_anomaly_gate_matches_residual(spark):
+    """The integer cross-multiplication gate must agree with the float
+    residual everywhere, every (type, day) appears exactly once, and
+    residuals are positive."""
+    from log_agent_spark.operators.timeseries import q_seasonal_anomaly
+
+    rows = q_seasonal_anomaly(spark, "/root/testdata/sf0.001").collect()
+    seen = set()
+    for r in rows:
+        key = (r.event_type, r.day)
+        assert key not in seen
+        seen.add(key)
+        assert r.residual > 0
+        # 4dp-rounded residual can sit ON the printed boundary; the gate is
+        # exact, so only assert agreement away from the rounded edge
+        if abs(r.residual - 1.2) > 1e-3 and abs(r.residual - 0.8) > 1e-3:
+            assert r.is_anomaly == (r.residual > 1.2 or r.residual < 0.8), r

@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_containment",
     "graph_kcore",
     "events_seasonal_anomaly",
+    "events_forecast_holt",
 ]
 
 

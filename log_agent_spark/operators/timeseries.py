@@ -424,14 +424,119 @@ FROM t JOIN idx USING (event_type, dow)
 """
 
 
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing) of per-type
+# daily volumes — the forecasting counterpart of the EWMA smoother
+# (events_ewma_daily) with a trend state, so level shifts extrapolate
+# instead of lagging:
+#
+#   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+#   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}      (l_1 = x_1, b_1 = x_2 − x_1)
+#   forecast(h) = l_n + h·b_n
+#
+# α = β = 0.5: with integer daily counts every intermediate is an exact
+# dyadic rational whose fraction depth grows one bit per step — under 53
+# bits for any calendar-bounded series — so Spark's aggregate() fold and
+# DuckDB's recursive-CTE replay produce BIT-IDENTICAL doubles (the
+# events_ewma_daily discipline, extended to a 2-component state via a
+# named_struct accumulator). The coupled recursion is why no window
+# aggregate can express this; the fold runs over the per-type day series
+# collapsed first (one row per (type, day) — the only wide shuffle), so
+# the folded array is calendar-bounded regardless of event volume.
+# ---------------------------------------------------------------------------
+HOLT_HORIZONS = (1, 7)
+
+
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily event volumes per type:
+    final level/trend state + 1-day and 7-day-ahead forecasts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"],
+        ).alias("s"),
+        F.count("*").alias("n_days"),
+    )
+    state = F.expr(
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " named_struct("
+        "   'l', element_at(s, 1),"
+        "   'b', element_at(s, 2) - element_at(s, 1)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5 * x + 0.5 * (acc.l + acc.b),"
+        "   'b', 0.5 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l)"
+        "        + 0.5 * acc.b))"
+    )
+    out = series.filter(F.col("n_days") >= 2).select(
+        "event_type", "n_days", state.alias("st")
+    )
+    cols = [
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+    ]
+    for h in HOLT_HORIZONS:
+        cols.append(
+            F.round(F.col("st.l") + h * F.col("st.b"), 6).alias(f"fc_{h}d")
+        )
+    return out.select(*cols).orderBy("event_type")
+
+
+def _holt_oracle() -> str:
+    fc = ", ".join(
+        f"ROUND(l + {h} * b, 6) AS fc_{h}d" for h in HOLT_HORIZONS
+    )
+    # the recursive step recomputes l_t inline in b_t with the EXACT same
+    # expression text as the Spark fold, so the doubles stay bit-identical
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         cnt
+  FROM daily
+), nn AS (
+  SELECT event_type, MAX(i) AS n FROM s GROUP BY event_type
+), rec(event_type, i, l, b) AS (
+  SELECT s1.event_type, 1, s1.cnt, s2.cnt - s1.cnt
+  FROM s s1 JOIN s s2 ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         0.5 * x.cnt + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * x.cnt + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r
+  JOIN s x ON x.event_type = r.event_type AND x.i = r.i + 1
+), final AS (
+  SELECT rec.event_type, rec.l, rec.b, nn.n
+  FROM rec JOIN nn ON rec.event_type = nn.event_type AND rec.i = nn.n
+)
+SELECT event_type, n AS n_days,
+       ROUND(l, 6) AS level, ROUND(b, 6) AS trend, {fc}
+FROM final ORDER BY event_type
+"""
+
+
+ORACLE_FORECAST_HOLT = _holt_oracle()
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
     "events_seasonal_anomaly": q_seasonal_anomaly,
+    "events_forecast_holt": q_forecast_holt,
 }
 
 ORACLES = {
     "events_sax_similarity": ORACLE_SAX_SIMILARITY,
     "events_cusum_shift": ORACLE_CUSUM_SHIFT,
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
+    "events_forecast_holt": ORACLE_FORECAST_HOLT,
 }

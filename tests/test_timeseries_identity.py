@@ -50,3 +50,47 @@ def test_seasonal_anomaly_gate_matches_residual(spark):
         # exact, so only assert agreement away from the rounded edge
         if abs(r.residual - 1.2) > 1e-3 and abs(r.residual - 0.8) > 1e-3:
             assert r.is_anomaly == (r.residual > 1.2 or r.residual < 0.8), r
+
+
+def test_holt_fold_matches_python_replay(spark):
+    """The aggregate() fold must equal a literal Python replay of the Holt
+    recurrence (same operation order, dyadic alpha=beta=0.5 -> exact
+    doubles), and on a perfectly linear series level == last value and
+    trend == slope."""
+    from collections import defaultdict
+
+    from log_agent_spark.operators.timeseries import q_forecast_holt
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    from log_agent_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.cnt))
+    out = {r.event_type: r for r in q_forecast_holt(spark, sf).collect()}
+    for etype, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+            l = nl
+        r = out[etype]
+        assert r.level == round(l, 6) and r.trend == round(b, 6), (etype, l, b, r)
+        assert r.fc_7d == round(l + 7 * b, 6)
+
+    # linear series: Holt locks on exactly
+    xs = [10.0 + 3.0 * i for i in range(12)]
+    l, b = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+        l = nl
+    assert l == xs[-1] and b == 3.0

@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_kcore",
     "events_seasonal_anomaly",
     "events_forecast_holt",
+    "media_shard_manifest",
 ]
 
 

@@ -446,8 +446,82 @@ FROM r GROUP BY kind, 2 ORDER BY kind, bucket
 """.format(decode=ORACLE_MEDIA_DECODE_META)
 
 
+# ---------------------------------------------------------------------------
+# Shard-packing manifest — the webdataset/tar-shard build step after
+# aspect bucketing: within each (kind, aspect-bucket) group, pack media
+# next-fit by byte budget in deterministic media_id order and report per
+# shard (n_items, bytes, fill%). shard_id = bytes-before-this-item div
+# budget: pure integer window arithmetic, so the manifest is reproducible
+# on any cluster layout and both engines agree exactly (one double
+# division at the very end for fill%).
+#
+# Scale: the running sum is PARTITIONED by (kind, bucket) — no global
+# window — but within-bucket parallelism is 1 by construction (a shard
+# boundary depends on every earlier byte). Production regains parallelism
+# by sharding per (bucket, ingest-day) — the natural corpus partition —
+# or by the range-partitioned rank of operators/ranking.py when one
+# bucket must pack as a single sequence; the per-group shape here is the
+# same either way.
+# ---------------------------------------------------------------------------
+_SHARD_BYTES = 4096
+
+
+def q_media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard manifest: next-fit byte packing of decoded
+    media per (kind, aspect bucket); per-shard item/byte/fill report."""
+    from pyspark.sql.window import Window as W
+
+    media = media_corpus(load_table(spark, sf_dir, "documents"))
+    meta = decode_media_meta(media).filter(F.col("kind") != "audio")
+    ratio = F.col("width").cast("double") / F.col("height")
+    b = meta.select(
+        "kind", "media_id", "n_bytes", _nearest_bucket(ratio).alias("bucket")
+    )
+    w = (
+        W.partitionBy("kind", "bucket")
+        .orderBy("media_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = b.withColumn("cum", F.sum("n_bytes").over(w))
+    s = c.select(
+        "kind",
+        "bucket",
+        F.expr(f"(cum - n_bytes) div {_SHARD_BYTES}").alias("shard_id"),
+        "n_bytes",
+    )
+    return s.groupBy("kind", "bucket", "shard_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.round(F.sum("n_bytes") * 100.0 / _SHARD_BYTES, 2).alias("fill_pct"),
+    )
+
+
+ORACLE_MEDIA_SHARD_MANIFEST = f"""
+WITH meta AS ({ORACLE_MEDIA_DECODE_META}),
+r AS (
+  SELECT kind, media_id, n_bytes, CAST(width AS DOUBLE) / height AS r
+  FROM meta WHERE kind <> 'audio'
+), b AS (
+  SELECT kind, media_id, n_bytes, {_ar_case_sql()} AS bucket FROM r
+), c AS (
+  SELECT *, SUM(n_bytes) OVER (PARTITION BY kind, bucket ORDER BY media_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+), s AS (
+  SELECT kind, bucket,
+         CAST(cum - n_bytes AS BIGINT) // {_SHARD_BYTES} AS shard_id, n_bytes
+  FROM c
+)
+SELECT kind, bucket, shard_id, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       ROUND(SUM(n_bytes) * 100.0 / {_SHARD_BYTES}, 2) AS fill_pct
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "media_aspect_buckets": q_media_aspect_buckets,
+    "media_shard_manifest": q_media_shard_manifest,
     "media_decode_meta": q_media_decode_meta,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
@@ -456,6 +530,7 @@ QUERIES = {
 
 ORACLES = {
     "media_aspect_buckets": ORACLE_MEDIA_ASPECT_BUCKETS,
+    "media_shard_manifest": ORACLE_MEDIA_SHARD_MANIFEST,
     "media_decode_meta": ORACLE_MEDIA_DECODE_META,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,

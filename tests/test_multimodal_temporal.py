@@ -124,3 +124,37 @@ def test_decode_media_meta_arrow_equivalent(spark, sf_dir):
     b = {r.media_id: r for r in decode_media_meta_arrow(media).collect()}
     assert len(a) == len(b) > 0
     assert all(a[k] == b[k] for k in a)
+
+
+def test_shard_manifest_partitions_every_byte(spark, sf_dir):
+    """Next-fit invariants: shard ids are contiguous from 0 per (kind,
+    bucket), shard bytes sum to the bucket's total, and no shard exceeds
+    the budget by more than one item (the straddling item stays in the
+    shard where it started)."""
+    from collections import defaultdict
+
+    from log_agent_spark.operators.multimodal import (
+        _SHARD_BYTES,
+        decode_media_meta,
+        media_corpus,
+        q_media_shard_manifest,
+    )
+    from log_agent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_media_shard_manifest(spark, sf_dir).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.kind, r.bucket)].append(r)
+    meta = (
+        decode_media_meta(media_corpus(load_table(spark, sf_dir, "documents")))
+        .filter(F.col("kind") != "audio")
+        .agg(F.sum("n_bytes").alias("b"), F.max("n_bytes").alias("mx"))
+        .collect()[0]
+    )
+    assert sum(r.shard_bytes for r in rows) == meta.b
+    for (kind, bucket), rs in groups.items():
+        ids = sorted(r.shard_id for r in rs)
+        assert ids == list(range(len(ids))), (kind, bucket, ids)
+        for r in rs:
+            assert r.shard_bytes < _SHARD_BYTES + meta.mx

@@ -156,6 +156,7 @@ HEADLINE = [
     "events_seasonal_anomaly",
     "events_forecast_holt",
     "media_shard_manifest",
+    "corpus_drift_psi",
 ]
 
 

@@ -177,6 +177,129 @@ FROM diff GROUP BY status
 
 
 # ---------------------------------------------------------------------------
+# Distribution drift between corpus snapshots: Population Stability Index
+# over the doc-length distribution — the monitoring metric a production
+# pipeline alarms on when a feed silently changes character (truncation
+# bugs, new boilerplate, a source swap) even when row counts look fine.
+# Same deterministic v1/v2 snapshots as corpus_snapshot_diff; value =
+# length(text). Equi-width bins over the COMBINED min/max (one broadcast
+# stats row — the quantile-sketch pattern), add-one smoothing so empty
+# bins stay finite, per-bin contribution (p−q)·ln(p/q) with the total
+# repeated per row (ln precedent: the LM log-prob oracles).
+#
+# Scale: two narrow scans partial-aggregate into ≤2·B bin counts; the bin
+# spine is a B-row broadcast; nothing downstream of the histogram scales
+# with the corpus.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.lit(1).alias("snap"), F.length("text").alias("v")
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.lit(2).alias("snap"),
+            F.length(
+                F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("v"),
+        )
+    )
+    both = v1.unionByName(v2)
+    stats = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    binned = (
+        both.crossJoin(F.broadcast(stats))
+        .select(
+            "snap",
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(_PSI_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("n_v1"),
+            F.sum(F.when(F.col("snap") == 2, 1).otherwise(0)).alias("n_v2"),
+        )
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    totals = binned.agg(
+        F.sum("n_v1").alias("t1"), F.sum("n_v2").alias("t2")
+    )
+    filled = (
+        spine.join(F.broadcast(binned), "bin", "left")
+        .na.fill({"n_v1": 0, "n_v2": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.col("n_v1") + 1) / (F.col("t1") + _PSI_BINS)
+    q = (F.col("n_v2") + 1) / (F.col("t2") + _PSI_BINS)
+    contrib = (p - q) * F.log(p / q)
+    per_bin = filled.select(
+        "bin",
+        "n_v1",
+        "n_v2",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(contrib, 6).alias("psi_contrib"),
+        contrib.alias("_c"),
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        per_bin.withColumn(
+            "psi_total", F.round(F.sum("_c").over(W.partitionBy()), 6)
+        )
+        .drop("_c")
+        .orderBy("bin")
+    )
+
+
+ORACLE_CORPUS_DRIFT_PSI = f"""
+WITH v AS (
+  SELECT 1 AS snap, length(text) AS v FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 2 AS snap,
+         length(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) AS v
+  FROM documents WHERE doc_id % 5 <> 0
+), stats AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM v
+), binned AS (
+  SELECT CAST(least(FLOOR((v - lo) / ((hi - lo) * 1.0 / {_PSI_BINS})),
+                    {_PSI_BINS - 1}) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+         CAST(SUM(CASE WHEN snap = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+  FROM v CROSS JOIN stats
+  GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n_v1) AS BIGINT) AS t1, CAST(SUM(n_v2) AS BIGINT) AS t2
+  FROM binned
+), filled AS (
+  SELECT s.bin, COALESCE(b.n_v1, 0) AS n_v1, COALESCE(b.n_v2, 0) AS n_v2, t1, t2
+  FROM (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) s
+  LEFT JOIN binned b ON s.bin = b.bin
+  CROSS JOIN totals
+), scored AS (
+  SELECT bin, n_v1, n_v2,
+         (n_v1 + 1) / (t1 + {_PSI_BINS}) AS p,
+         (n_v2 + 1) / (t2 + {_PSI_BINS}) AS q
+  FROM filled
+)
+SELECT bin, n_v1, n_v2, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND((p - q) * ln(p / q), 6) AS psi_contrib,
+       ROUND(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM scored ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Intra-corpus repeated-span detection: the span-level exact-substring dedup
 # signal ("Deduplicating Training Data Makes Language Models Better", Lee et
 # al. 2022 — token n-gram spans occurring >= 2 times anywhere in the corpus,
@@ -439,6 +562,7 @@ ORACLE_CORPUS_FUNNEL = _funnel_oracle()
 QUERIES = {
     "text_decontaminate": q_decontaminate,
     "corpus_snapshot_diff": q_snapshot_diff,
+    "corpus_drift_psi": q_corpus_drift_psi,
     "dedup_repeated_spans": q_repeated_spans,
     "pipeline_corpus_funnel": q_corpus_funnel,
 }
@@ -446,6 +570,7 @@ QUERIES = {
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "corpus_drift_psi": ORACLE_CORPUS_DRIFT_PSI,
     "dedup_repeated_spans": ORACLE_REPEATED_SPANS,
     "pipeline_corpus_funnel": ORACLE_CORPUS_FUNNEL,
 }

@@ -64,3 +64,20 @@ def test_corpus_funnel_monotone_and_discriminating(spark):
     by = {r.stage: r for r in rows}
     assert by["exact_dedup"].n_docs < by["quality"].n_docs
     assert by["near_dedup"].n_docs < by["exact_dedup"].n_docs
+
+
+def test_psi_drift_invariants(spark):
+    """PSI sanity: all bins present, smoothed p/q sum to 1, every per-bin
+    contribution is non-negative ((p-q) and ln(p/q) share sign), and the
+    repeated total equals the sum of contributions."""
+    rows = sorted(
+        decontaminate.q_corpus_drift_psi(spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(decontaminate._PSI_BINS))
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-4
+    assert all(r.psi_contrib >= 0 for r in rows)
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1
+    assert abs(totals.pop() - sum(r.psi_contrib for r in rows)) < 1e-4

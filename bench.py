@@ -157,6 +157,7 @@ HEADLINE = [
     "events_forecast_holt",
     "media_shard_manifest",
     "corpus_drift_psi",
+    "events_trend_robust",
 ]
 
 

@@ -527,11 +527,161 @@ FROM final ORDER BY event_type
 ORACLE_FORECAST_HOLT = _holt_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Robust trend detection: Mann-Kendall test + Theil-Sen slope per event
+# type — the nonparametric pair for "is this metric really trending?"
+# that a mean-based slope gets wrong under outliers. Everything is
+# engine-exact by construction:
+#
+#   S        = Σ_{i<j} sign(x_j − x_i)               (pure integer)
+#   Var(S)   = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18  (integer / 18.0,
+#              tie-corrected over groups of equal daily counts)
+#   z        = (S∓1)/sqrt(Var)  — IEEE sqrt is correctly rounded, so the
+#              one transcendental-free root is bit-identical everywhere
+#   Theil-Sen = median of pairwise slopes (x_j−x_i)/(j−i); the median is
+#              hand-rolled as the average of the two middle order
+#              statistics with the SAME (a+b)/2 expression in both
+#              engines (built-in percentile interpolation formulas
+#              differ in ulps between engines).
+#
+# Scale: the day series is calendar-bounded, so the O(n²) pair join is
+# O(days²) per type — bounded by the window, not the event volume; the
+# only data-sized shuffle builds the daily counts.
+# ---------------------------------------------------------------------------
+def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S/z + Theil-Sen slope of daily volumes per type."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    idx = daily.withColumn(
+        "i", F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+    ).select("event_type", "i", "cnt")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(F.col("b.cnt") - F.col("a.cnt")).cast("long").alias("sgn"),
+        ((F.col("b.cnt") - F.col("a.cnt")) / (F.col("b.i") - F.col("a.i"))).alias(
+            "slope"
+        ),
+    )
+    # median slope = avg of the two middle order statistics, (a+b)/2
+    ws = W.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.withColumn("r", F.row_number().over(ws)).withColumn(
+        "m", F.count("*").over(W.partitionBy("event_type"))
+    )
+    sen = (
+        ranked.filter(
+            ((F.col("m") % 2 == 1) & (F.col("r") * 2 == F.col("m") + 1))
+            | (
+                (F.col("m") % 2 == 0)
+                & ((F.col("r") * 2 == F.col("m")) | (F.col("r") * 2 == F.col("m") + 2))
+            )
+        )
+        .groupBy("event_type")
+        .agg(((F.min("slope") + F.max("slope")) / 2).alias("sen_slope"))
+    )
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum("sgn").alias("s"), F.count("*").alias("n_pairs")
+    )
+    nn = idx.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        idx.groupBy("event_type", "cnt")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = (
+        s_stat.join(nn, "event_type")
+        .join(ties, "event_type")
+        .join(sen, "event_type")
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n",
+        "n_pairs",
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    ).orderBy("event_type")
+
+
+ORACLE_TREND_ROBUST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         cnt
+  FROM daily
+), pairs AS (
+  SELECT a.event_type,
+         CAST(sign(b.cnt - a.cnt) AS BIGINT) AS sgn,
+         (b.cnt - a.cnt) / (b.i - a.i) AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+), sen AS (
+  SELECT event_type, (MIN(slope) + MAX(slope)) / 2 AS sen_slope
+  FROM ranked
+  WHERE (m % 2 = 1 AND r * 2 = m + 1)
+     OR (m % 2 = 0 AND (r * 2 = m OR r * 2 = m + 2))
+  GROUP BY event_type
+), s_stat AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY event_type
+), nn AS (
+  SELECT event_type, COUNT(*) AS n FROM idx GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, cnt, COUNT(*) AS t FROM idx GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT s_stat.event_type, n, n_pairs, s AS s_stat,
+       ROUND((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0, 4) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                  WHEN s < 0 THEN (s + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                  ELSE 0.0 END, 4) AS z,
+       ROUND(sen_slope, 6) AS sen_slope
+FROM s_stat
+JOIN nn USING (event_type)
+JOIN ties USING (event_type)
+JOIN sen USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
     "events_seasonal_anomaly": q_seasonal_anomaly,
     "events_forecast_holt": q_forecast_holt,
+    "events_trend_robust": q_trend_robust,
 }
 
 ORACLES = {
@@ -539,4 +689,5 @@ ORACLES = {
     "events_cusum_shift": ORACLE_CUSUM_SHIFT,
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "events_forecast_holt": ORACLE_FORECAST_HOLT,
+    "events_trend_robust": ORACLE_TREND_ROBUST,
 }

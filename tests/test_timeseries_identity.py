@@ -94,3 +94,58 @@ def test_holt_fold_matches_python_replay(spark):
         b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
         l = nl
     assert l == xs[-1] and b == 3.0
+
+
+def test_mann_kendall_python_replay(spark):
+    """S, Var(S) with tie correction, z, and the Theil-Sen median must all
+    match a literal Python replay over the same daily counts."""
+    import math
+    from collections import defaultdict
+
+    from log_agent_spark.operators.timeseries import q_trend_robust
+    from log_agent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.cnt))
+    out = {r.event_type: r for r in q_trend_robust(spark, sf).collect()}
+    for etype, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        slopes = sorted(
+            (xs[j] - xs[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+        )
+        m = len(slopes)
+        sen = (
+            slopes[m // 2]
+            if m % 2 == 1
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        tie = defaultdict(int)
+        for x in xs:
+            tie[x] += 1
+        var_s = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+        ) / 18.0
+        z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+            (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+        r = out[etype]
+        assert r.s_stat == s and r.n == n and r.n_pairs == m
+        assert r.var_s == round(var_s, 4)
+        assert r.z == round(z, 4)
+        assert r.sen_slope == round(sen, 6), (etype, sen, r.sen_slope)

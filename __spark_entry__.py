@@ -37,11 +37,16 @@ from log_agent_spark.plans import (
 )
 
 # Order matters: the driver's correctness gate checks queries() entries in
-# iteration order and may not reach the tail. Round 1 verified the
-# relational/TPC-H families (44 green), so round 2 leads with the families
-# that had zero driver-verified entries (dedup, similarity, text, events,
-# graph, multimodal, sampling, temporal) and puts the already-green
-# relational modules last.
+# iteration order and may not reach the tail (round 1 stopped at 50). Round
+# 1 verified the relational/TPC-H families (44 green), so round 2 leads
+# with the families that had zero driver-verified entries (dedup,
+# similarity, multimodal, text) and puts the already-green relational
+# modules last. ROTATION PLAN for later rounds: after reading
+# CORRECTNESS_r{N}.json, move the families it just verified toward the
+# tail and promote the still-unverified ones (decontaminate, graph,
+# timeseries, events, sampling, temporal, skew, rollup, analytics,
+# complex_types, agentdemo) into the first-50 window, so every family
+# accumulates driver-level hard signal across rounds.
 _MODULES = [
     dedup, similarity, multimodal, text, decontaminate, graph, timeseries,
     events, sampling, temporal, skew, rollup, analytics, complex_types,

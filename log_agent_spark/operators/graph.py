@@ -544,22 +544,34 @@ KCORE_K = 3
 KCORE_ROUNDS = 3
 
 
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KCORE_ROUNDS-round k-core peel (k=KCORE_K) on supported co-purchases:
-    surviving parts + the degree that qualified them in the final round."""
-    edges = _lpa_edges(spark, sf_dir)
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """`rounds` peel iterations over an undirected (u, v) edge list;
+    returns (node, deg) for final-round survivors with the degree that
+    qualified them. The shrinking edge list is localCheckpointed per
+    round (the connected_components discipline) — without the cut, each
+    round's two semi-joins re-derive every earlier round and the lineage
+    recompute grows exponentially in `rounds`."""
     keep = None
-    for _ in range(KCORE_ROUNDS):
+    for _ in range(rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
             .union(edges.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= KCORE_K)
-        edges = edges.join(
-            keep.select(F.col("node").alias("u")), "u", "left_semi"
-        ).join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        keep = deg.filter(F.col("deg") >= k)
+        edges = (
+            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return keep
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KCORE_ROUNDS-round k-core peel (k=KCORE_K) on supported co-purchases:
+    surviving parts + the degree that qualified them in the final round."""
+    keep = kcore_peel(_lpa_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS)
     return keep.select(F.col("node").alias("partkey"), "deg")
 
 

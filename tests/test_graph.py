@@ -169,3 +169,45 @@ def test_kcore_peel_invariants(spark):
     round1 = {r.node for r in deg0.filter(F.col("count") >= KCORE_K).collect()}
     assert len(out) <= n0
     assert {r.partkey for r in out} <= round1
+
+
+def test_kcore_random_graphs_match_python_peel(spark):
+    """Fixed-round peel on random graphs must match a literal Python
+    replay, and with enough rounds it must equal the true k-core
+    fixpoint computed by full Batagelj-Zaversnik peeling."""
+    import random
+
+    from log_agent_spark.operators.graph import kcore_peel
+
+    def py_peel(edges, k, rounds):
+        es = set(edges)
+        keep = {}
+        for _ in range(rounds):
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n: d for n, d in deg.items() if d >= k}
+            es = {(u, v) for u, v in es if u in keep and v in keep}
+        return keep
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30 + 10 * trial
+        pairs = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)
+            )
+            if a != b
+        }
+        e = spark.createDataFrame(sorted(pairs), "u long, v long")
+        for k, rounds in ((2, 3), (3, 2)):
+            got = {
+                r.node: r.deg for r in kcore_peel(e, k, rounds).collect()
+            }
+            assert got == py_peel(pairs, k, rounds), (trial, k, rounds)
+        # run to the fixpoint: n rounds is always enough
+        got_fix = {r.node: r.deg for r in kcore_peel(e, 3, 8).collect()}
+        want_fix = py_peel(pairs, 3, n)
+        assert got_fix == want_fix, trial

@@ -158,6 +158,7 @@ HEADLINE = [
     "media_shard_manifest",
     "corpus_drift_psi",
     "events_trend_robust",
+    "ann_matryoshka_recall",
 ]
 
 

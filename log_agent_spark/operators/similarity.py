@@ -745,6 +745,114 @@ GROUP BY e.query_id
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
+# Representation Learning", NeurIPS 2022 operational side): how much
+# recall@k survives when vectors are truncated to their first d
+# dimensions? The question every MRL deployment asks before shipping the
+# cheap prefix index; here it is one query — exact top-k at full
+# dimension is the ground truth, the same brute-force search re-runs on
+# array-slice prefixes, and recall = |prefix ∩ full| / (Q·k) as an exact
+# integer ratio. Scale: each prefix search is the brute-force shape
+# (broadcast queries, parallel scan, per-query window); the comparison
+# join runs on Q·k-row tables.
+# ---------------------------------------------------------------------------
+MRL_DIMS = [64, 32, 16, 8]
+
+
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of prefix-truncated embeddings vs full-dim ground truth,
+    one row per retained dimensionality."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    full = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for d in MRL_DIMS:
+        qd = queries.select(
+            "query_id", F.slice("q_emb", 1, d).alias("q_emb")
+        )
+        cd = candidates.select("vec_id", F.slice("emb", 1, d).alias("emb"))
+        parts.append(
+            brute_force_topk(qd, cd)
+            .select("query_id", "neighbor_id")
+            .withColumn("dim", F.lit(d))
+        )
+    trunc = parts[0]
+    for p in parts[1:]:
+        trunc = trunc.unionByName(p)
+    hits = trunc.join(full, ["query_id", "neighbor_id"], "left_semi")
+    denom = N_QUERIES * TOP_K
+    return (
+        hits.groupBy("dim")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "dim",
+            "n_hits",
+            F.round(F.col("n_hits") / denom, 4).alias("recall_at_k"),
+        )
+        .orderBy(F.desc("dim"))
+    )
+
+
+def _mrl_oracle() -> str:
+    searches = "\nUNION ALL\n".join(
+        f"""
+SELECT {d} AS dim, query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.q_emb[1:{d}], c.emb[1:{d}]) /
+             (sqrt(list_dot_product(q.q_emb[1:{d}], q.q_emb[1:{d}]))
+              * sqrt(list_dot_product(c.emb[1:{d}], c.emb[1:{d}]))) AS cos
+    FROM q CROSS JOIN c
+  )
+) WHERE rank <= {TOP_K}"""
+        for d in MRL_DIMS
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.q_emb, c.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM q CROSS JOIN c
+    )
+  ) WHERE rank <= {TOP_K}
+), trunc AS ({searches})
+SELECT dim, COUNT(*) AS n_hits,
+       ROUND(COUNT(*) * 1.0 / {N_QUERIES * TOP_K}, 4) AS recall_at_k
+FROM trunc t
+WHERE EXISTS (
+  SELECT 1 FROM full_topk f
+  WHERE f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+)
+GROUP BY dim ORDER BY dim DESC
+"""
+
+
+ORACLE_ANN_MATRYOSHKA_RECALL = _mrl_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Product quantization with asymmetric-distance scoring (PQ/ADC — Jégou et
 # al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
 # The memory-compression scale path: each 64-dim float vector becomes M=4
@@ -878,6 +986,7 @@ SELECT query_id, neighbor_id, rank FROM (
 QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
+    "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
     "embeddings_power_iteration": q_power_iteration_pc1,
@@ -892,6 +1001,7 @@ QUERIES = {
 ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
+    "ann_matryoshka_recall": ORACLE_ANN_MATRYOSHKA_RECALL,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "embeddings_power_iteration": ORACLE_POWER_ITERATION_PC1,

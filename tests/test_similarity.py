@@ -50,3 +50,18 @@ def test_lsh_recall_above_floor(spark, exact):
     here, multi-probe 0.4."""
     approx = _topk_sets(q_ann_lsh_bucketed(spark, SF_DIR))
     assert _recall(approx, exact) >= 0.3, approx
+
+
+def test_matryoshka_recall_monotone_and_exact_at_full_dim(spark, sf_dir):
+    """Full-dimension 'truncation' must recover the ground truth exactly
+    (recall 1.0); shorter prefixes can only lose information, so recall is
+    non-increasing as dimensions shrink."""
+    from log_agent_spark.operators.similarity import q_ann_matryoshka_recall
+
+    rows = sorted(
+        q_ann_matryoshka_recall(spark, sf_dir).collect(),
+        key=lambda r: -r.dim,
+    )
+    assert rows[0].dim == 64 and rows[0].recall_at_k == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_at_k <= prev.recall_at_k

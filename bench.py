@@ -159,6 +159,7 @@ HEADLINE = [
     "corpus_drift_psi",
     "events_trend_robust",
     "ann_matryoshka_recall",
+    "events_forecast_holt_winters",
 ]
 
 

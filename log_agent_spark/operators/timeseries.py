@@ -676,11 +676,145 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (triple exponential smoothing, weekly season m=7)
+# — the seasonal completion of events_forecast_holt. State = (level,
+# trend, 7-slot seasonal ring holding s_{t-6}..s_t in order):
+#
+#   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+#   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+#   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+#   forecast(h) = l_n + h·b_n + s_{n−m+((h−1) mod m)+1}
+#
+# Init over the first two weeks: l_7 = mean(week 1) (a fixed left-assoc
+# sum ÷ 7), b_7 = (mean(week 2) − mean(week 1))/7, s_i = x_i − l_7; the
+# fold then consumes x_8..x_n. α=β=γ=0.5 keeps every intermediate an
+# exact dyadic double (the events_forecast_holt argument, one more bit of
+# fraction depth per step), and l_t is recomputed INLINE wherever b_t/s_t
+# need it with the same expression text on both engines — so the Spark
+# aggregate() fold with an array-in-struct accumulator and the DuckDB
+# recursive CTE carrying a LIST column stay bit-identical. Windows/folds
+# are per-type and calendar-bounded.
+# ---------------------------------------------------------------------------
+_HW_M = 7
+
+
+def _hw_fold_expr() -> str:
+    """The aggregate() expression; x_1..x_14 seed the state, x_8.. flow
+    through the recurrence (week-1 seasonals are live from t=8)."""
+    wk1 = "(" + " + ".join(f"element_at(s, {i})" for i in range(1, 8)) + ") / 7.0"
+    wk2 = "(" + " + ".join(f"element_at(s, {i})" for i in range(8, 15)) + ") / 7.0"
+    seas0 = ", ".join(f"element_at(s, {i}) - ({wk1})" for i in range(1, 8))
+    new_l = "0.5 * (x - element_at(acc.seas, 1)) + 0.5 * (acc.l + acc.b)"
+    return f"""
+aggregate(
+  slice(s, 8, size(s) - 7),
+  named_struct(
+    'l', {wk1},
+    'b', (({wk2}) - ({wk1})) / 7.0,
+    'seas', array({seas0})),
+  (acc, x) -> named_struct(
+    'l', {new_l},
+    'b', 0.5 * (({new_l}) - acc.l) + 0.5 * acc.b,
+    'seas', concat(slice(acc.seas, 2, 6),
+                   array(0.5 * (x - ({new_l})) + 0.5 * element_at(acc.seas, 1)))))
+"""
+
+
+def q_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters weekly forecast: (event_type, h, fc) for
+    horizons 1..7 from the final level/trend/seasonal state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"],
+        ).alias("s"),
+        F.count("*").alias("n_days"),
+    )
+    st = series.filter(F.col("n_days") >= 2 * _HW_M).select(
+        "event_type", "n_days", F.expr(_hw_fold_expr()).alias("st")
+    )
+    horizons = spark.range(1, _HW_M + 1).select(F.col("id").alias("h"))
+    fc = (
+        st.crossJoin(F.broadcast(horizons))
+        .select(
+            "event_type",
+            "h",
+            F.round(
+                F.col("st.l")
+                + F.col("h") * F.col("st.b")
+                + F.element_at(
+                    "st.seas", ((F.col("h") - 1) % _HW_M + 1).cast("int")
+                ),
+                6,
+            ).alias("fc"),
+        )
+    )
+    return fc.orderBy("event_type", "h")
+
+
+def _hw_oracle() -> str:
+    wk1 = "(" + " + ".join(f"x{i}" for i in range(1, 8)) + ") / 7.0"
+    wk2 = "(" + " + ".join(f"x{i}" for i in range(8, 15)) + ") / 7.0"
+    firsts = ",\n         ".join(
+        f"MAX(CASE WHEN i = {i} THEN cnt END) AS x{i}" for i in range(1, 15)
+    )
+    seas0 = ", ".join(f"x{i} - ({wk1})" for i in range(1, 8))
+    new_l = "0.5 * (x.cnt - r.seas[1]) + 0.5 * (r.l + r.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         cnt
+  FROM daily
+), nn AS (
+  SELECT event_type, MAX(i) AS n FROM s GROUP BY event_type
+    HAVING MAX(i) >= {2 * _HW_M}
+), seeds AS (
+  SELECT event_type,
+         {firsts}
+  FROM s WHERE i <= 14 GROUP BY event_type
+), rec(event_type, i, l, b, seas) AS (
+  SELECT seeds.event_type, 7,
+         {wk1},
+         (({wk2}) - ({wk1})) / 7.0,
+         [{seas0}]
+  FROM seeds JOIN nn ON seeds.event_type = nn.event_type
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         {new_l},
+         0.5 * (({new_l}) - r.l) + 0.5 * r.b,
+         r.seas[2:7] || [0.5 * (x.cnt - ({new_l})) + 0.5 * r.seas[1]]
+  FROM rec r
+  JOIN s x ON x.event_type = r.event_type AND x.i = r.i + 1
+), final AS (
+  SELECT rec.event_type, rec.l, rec.b, rec.seas
+  FROM rec JOIN nn ON rec.event_type = nn.event_type AND rec.i = nn.n
+)
+SELECT event_type, h,
+       ROUND(l + h * b + seas[CAST((h - 1) % {_HW_M} + 1 AS INTEGER)], 6) AS fc
+FROM final
+CROSS JOIN (SELECT unnest(generate_series(1, {_HW_M})) AS h)
+ORDER BY event_type, h
+"""
+
+
+ORACLE_FORECAST_HOLT_WINTERS = _hw_oracle()
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
     "events_seasonal_anomaly": q_seasonal_anomaly,
     "events_forecast_holt": q_forecast_holt,
+    "events_forecast_holt_winters": q_forecast_holt_winters,
     "events_trend_robust": q_trend_robust,
 }
 
@@ -689,5 +823,6 @@ ORACLES = {
     "events_cusum_shift": ORACLE_CUSUM_SHIFT,
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "events_forecast_holt": ORACLE_FORECAST_HOLT,
+    "events_forecast_holt_winters": ORACLE_FORECAST_HOLT_WINTERS,
     "events_trend_robust": ORACLE_TREND_ROBUST,
 }

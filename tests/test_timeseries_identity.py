@@ -149,3 +149,48 @@ def test_mann_kendall_python_replay(spark):
         assert r.var_s == round(var_s, 4)
         assert r.z == round(z, 4)
         assert r.sen_slope == round(sen, 6), (etype, sen, r.sen_slope)
+
+
+def test_holt_winters_python_replay(spark):
+    """The triple-exponential fold (level/trend/seasonal-ring struct
+    accumulator) must equal a literal Python replay of the recurrence."""
+    from collections import defaultdict
+
+    from log_agent_spark.operators.timeseries import (
+        _HW_M,
+        q_forecast_holt_winters,
+    )
+    from log_agent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.cnt))
+    got = defaultdict(dict)
+    for r in q_forecast_holt_winters(spark, sf).collect():
+        got[r.event_type][r.h] = r.fc
+    for etype, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        if len(xs) < 2 * _HW_M:
+            assert etype not in got
+            continue
+        wk1 = (((((xs[0] + xs[1]) + xs[2]) + xs[3]) + xs[4]) + xs[5] + xs[6]) / 7.0
+        wk2 = (((((xs[7] + xs[8]) + xs[9]) + xs[10]) + xs[11]) + xs[12] + xs[13]) / 7.0
+        l, b = wk1, (wk2 - wk1) / 7.0
+        seas = [x - wk1 for x in xs[:7]]
+        for x in xs[7:]:
+            nl = 0.5 * (x - seas[0]) + 0.5 * (l + b)
+            nb = 0.5 * ((0.5 * (x - seas[0]) + 0.5 * (l + b)) - l) + 0.5 * b
+            ns = 0.5 * (x - (0.5 * (x - seas[0]) + 0.5 * (l + b))) + 0.5 * seas[0]
+            seas = seas[1:] + [ns]
+            l, b = nl, nb
+        for h in range(1, _HW_M + 1):
+            want = round(l + h * b + seas[(h - 1) % _HW_M], 6)
+            assert got[etype][h] == want, (etype, h, want, got[etype][h])

@@ -212,7 +212,11 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = v1.unionByName(v2)
     stats = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    # degenerate guard: if every value is identical (hi == lo — exactly the
+    # collapsed-distribution case PSI exists to flag), a zero width would
+    # divide by 0 with DIFFERENT engine semantics (Spark NULL vs DuckDB
+    # inf); width 1 puts all mass in bin 0 on both engines, PSI = 0
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1)) / _PSI_BINS
     binned = (
         both.crossJoin(F.broadcast(stats))
         .select(
@@ -272,7 +276,7 @@ WITH v AS (
 ), stats AS (
   SELECT MIN(v) AS lo, MAX(v) AS hi FROM v
 ), binned AS (
-  SELECT CAST(least(FLOOR((v - lo) / ((hi - lo) * 1.0 / {_PSI_BINS})),
+  SELECT CAST(least(FLOOR((v - lo) / (greatest(hi - lo, 1) * 1.0 / {_PSI_BINS})),
                     {_PSI_BINS - 1}) AS BIGINT) AS bin,
          CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
          CAST(SUM(CASE WHEN snap = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
@@ -385,24 +389,16 @@ MAX_MEAN_WORD_LEN = 6.0
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
     quality gate → exact dedup → LSH near-dedup → decontamination."""
-    from log_agent_spark.operators.dedup import lsh_candidate_pairs
+    from log_agent_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_planted_dups,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
-    raw = (
-        base.unionByName(
-            base.filter(F.col("doc_id") < 50).select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-            )
-        ).unionByName(
-            base.filter(F.col("doc_id") < 100).select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.expr("substring(text, 1, greatest(length(text) - 15, 1))").alias(
-                    "text"
-                ),
-            )
-        )
-    )
+    # the SAME planting scheme as every dedup fixture (50 exact copies at
+    # +1e6, 100 truncations at +2e6), applied to the train side only
+    raw = with_planted_dups(base)
     ntoks = F.size(_toks(F.col("text")))
     qpred = (ntoks >= MIN_TOKENS) & (F.length("text") / ntoks <= MAX_MEAN_WORD_LEN)
     # Single-pass shape: one lineage computes per-doc stage flags, ONE

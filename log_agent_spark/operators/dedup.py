@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_agent_spark.operators.similarity import _bucket_sql as _similarity_bucket_sql
+from log_agent_spark.plans.sampling import split_expr as _split_expr
+from log_agent_spark.plans.sampling import split_sql as _split_sql
 from log_agent_spark.sources.tables import load_table
 
 SHINGLE_LEN = 8
@@ -1107,19 +1109,10 @@ WHERE c.doc_id = c.comp
 # checksum-partitioned window min (group sizes = duplicate multiplicity,
 # bounded), again no extra join.
 # ---------------------------------------------------------------------------
-def _split_expr(col):
-    """train/val/test (80/10/10) from an md5 hash bucket of a column —
-    deterministic, partition-layout independent (sampling.py precedent)."""
-    b = (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % 100
-    )
-    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-
-
-def _split_sql(expr: str) -> str:
-    b = f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100)"
-    return f"CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+# ONE split definition for the whole engine: the audit below uses the
+# exact assignment q_sample_hash_split produces (split_expr / split_sql
+# imported from plans/sampling.py at the top of this module) instead of
+# re-deriving the bucket formula here.
 
 
 def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:

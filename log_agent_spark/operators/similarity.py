@@ -772,8 +772,10 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     full = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    parts = []
-    for d in MRL_DIMS:
+    # the d = 64 "prefix" is the identity slice — reuse the ground-truth
+    # search instead of re-running the most expensive of the four scans
+    parts = [full.withColumn("dim", F.lit(MRL_DIMS[0]))]
+    for d in MRL_DIMS[1:]:
         qd = queries.select(
             "query_id", F.slice("q_emb", 1, d).alias("q_emb")
         )

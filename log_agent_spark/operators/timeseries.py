@@ -362,20 +362,55 @@ FROM cus GROUP BY event_type ORDER BY event_type
 # that, pre-divide counts by a constant or fall back to the double gate
 # (the docstring'd extreme-volume caveat).
 # ---------------------------------------------------------------------------
+def _daily_dense(ev: DataFrame) -> DataFrame:
+    """(event_type, day, cnt) over the per-type [min(day), max(day)]
+    calendar spine — missing days are REAL ZEROS, joined in from an
+    exploded date sequence. Every position-indexed recurrence downstream
+    (fold accumulators, the Holt-Winters 7-slot seasonal ring, pairwise
+    slope denominators, the ±3-day trend window) requires density: with a
+    gap, "7 rows" stops meaning "7 days", every later weekly-seasonal
+    slot rotates off its weekday, and slopes divide by rank distance
+    instead of day distance. The spine is calendar-bounded, so the
+    explode adds O(days) rows per type regardless of event volume."""
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return spine.join(daily, ["event_type", "day"], "left").na.fill({"cnt": 0})
+
+
+# DuckDB twin: defines CTEs daily0/spine/daily; compose as
+# f"WITH {_DENSE_DAILY_SQL}, ..." (or WITH RECURSIVE where needed).
+_DENSE_DAILY_SQL = """daily0 AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily0 GROUP BY 1)
+), daily AS (
+  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN daily0 d USING (event_type, day)
+)"""
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend × day-of-week seasonal decomposition of per-type daily
     volumes; flags days outside ±20% of their seasonal expectation."""
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select("event_type", F.col("ts").cast("date").alias("day"))
-        .groupBy("event_type", "day")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "dow",
-            (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).cast("long"),
-        )
+    daily = _daily_dense(ev).withColumn(
+        "dow",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).cast("long"),
     )
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     t = daily.withColumn("s7", F.sum("cnt").over(w)).withColumn(
@@ -400,11 +435,8 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEASONAL_ANOMALY = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
-), d2 AS (
+ORACLE_SEASONAL_ANOMALY = f"""
+WITH {_DENSE_DAILY_SQL}, d2 AS (
   SELECT *, CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow FROM daily
 ), t AS (
   SELECT *, SUM(cnt) OVER w AS s7, COUNT(*) OVER w AS n7
@@ -451,9 +483,9 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast of daily event volumes per type:
     final level/trend state + 1-day and 7-day-ahead forecasts."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("double").alias("cnt"))
+    daily = _daily_dense(ev).select(
+        "event_type", "day", F.col("cnt").cast("double").alias("cnt")
+    )
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("day", "cnt"))),
@@ -495,13 +527,10 @@ def _holt_oracle() -> str:
     # the recursive step recomputes l_t inline in b_t with the EXACT same
     # expression text as the Spark fold, so the doubles stay bit-identical
     return f"""
-WITH RECURSIVE daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
-  FROM events GROUP BY 1, 2
-), s AS (
+WITH RECURSIVE {_DENSE_DAILY_SQL}, s AS (
   SELECT event_type,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
-         cnt
+         CAST(cnt AS DOUBLE) AS cnt
   FROM daily
 ), nn AS (
   SELECT event_type, MAX(i) AS n FROM s GROUP BY event_type
@@ -553,9 +582,7 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").alias("cnt"))
+    daily = _daily_dense(ev)
     idx = daily.withColumn(
         "i", F.row_number().over(W.partitionBy("event_type").orderBy("day"))
     ).select("event_type", "i", "cnt")
@@ -625,11 +652,8 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-ORACLE_TREND_ROBUST = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
-), idx AS (
+ORACLE_TREND_ROBUST = f"""
+WITH {_DENSE_DAILY_SQL}, idx AS (
   SELECT event_type,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
          cnt
@@ -725,9 +749,9 @@ def q_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters weekly forecast: (event_type, h, fc) for
     horizons 1..7 from the final level/trend/seasonal state."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("double").alias("cnt"))
+    daily = _daily_dense(ev).select(
+        "event_type", "day", F.col("cnt").cast("double").alias("cnt")
+    )
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("day", "cnt"))),
@@ -766,13 +790,10 @@ def _hw_oracle() -> str:
     seas0 = ", ".join(f"x{i} - ({wk1})" for i in range(1, 8))
     new_l = "0.5 * (x.cnt - r.seas[1]) + 0.5 * (r.l + r.b)"
     return f"""
-WITH RECURSIVE daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
-  FROM events GROUP BY 1, 2
-), s AS (
+WITH RECURSIVE {_DENSE_DAILY_SQL}, s AS (
   SELECT event_type,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
-         cnt
+         CAST(cnt AS DOUBLE) AS cnt
   FROM daily
 ), nn AS (
   SELECT event_type, MAX(i) AS n FROM s GROUP BY event_type

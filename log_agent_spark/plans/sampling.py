@@ -36,6 +36,24 @@ def _oracle_bucket(expr: str, n: int = 100) -> str:
     return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {n})"
 
 
+# The canonical 80/10/10 train/val/test assignment — THE one split
+# definition shared by q_sample_hash_split and the dedup split-hygiene
+# operators (dedup_split_leakage / dedup_group_split), so a change to the
+# bucket formula or fractions can never make the leakage audit disagree
+# with the split it audits.
+def split_expr(col):
+    b = _hash_bucket(col)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
+def split_sql(expr: str) -> str:
+    b = _oracle_bucket(expr)
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split (80/10/10) by content-addressed hash.
 # Scale: narrow projection + map-side expression, one tiny agg shuffle; no

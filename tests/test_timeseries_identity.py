@@ -33,6 +33,19 @@ def test_cusum_windowed_identity(ys):
     assert _windowed(ys) == _fold(ys)
 
 
+def _dense(pts):
+    """[(day, cnt)] -> gap-filled float counts over [min(day), max(day)] —
+    the same real-zero densification _daily_dense applies in-engine."""
+    import datetime as dt
+
+    m = {d: c for d, c in pts}
+    d0, d1 = min(m), max(m)
+    return [
+        float(m.get(d0 + dt.timedelta(i), 0))
+        for i in range((d1 - d0).days + 1)
+    ]
+
+
 def test_seasonal_anomaly_gate_matches_residual(spark):
     """The integer cross-multiplication gate must agree with the float
     residual everywhere, every (type, day) appears exactly once, and
@@ -45,7 +58,7 @@ def test_seasonal_anomaly_gate_matches_residual(spark):
         key = (r.event_type, r.day)
         assert key not in seen
         seen.add(key)
-        assert r.residual > 0
+        assert r.residual >= 0
         # 4dp-rounded residual can sit ON the printed boundary; the gate is
         # exact, so only assert agreement away from the rounded edge
         if abs(r.residual - 1.2) > 1e-3 and abs(r.residual - 0.8) > 1e-3:
@@ -76,7 +89,7 @@ def test_holt_fold_matches_python_replay(spark):
         series[r.event_type].append((r.day, r.cnt))
     out = {r.event_type: r for r in q_forecast_holt(spark, sf).collect()}
     for etype, pts in series.items():
-        xs = [c for _, c in sorted(pts)]
+        xs = _dense(pts)
         l, b = xs[0], xs[1] - xs[0]
         for x in xs[1:]:
             nl = 0.5 * x + 0.5 * (l + b)
@@ -118,7 +131,7 @@ def test_mann_kendall_python_replay(spark):
         series[r.event_type].append((r.day, r.cnt))
     out = {r.event_type: r for r in q_trend_robust(spark, sf).collect()}
     for etype, pts in series.items():
-        xs = [c for _, c in sorted(pts)]
+        xs = _dense(pts)
         n = len(xs)
         s = sum(
             (xs[j] > xs[i]) - (xs[j] < xs[i])
@@ -177,7 +190,7 @@ def test_holt_winters_python_replay(spark):
     for r in q_forecast_holt_winters(spark, sf).collect():
         got[r.event_type][r.h] = r.fc
     for etype, pts in series.items():
-        xs = [c for _, c in sorted(pts)]
+        xs = _dense(pts)
         if len(xs) < 2 * _HW_M:
             assert etype not in got
             continue

@@ -207,3 +207,33 @@ def test_holt_winters_python_replay(spark):
         for h in range(1, _HW_M + 1):
             want = round(l + h * b + seas[(h - 1) % _HW_M], 6)
             assert got[etype][h] == want, (etype, h, want, got[etype][h])
+
+
+def test_daily_dense_fills_gaps_with_real_zeros(spark):
+    """Synthetic gapped input: the spine must cover every day in the
+    per-type [min, max] range with zero counts for missing days — the
+    property that keeps ring/slope indexing on the calendar."""
+    import datetime as dt
+
+    from log_agent_spark.operators.timeseries import _daily_dense
+
+    def ts(day, n):
+        base = dt.datetime(2024, 3, 1) + dt.timedelta(days=day)
+        return [(base + dt.timedelta(minutes=i),) for i in range(n)]
+
+    rows = [("a", t[0]) for d, n in [(0, 2), (1, 3), (4, 1)] for t in ts(d, n)]
+    rows += [("b", t[0]) for d, n in [(2, 5), (3, 1)] for t in ts(d, n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r.event_type, r.day): r.cnt for r in _daily_dense(ev).collect()
+    }
+    d0 = dt.date(2024, 3, 1)
+    # type a spans 5 days with days 2 and 3 missing -> zeros
+    want_a = {0: 2, 1: 3, 2: 0, 3: 0, 4: 1}
+    for off, cnt in want_a.items():
+        assert out[("a", d0 + dt.timedelta(days=off))] == cnt
+    # type b spans only its own [min, max], independent of type a's
+    assert ("b", d0 + dt.timedelta(days=1)) not in out
+    assert out[("b", d0 + dt.timedelta(days=2))] == 5
+    assert out[("b", d0 + dt.timedelta(days=3))] == 1
+    assert len(out) == 7

@@ -637,8 +637,15 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    n_nodes_total = und.select("src").distinct().count()
-    small = n_nodes_total <= 10_000_000
+    # broadcast-size guard from an UPPER BOUND that costs two parquet
+    # footer counts (customer + supplier row counts) instead of a
+    # distinct+count over the edge list — the guard only needs to know
+    # "can the node set broadcast", never the exact order
+    n_nodes_bound = (
+        load_table(spark, sf_dir, "customer").count()
+        + load_table(spark, sf_dir, "supplier").count()
+    )
+    small = n_nodes_bound <= 10_000_000
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df

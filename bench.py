@@ -160,6 +160,7 @@ HEADLINE = [
     "events_trend_robust",
     "ann_matryoshka_recall",
     "events_forecast_holt_winters",
+    "text_contamination_spans",
 ]
 
 

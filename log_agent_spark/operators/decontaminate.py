@@ -177,6 +177,86 @@ FROM diff GROUP BY status
 
 
 # ---------------------------------------------------------------------------
+# Contamination SPANS: how long is the longest verbatim overlap? The
+# binary 8-gram test (text_decontaminate) flags any collision; what a
+# contamination review actually triages on is the longest consecutive
+# run of matched n-grams — a 50-token verbatim quote is a different
+# animal from three scattered 8-gram collisions. Matched n-gram
+# POSITIONS per training doc, then the classic gaps-and-islands grouping
+# (pos − row_number is constant within a consecutive run), per-island
+# length, and longest-span-in-tokens = run + n − 1. All integers end to
+# end. Scale: the eval n-gram set broadcasts exactly as in
+# text_decontaminate; islands group within (doc, run) — partitioned by
+# doc, bounded by doc length.
+# ---------------------------------------------------------------------------
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training doc: longest consecutive matched-8-gram
+    span (in tokens), total matched n-grams, and island count."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_ngrams = (
+        d.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .distinct()
+    )
+    positions = (
+        d.filter(F.col("source") != EVAL_SOURCE)
+        .select(
+            "doc_id",
+            F.posexplode(token_ngrams(F.col("text"))).alias("pos", "ngram"),
+        )
+    )
+    matched = positions.join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+    grouped = matched.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    islands = grouped.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("run")
+    )
+    return (
+        islands.groupBy("doc_id")
+        .agg(
+            (F.max("run") + (NGRAM_N - 1)).alias("longest_span_tokens"),
+            F.sum("run").alias("n_matched_ngrams"),
+            F.count("*").alias("n_islands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CONTAMINATION_SPANS = f"""
+WITH eval_ngrams AS (
+  SELECT DISTINCT ngram
+  FROM ({_SQL_NGRAMS.format(where="WHERE source = '" + EVAL_SOURCE + "'")})
+), positions AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS ngram
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents WHERE source <> '{EVAL_SOURCE}'
+  ),
+  LATERAL unnest(generate_series(1, greatest(len(toks) - {NGRAM_N - 1}, 0))) AS g(i)
+), matched AS (
+  SELECT doc_id, pos FROM positions
+  WHERE ngram IN (SELECT ngram FROM eval_ngrams)
+), grouped AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM matched
+), islands AS (
+  SELECT doc_id, grp, COUNT(*) AS run FROM grouped GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(MAX(run) + {NGRAM_N - 1} AS BIGINT) AS longest_span_tokens,
+       CAST(SUM(run) AS BIGINT) AS n_matched_ngrams,
+       COUNT(*) AS n_islands
+FROM islands GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distribution drift between corpus snapshots: Population Stability Index
 # over the doc-length distribution — the monitoring metric a production
 # pipeline alarms on when a feed silently changes character (truncation
@@ -581,6 +661,7 @@ ORACLE_CORPUS_FUNNEL = _funnel_oracle()
 
 QUERIES = {
     "text_decontaminate": q_decontaminate,
+    "text_contamination_spans": q_contamination_spans,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_drift_psi": q_corpus_drift_psi,
     "dedup_repeated_spans": q_repeated_spans,
@@ -589,6 +670,7 @@ QUERIES = {
 
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
+    "text_contamination_spans": ORACLE_CONTAMINATION_SPANS,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "corpus_drift_psi": ORACLE_CORPUS_DRIFT_PSI,
     "dedup_repeated_spans": ORACLE_REPEATED_SPANS,

@@ -81,3 +81,17 @@ def test_psi_drift_invariants(spark):
     totals = {r.psi_total for r in rows}
     assert len(totals) == 1
     assert abs(totals.pop() - sum(r.psi_contrib for r in rows)) < 1e-4
+
+
+def test_contamination_spans_consistent_with_overlap(spark):
+    """Span analysis must flag exactly the docs the binary 8-gram test
+    flags; every span is at least one full n-gram (8 tokens); island
+    count never exceeds matched-position count."""
+    overlap_docs = {
+        r.doc_id for r in decontaminate.q_decontaminate(spark, SF).collect()
+    }
+    rows = decontaminate.q_contamination_spans(spark, SF).collect()
+    assert {r.doc_id for r in rows} == overlap_docs
+    for r in rows:
+        assert r.longest_span_tokens >= decontaminate.NGRAM_N
+        assert 1 <= r.n_islands <= r.n_matched_ngrams

@@ -447,6 +447,8 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-vote fingerprints per doc (16-bit): near-dups share
+    fingerprints within small Hamming distance."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash(docs)
 

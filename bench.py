@@ -194,22 +194,27 @@ def main() -> None:
                 qs[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                best = min(best, time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 — one bad query must
                 # not void the other 120+ measurements on the driver's box
                 failures[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
-            best = min(best, time.perf_counter() - t0)
-            # Measurement hygiene between attempts (outside the timer),
-            # JMH-style: drop blocks pinned by queries that persist()
-            # intermediates (pagerank, connected components) and force a
-            # full GC — otherwise storage + garbage accumulate across the
-            # suite and later allocation-heavy queries measure the prior
-            # 70 queries' heap pressure instead of themselves (observed
-            # 4-20x inflation on the wire-roundtrip query).
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-        if name not in failures:
+            finally:
+                # Measurement hygiene after EVERY attempt, failed ones
+                # included (outside the timer), JMH-style: drop blocks
+                # pinned by queries that persist() intermediates and force
+                # a full GC — otherwise storage + garbage accumulate
+                # across the suite and later allocation-heavy queries
+                # measure the prior 70 queries' heap pressure instead of
+                # themselves (observed 4-20x inflation on the
+                # wire-roundtrip query). A failed attempt must not skip
+                # this either, or its pinned blocks tax the NEXT query.
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+        # keep a clean earlier measurement even if a later attempt failed
+        if best != float("inf"):
             timings[name] = round(best, 3)
+            failures.pop(name, None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1214,10 +1214,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", "lang", sig.alias("p_quality")
     )
+    # per-lang mean via 1e-4-quantized integer sums (the perplexity-filter
+    # convention): AVG over irrational doubles adds in partition order and
+    # can land on a rounding boundary differently per engine; the integer
+    # sum is exact and the single final division is deterministic
+    pq = F.round(F.col("p_quality") * 10000).cast("long")
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("p_quality") > 0.5).cast("long")).alias("n_pass"),
-        F.round(F.avg("p_quality"), 4).alias("avg_p"),
+        F.round(F.sum(pq) / (F.count("*") * 10000.0), 4).alias("avg_p"),
     )
 
 
@@ -1236,7 +1241,8 @@ WITH scored AS (
 )
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN p_quality > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       ROUND(AVG(p_quality), 4) AS avg_p
+       ROUND(SUM(CAST(round(p_quality * 10000) AS BIGINT))
+             / (COUNT(*) * 10000.0), 4) AS avg_p
 FROM scored GROUP BY lang
 """
 

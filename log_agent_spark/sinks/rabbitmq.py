@@ -29,9 +29,13 @@ def rabbitmq_sink(name: str = "rabbitmq", priority: int = 0) -> Sink:
 
     def _write(df: DataFrame) -> None:
         # rabbitmq.go:27: logger.Debugf per record; one debug line per
-        # batch here (row count via a cheap count on the already-planned
-        # frame) keeps the no-op contract without a per-row driver loop.
-        logger.debug("[RabbitmqAdapter] batch of %d rows (stub, not sent)",
-                     df.count())
+        # batch here. df.count() is a FULL Spark job — only pay it when
+        # debug logging is actually enabled, else the "no-op" stub costs a
+        # materialization pass per batch the reference stub never does.
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "[RabbitmqAdapter] batch of %d rows (stub, not sent)",
+                df.count(),
+            )
 
     return Sink(name=name, write=_write, priority=priority)

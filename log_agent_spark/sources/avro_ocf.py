@@ -105,7 +105,14 @@ def _avro_type(t: DataType):
     if isinstance(t, DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(t, ArrayType):
-        return {"type": "array", "items": _avro_type(t.elementType)}
+        # Spark arrays default to containsNull=True; a null element must
+        # encode as a ["null", T] item union or the writer would crash at
+        # task time on data-dependent input
+        item = _avro_type(t.elementType)
+        return {
+            "type": "array",
+            "items": ["null", item] if t.containsNull else item,
+        }
     for cls, name in _SPARK_TO_AVRO.items():
         if isinstance(t, cls):
             return name
@@ -141,7 +148,9 @@ def _spark_type(at) -> DataType:
         if lt == "date":
             return DateType()
         if at.get("type") == "array":
-            return ArrayType(_spark_type(at["items"]))
+            items = at["items"]
+            nullable_items = isinstance(items, list) and "null" in items
+            return ArrayType(_spark_type(items), nullable_items)
         return _spark_type(at["type"])
     if isinstance(at, list):  # union — only ["null", T] supported
         branches = [b for b in at if b != "null"]
@@ -461,22 +470,33 @@ class AvroOcfWriter(DataSourceWriter):
         if self._codec not in ("null", "deflate"):
             raise ValueError(f"avro_ocf: unsupported codec {self._codec!r}")
         self._avro_schema = spark_to_avro_schema(schema)
-        # mode("overwrite") clears prior part files (driver-side, before tasks)
-        if overwrite and os.path.isdir(self._dir):
-            for f in os.listdir(self._dir):
-                if f.endswith(".avro"):
-                    os.unlink(os.path.join(self._dir, f))
+        self._overwrite = overwrite
+        # every run writes under a fresh run id; mode("overwrite") removes
+        # the PRIOR generation only at commit() — a failed job must leave
+        # the previous output intact (staged-commit discipline; deleting
+        # up front would destroy it non-atomically). Unique names also
+        # stop an append run from silently clobbering same-pid parts of an
+        # earlier run.
+        import uuid
+
+        self._run_id = uuid.uuid4().hex[:12]
         os.makedirs(self._dir, exist_ok=True)
 
     def write(self, iterator) -> AvroCommit:  # executor-side, per partition
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(self._dir, f"part-{pid:05d}.avro")
+        path = os.path.join(
+            self._dir, f"part-{pid:05d}-{self._run_id}.avro"
+        )
         n = write_ocf(path, self._avro_schema, iterator, codec=self._codec)
         return AvroCommit(n_rows=n, path=path)
 
     def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".avro") and self._run_id not in f:
+                    os.unlink(os.path.join(self._dir, f))
         total = sum(m.n_rows for m in messages if m is not None)
         import logging
 

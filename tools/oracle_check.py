@@ -89,9 +89,14 @@ def frame_hash(pdf) -> tuple[int, str, dict]:
             return "NULL"
         return _norm(v)
 
+    # Per-COLUMN extraction (never iterrows): iterrows materializes each
+    # row as a Series, which upcasts int64 cells to float64 whenever any
+    # other column is float — silently defeating the int-vs-float hash
+    # distinction this mirror exists to enforce (5 would hash as '5.0').
+    col_values = [pdf[c].tolist() for c in cols]
     lines = sorted(
-        "|".join(cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
+        "|".join(cell(col_values[j][i]) for j in range(len(cols)))
+        for i in range(len(pdf))
     )
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
     return len(pdf), h, dtypes
@@ -113,6 +118,9 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # queries that persist/checkpoint would otherwise pin storage for
+        # the remaining ~190 queries of the run (bench.py hygiene note)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -158,14 +166,16 @@ def main() -> int:
             if sn and dn and sorted(spdf.columns) == sorted(dpdf.columns):
                 _, _, _ = sdt, ddt, None
                 cols = sorted(spdf.columns)
-                ls = sorted(
-                    "|".join(_norm(row[c]) for c in cols)
-                    for _, row in spdf.iterrows()
-                )
-                ld = sorted(
-                    "|".join(_norm(row[c]) for c in cols)
-                    for _, row in dpdf.iterrows()
-                )
+
+                def _lines(pdf_):
+                    vals = [pdf_[c].tolist() for c in cols]
+                    return sorted(
+                        "|".join(_norm(vals[j][i]) for j in range(len(cols)))
+                        for i in range(len(pdf_))
+                    )
+
+                ls = _lines(spdf)
+                ld = _lines(dpdf)
                 shown = 0
                 for a, b in zip(ls, ld):
                     if a != b:

@@ -190,7 +190,7 @@ WITH attributed AS (
     ON c.user_id = v.user_id AND c.ts >= v.ts
 )
 SELECT user_id, COUNT(*) AS n_clicks,
-       SUM(converted) AS n_converted,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
        ROUND(SUM(converted) * 1.0 / COUNT(*), 4) AS conversion_rate
 FROM attributed GROUP BY user_id
 """

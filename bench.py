@@ -161,6 +161,7 @@ HEADLINE = [
     "ann_matryoshka_recall",
     "events_forecast_holt_winters",
     "text_contamination_spans",
+    "text_ngram_novelty",
 ]
 
 

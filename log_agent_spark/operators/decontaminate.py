@@ -177,6 +177,61 @@ FROM diff GROUP BY status
 
 
 # ---------------------------------------------------------------------------
+# N-gram NOVELTY curve: per document (in corpus order), what fraction of
+# its distinct token 8-grams has never appeared in any earlier document?
+# The dataset-ordering / curriculum signal — a late doc whose n-grams are
+# almost all already-seen adds little; a burst of low-novelty docs marks
+# a scraped mirror entering the feed. First occurrence = min doc_id per
+# n-gram (one hash aggregation over the corpus n-gram stream — the
+# repeated-spans shuffle shape), attributed back by an equi-join; the
+# ratio is an exact count/count division.
+# ---------------------------------------------------------------------------
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: distinct 8-grams, how many are corpus-first here, and the
+    novelty ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram")
+    ).distinct()
+    first = grams.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_ngrams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_distinct_ngrams"), 4).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, ngram FROM ({_SQL_NGRAMS.format(where="")})
+), first AS (
+  SELECT ngram, MIN(doc_id) AS first_doc FROM grams GROUP BY ngram
+)
+SELECT doc_id, COUNT(*) AS n_distinct_ngrams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS novelty_ratio
+FROM grams JOIN first USING (ngram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contamination SPANS: how long is the longest verbatim overlap? The
 # binary 8-gram test (text_decontaminate) flags any collision; what a
 # contamination review actually triages on is the longest consecutive
@@ -662,6 +717,7 @@ ORACLE_CORPUS_FUNNEL = _funnel_oracle()
 QUERIES = {
     "text_decontaminate": q_decontaminate,
     "text_contamination_spans": q_contamination_spans,
+    "text_ngram_novelty": q_ngram_novelty,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_drift_psi": q_corpus_drift_psi,
     "dedup_repeated_spans": q_repeated_spans,
@@ -671,6 +727,7 @@ QUERIES = {
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
     "text_contamination_spans": ORACLE_CONTAMINATION_SPANS,
+    "text_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "corpus_drift_psi": ORACLE_CORPUS_DRIFT_PSI,
     "dedup_repeated_spans": ORACLE_REPEATED_SPANS,

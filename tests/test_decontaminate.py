@@ -95,3 +95,27 @@ def test_contamination_spans_consistent_with_overlap(spark):
     for r in rows:
         assert r.longest_span_tokens >= decontaminate.NGRAM_N
         assert 1 <= r.n_islands <= r.n_matched_ngrams
+
+
+def test_ngram_novelty_first_doc_and_conservation(spark):
+    """Doc 0 (nothing earlier) is 100% novel; the novel counts sum to the
+    corpus's distinct-n-gram total (each n-gram is first exactly once);
+    ratios live in (0, 1]."""
+    rows = decontaminate.q_ngram_novelty(spark, SF).collect()
+    by = {r.doc_id: r for r in rows}
+    first_doc = min(by)
+    assert by[first_doc].novelty_ratio == 1.0
+    total_novel = sum(r.n_novel for r in rows)
+    from pyspark.sql import functions as F
+    from log_agent_spark.sources.tables import load_table
+
+    n_distinct = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(decontaminate.token_ngrams(F.col("text"))).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_distinct
+    # a doc whose every n-gram already appeared earlier is legitimately
+    # 0% novel (that's the mirror-detection signal)
+    assert all(0 <= r.novelty_ratio <= 1.0 for r in rows)

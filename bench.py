@@ -162,6 +162,7 @@ HEADLINE = [
     "events_forecast_holt_winters",
     "text_contamination_spans",
     "text_ngram_novelty",
+    "dedup_soft_weights",
 ]
 
 

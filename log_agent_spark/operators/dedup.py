@@ -1088,6 +1088,63 @@ WHERE c.doc_id = c.comp
 
 
 # ---------------------------------------------------------------------------
+# SOFT dedup: downweight duplicates instead of dropping them. Removal
+# loses the signal that a document was independently hosted N times;
+# weighting each copy 1/N keeps every source represented while the
+# duplicated CONTENT still contributes one document's worth of tokens to
+# the training mixture (the "count each document once, wherever it
+# lives" budget rule). Corpus = originals + a deterministic mirror feed
+# re-hosting every third doc (the source_overlap situation). One
+# checksum-partitioned window count; reporting per (source,
+# multiplicity) keeps the weighted sum EXACT — raw_chars/n_copies is one
+# integer-over-integer division per output row, never a float
+# accumulation across different denominators.
+# ---------------------------------------------------------------------------
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup weights: per (source, duplicate multiplicity), doc and
+    raw char counts plus the 1/N-weighted effective chars."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "source", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("mirror0").alias("source"),
+            "text",
+        )
+    )
+    keyed = corpus.withColumn(
+        "n_copies", F.count("*").over(W.partitionBy(F.md5("text")))
+    )
+    return keyed.groupBy("source", "n_copies").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("raw_chars"),
+        F.round(
+            F.sum(F.length("text")) / F.col("n_copies"), 2
+        ).alias("eff_chars"),
+    )
+
+
+ORACLE_DEDUP_SOFT_WEIGHTS = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'mirror0' AS source, text
+  FROM documents WHERE doc_id % 3 = 0
+), keyed AS (
+  SELECT source, text,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM corpus
+)
+SELECT source, CAST(n_copies AS BIGINT) AS n_copies, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+       ROUND(CAST(SUM(length(text)) AS BIGINT) / (n_copies * 1.0), 2)
+         AS eff_chars
+FROM keyed GROUP BY source, n_copies
+"""
+
+
+# ---------------------------------------------------------------------------
 # Train/test leakage: split assignment + split hygiene.
 #
 # Two complementary operators a training-data pipeline runs before cutting a
@@ -1223,6 +1280,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_split_leakage": q_dedup_split_leakage,
     "dedup_group_split": q_dedup_group_split,
+    "dedup_soft_weights": q_dedup_soft_weights,
 }
 
 ORACLES = {
@@ -1241,4 +1299,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_split_leakage": ORACLE_DEDUP_SPLIT_LEAKAGE,
     "dedup_group_split": ORACLE_DEDUP_GROUP_SPLIT,
+    "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
 }

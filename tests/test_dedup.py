@@ -112,3 +112,21 @@ def test_simhash_stability_and_width(spark, sf_dir):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs.unionByName(dup)).collect()}
     assert out[3] == out[9_000_003]
     assert all(0 <= v < (1 << dedup.SIMHASH_BITS) for v in out.values())
+
+
+def test_soft_weights_conserve_content_budget(spark, sf_dir):
+    """1/N weighting must conserve the deduplicated content budget: the
+    sum of eff_chars across all (source, multiplicity) cells equals the
+    total chars of DISTINCT texts in the mirrored corpus, and every
+    mirrored doc sits in a multiplicity-2 cell."""
+    rows = dedup.q_dedup_soft_weights(spark, sf_dir).collect()
+    eff_total = sum(r.eff_chars for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    distinct_chars = (
+        d.select("text").distinct()
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    assert abs(eff_total - distinct_chars) < 0.5 * len(rows)
+    mirror = [r for r in rows if r.source == "mirror0"]
+    assert mirror and all(r.n_copies == 2 for r in mirror)

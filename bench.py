@@ -163,6 +163,7 @@ HEADLINE = [
     "text_contamination_spans",
     "text_ngram_novelty",
     "dedup_soft_weights",
+    "events_forecast_backtest",
 ]
 
 

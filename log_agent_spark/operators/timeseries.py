@@ -830,12 +830,112 @@ ORDER BY event_type, h
 ORACLE_FORECAST_HOLT_WINTERS = _hw_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Forecast BACKTEST: hold out the last day, forecast it from the rest,
+# and score Holt against the seasonal-naive baseline (x̂_n = x_{n−7}) —
+# the evaluation that decides whether the fancier forecaster earns its
+# keep before anyone trusts its numbers. The Holt fold simply runs over
+# slice(s, 1, n−1) (same dyadic-exact recurrence), the one-step forecast
+# is l + b, and errors/winner are exact dyadic arithmetic — no new
+# machinery, just the held-out composition.
+# ---------------------------------------------------------------------------
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step holdout: actual last day vs Holt and seasonal-naive
+    forecasts, absolute errors, and which model won."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_dense(ev).select(
+        "event_type", "day", F.col("cnt").cast("double").alias("cnt")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda x: x["cnt"],
+        ).alias("s_full"),
+        F.count("*").alias("n_days"),
+    )
+    # train on everything but the held-out last value
+    trimmed = series.filter(F.col("n_days") >= 9).select(
+        "event_type",
+        "n_days",
+        F.element_at("s_full", -1).alias("actual"),
+        F.element_at("s_full", -8).alias("naive_pred"),
+        F.expr("slice(s_full, 1, size(s_full) - 1)").alias("s"),
+    )
+    state = F.expr(
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " named_struct("
+        "   'l', element_at(s, 1),"
+        "   'b', element_at(s, 2) - element_at(s, 1)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5 * x + 0.5 * (acc.l + acc.b),"
+        "   'b', 0.5 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l)"
+        "        + 0.5 * acc.b))"
+    )
+    st = trimmed.withColumn("st", state)
+    holt_pred = F.col("st.l") + F.col("st.b")
+    return st.select(
+        "event_type",
+        "n_days",
+        "actual",
+        F.round(holt_pred, 6).alias("holt_pred"),
+        "naive_pred",
+        F.round(F.abs(F.col("actual") - holt_pred), 6).alias("holt_abs_err"),
+        F.round(F.abs(F.col("actual") - F.col("naive_pred")), 6).alias(
+            "naive_abs_err"
+        ),
+        (
+            F.abs(F.col("actual") - holt_pred)
+            < F.abs(F.col("actual") - F.col("naive_pred"))
+        ).alias("holt_wins"),
+    ).orderBy("event_type")
+
+
+ORACLE_FORECAST_BACKTEST = f"""
+WITH RECURSIVE {_DENSE_DAILY_SQL}, s AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         CAST(cnt AS DOUBLE) AS cnt
+  FROM daily
+), nn AS (
+  SELECT event_type, MAX(i) AS n FROM s GROUP BY event_type HAVING MAX(i) >= 9
+), rec(event_type, i, l, b) AS (
+  SELECT s1.event_type, 1, s1.cnt, s2.cnt - s1.cnt
+  FROM s s1 JOIN s s2 ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+  JOIN nn ON nn.event_type = s1.event_type
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         0.5 * x.cnt + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * x.cnt + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r
+  JOIN nn ON nn.event_type = r.event_type
+  JOIN s x ON x.event_type = r.event_type AND x.i = r.i + 1
+  WHERE r.i + 1 <= nn.n - 1
+), final AS (
+  SELECT rec.event_type, nn.n, rec.l, rec.b
+  FROM rec JOIN nn ON rec.event_type = nn.event_type AND rec.i = nn.n - 1
+)
+SELECT f.event_type, f.n AS n_days,
+       a.cnt AS actual,
+       ROUND(f.l + f.b, 6) AS holt_pred,
+       v.cnt AS naive_pred,
+       ROUND(abs(a.cnt - (f.l + f.b)), 6) AS holt_abs_err,
+       ROUND(abs(a.cnt - v.cnt), 6) AS naive_abs_err,
+       abs(a.cnt - (f.l + f.b)) < abs(a.cnt - v.cnt) AS holt_wins
+FROM final f
+JOIN s a ON a.event_type = f.event_type AND a.i = f.n
+JOIN s v ON v.event_type = f.event_type AND v.i = f.n - 7
+ORDER BY f.event_type
+"""
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
     "events_seasonal_anomaly": q_seasonal_anomaly,
     "events_forecast_holt": q_forecast_holt,
     "events_forecast_holt_winters": q_forecast_holt_winters,
+    "events_forecast_backtest": q_forecast_backtest,
     "events_trend_robust": q_trend_robust,
 }
 
@@ -845,5 +945,6 @@ ORACLES = {
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "events_forecast_holt": ORACLE_FORECAST_HOLT,
     "events_forecast_holt_winters": ORACLE_FORECAST_HOLT_WINTERS,
+    "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_trend_robust": ORACLE_TREND_ROBUST,
 }

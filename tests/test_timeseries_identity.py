@@ -237,3 +237,41 @@ def test_daily_dense_fills_gaps_with_real_zeros(spark):
     assert out[("b", d0 + dt.timedelta(days=2))] == 5
     assert out[("b", d0 + dt.timedelta(days=3))] == 1
     assert len(out) == 7
+
+
+def test_backtest_consistent_with_holt_on_trimmed_series(spark):
+    """The backtest's Holt prediction must equal replaying the recurrence
+    over the series minus its held-out last value, and the winner flag
+    must agree with the reported absolute errors."""
+    from collections import defaultdict
+
+    from log_agent_spark.operators.timeseries import q_forecast_backtest
+    from log_agent_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.cnt))
+    out = {r.event_type: r for r in q_forecast_backtest(spark, sf).collect()}
+    for etype, pts in series.items():
+        xs = _dense(pts)
+        if len(xs) < 9:
+            assert etype not in out
+            continue
+        train = xs[:-1]
+        l, b = train[0], train[1] - train[0]
+        for x in train[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+            l = nl
+        r = out[etype]
+        assert r.actual == xs[-1] and r.naive_pred == xs[-8]
+        assert r.holt_pred == round(l + b, 6)
+        assert r.holt_wins == (abs(xs[-1] - (l + b)) < abs(xs[-1] - xs[-8]))

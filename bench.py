@@ -164,6 +164,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_soft_weights",
     "events_forecast_backtest",
+    "dedup_minhash_estimate",
 ]
 
 

@@ -403,6 +403,105 @@ FROM bands a JOIN bands b
 
 
 # ---------------------------------------------------------------------------
+# MinHash ESTIMATOR calibration — the sketch-accuracy report for the
+# minhash family (the pattern events_hll_report applies to HLL): for
+# every LSH candidate pair, the component-agreement estimate
+# agree/k — an unbiased estimator of Jaccard — next to the EXACT
+# distinct-shingle Jaccard, per pair. Everything but the two final
+# rounded ratios is integer (agreement count, intersection, union), so
+# the report is engine- and layout-exact; at 100 TB the exact columns
+# run only on the bucket-bounded candidates, which is precisely the
+# verify cost a production pipeline already pays.
+# ---------------------------------------------------------------------------
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LSH candidate pair: minhash agreement count + estimated
+    Jaccard vs exact shingle Jaccard."""
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs)
+    sig = minhash_signatures(docs)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n = SHINGLE_LEN
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, n),
+        )
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), arr.alias("sh_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), arr.alias("sh_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.alias("n_agree"),
+            F.round(agree / NUM_PERMS, 4).alias("est_jaccard"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+            F.round(inter / uni, 4).alias("exact_jaccard"),
+        )
+    )
+
+
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_PERMS)
+)
+
+ORACLE_DEDUP_MINHASH_ESTIMATE = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+             i -> substring(text, i, {SHINGLE_LEN}))),
+           s -> CAST(('0x' || substring(md5(s), 1, 7))::UBIGINT AS BIGINT)) AS h
+  FROM corpus
+), sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM hs
+), bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+           i -> substring(text, i, {SHINGLE_LEN}))) AS arr
+  FROM corpus
+)
+SELECT doc_a, doc_b,
+       CAST({_AGREE_SQL} AS INTEGER) AS n_agree,
+       ROUND(({_AGREE_SQL}) * 1.0 / {NUM_PERMS}, 4) AS est_jaccard,
+       CAST(len(list_intersect(ta.arr, tb.arr)) AS INTEGER) AS inter,
+       CAST(len(list_distinct(list_concat(ta.arr, tb.arr))) AS INTEGER) AS uni,
+       ROUND(len(list_intersect(ta.arr, tb.arr)) * 1.0
+             / len(list_distinct(list_concat(ta.arr, tb.arr))), 4)
+         AS exact_jaccard
+FROM pairs
+JOIN sig a ON a.doc_id = doc_a
+JOIN sig b ON b.doc_id = doc_b
+JOIN sh ta ON ta.doc_id = doc_a
+JOIN sh tb ON tb.doc_id = doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tier 4: SimHash fingerprint (16-bit here; width-parametric).
 # Per token take 16 bits of md5; per bit position, vote +1/-1 across tokens;
 # fingerprint bit = 1 iff vote >= 0. Built-ins only (conv/shiftright/&).
@@ -1275,6 +1374,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_lsh_quality": q_dedup_lsh_quality,
     "dedup_source_overlap": q_dedup_source_overlap,
     "dedup_simhash": q_dedup_simhash,
@@ -1294,6 +1394,7 @@ ORACLES = {
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_minhash_incremental": ORACLE_DEDUP_MINHASH_INCREMENTAL,
+    "dedup_minhash_estimate": ORACLE_DEDUP_MINHASH_ESTIMATE,
     "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
     "dedup_source_overlap": ORACLE_DEDUP_SOURCE_OVERLAP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

@@ -130,3 +130,22 @@ def test_soft_weights_conserve_content_budget(spark, sf_dir):
     assert abs(eff_total - distinct_chars) < 0.5 * len(rows)
     mirror = [r for r in rows if r.source == "mirror0"]
     assert mirror and all(r.n_copies == 2 for r in mirror)
+
+
+def test_minhash_estimate_calibration(spark, sf_dir):
+    """Estimator sanity: exact copies estimate 1.0 and are exactly 1.0;
+    estimates live on the k-grid {0..k}/k; on the planted truncations the
+    estimate tracks the true Jaccard within the k=16 sketch's resolution."""
+    rows = dedup.q_dedup_minhash_estimate(spark, sf_dir).collect()
+    by = {(r.doc_a, r.doc_b): r for r in rows}
+    k = dedup.NUM_PERMS
+    for r in rows:
+        assert 0 <= r.n_agree <= k
+        assert r.est_jaccard == round(r.n_agree / k, 4)
+        assert r.inter <= r.uni
+    for i in range(20):
+        exact_pair = by[(i, i + 1_000_000)]
+        assert exact_pair.n_agree == k and exact_pair.exact_jaccard == 1.0
+        near = by.get((i, i + 2_000_000))
+        if near is not None:
+            assert abs(near.est_jaccard - near.exact_jaccard) <= 4 / k

@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "events_forecast_backtest",
     "dedup_minhash_estimate",
+    "sample_split_balance",
 ]
 
 

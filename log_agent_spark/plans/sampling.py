@@ -90,6 +90,65 @@ FROM b GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Split balance audit: does each train/val/test split preserve the source
+# mixture? A hash split is unbiased in expectation, but a small val/test
+# slice of a skewed corpus can over/under-represent a source — exactly
+# what makes eval numbers drift from training reality. Per (source,
+# split): docs, chars, the source's share WITHIN the split vs its global
+# share, and the deviation. All shares are single divisions of integer
+# window sums, so the audit is engine- and layout-exact.
+# ---------------------------------------------------------------------------
+def q_sample_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, split): char share within the split vs the source's
+    global share — the mixture-preservation check on a hash split."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", split_expr(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+    split_total = F.sum("chars").over(W.partitionBy("split"))
+    source_total = F.sum("chars").over(W.partitionBy("source"))
+    grand_total = F.sum("chars").over(W.partitionBy())
+    share = F.col("chars") / split_total
+    gshare = source_total / grand_total
+    return cells.select(
+        "source",
+        "split",
+        "n_docs",
+        "chars",
+        F.round(share, 4).alias("share_in_split"),
+        F.round(gshare, 4).alias("global_share"),
+        # + 0.0 canonicalizes IEEE negative zero: round(-1e-5, 4) is -0.0
+        # in one engine and 0.0 in the other, and they hash differently
+        (F.round(share - gshare, 4) + 0.0).alias("deviation"),
+    ).orderBy("source", "split")
+
+
+ORACLE_SAMPLE_SPLIT_BALANCE = f"""
+WITH cells AS (
+  SELECT source, {split_sql('doc_id')} AS split,
+         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT *,
+         CAST(SUM(chars) OVER (PARTITION BY split) AS BIGINT) AS split_total,
+         CAST(SUM(chars) OVER (PARTITION BY source) AS BIGINT) AS source_total,
+         CAST(SUM(chars) OVER () AS BIGINT) AS grand_total
+  FROM cells
+)
+SELECT source, split, n_docs, chars,
+       ROUND(chars * 1.0 / split_total, 4) AS share_in_split,
+       ROUND(source_total * 1.0 / grand_total, 4) AS global_share,
+       ROUND(chars * 1.0 / split_total
+             - source_total * 1.0 / grand_total, 4) + 0.0 AS deviation
+FROM t ORDER BY source, split
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified per-class cap: at most 50 docs per language, chosen by hash
 # order (deterministic "random"). Scale: one shuffle on lang for the window;
 # at 100 TB with few huge classes the same shape runs per (lang, salt) with
@@ -1131,6 +1190,7 @@ QUERIES = {
     "sample_source_mixture": q_sample_source_mixture,
     "sample_temperature_mixture": q_sample_temperature_mixture,
     "sample_hash_split": q_sample_hash_split,
+    "sample_split_balance": q_sample_split_balance,
     "sample_stratified_cap": q_sample_stratified_cap,
     "unpivot_measures": q_unpivot_measures,
     "histogram_totalprice": q_histogram_totalprice,
@@ -1156,6 +1216,7 @@ ORACLES = {
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
+    "sample_split_balance": ORACLE_SAMPLE_SPLIT_BALANCE,
     "sample_stratified_cap": ORACLE_SAMPLE_STRATIFIED_CAP,
     "unpivot_measures": ORACLE_UNPIVOT_MEASURES,
     "histogram_totalprice": ORACLE_HISTOGRAM_TOTALPRICE,

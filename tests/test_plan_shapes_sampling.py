@@ -127,3 +127,28 @@ def test_pagerank_no_cartesian_and_bounded_exchanges(spark):
     # COUNTS are not assertable here: the textual plan re-prints the
     # persisted edge lineage at every reference.)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_split_balance_shares_sum_to_one(spark):
+    """Within every split the source shares partition the chars (sum to
+    1); deviation equals share minus global share per cell; the cells
+    partition the corpus. (Per-split deviations need NOT sum to zero: a
+    source absent from a small split contributes its global share to the
+    imbalance — that residual is exactly what the audit surfaces.)"""
+    from collections import defaultdict
+
+    from log_agent_spark.plans.sampling import q_sample_split_balance
+    from log_agent_spark.sources.tables import load_table
+
+    rows = q_sample_split_balance(spark, "/root/testdata/sf0.001").collect()
+    by_split = defaultdict(list)
+    for r in rows:
+        by_split[r.split].append(r)
+        # deviation rounds the UNROUNDED share difference; recomputing from
+        # the two already-rounded shares can differ by up to 1.5e-4
+        assert abs(r.deviation - round(r.share_in_split - r.global_share, 4)) <= 2e-4
+    assert set(by_split) == {"train", "val", "test"}
+    for split, rs in by_split.items():
+        assert abs(sum(r.share_in_split for r in rs) - 1.0) < 1e-3, split
+    total = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert sum(r.n_docs for r in rows) == total

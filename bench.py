@@ -191,6 +191,7 @@ def main() -> None:
     # standard noise-robust estimator for deterministic workloads.
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    flaky: dict[str, str] = {}  # passed once, then crashed — keep the trace
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
@@ -216,10 +217,14 @@ def main() -> None:
                 # this either, or its pinned blocks tax the NEXT query.
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
-        # keep a clean earlier measurement even if a later attempt failed
+        # keep a clean earlier measurement even if a later attempt failed,
+        # but record the late failure as flaky instead of dropping it
+        # (ADVICE r2: a pass-then-crash query must not report as clean)
         if best != float("inf"):
             timings[name] = round(best, 3)
-            failures.pop(name, None)
+            late = failures.pop(name, None)
+            if late is not None:
+                flaky[name] = late
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -240,6 +245,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "failures": failures,
+        "flaky": flaky,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -256,6 +262,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_failures": len(failures),
+                "n_flaky": len(flaky),
                 "queries": top10,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -392,9 +392,15 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
+    # psi_total: quantize each bin's contribution to a 1e-9 integer grid
+    # before summing — a float SUM over an unordered window accumulates in
+    # engine/layout-dependent order and a last-ulp difference could flip
+    # the 6dp rounding (ADVICE r2); the integer sum is order-independent
+    # and the single final division is deterministic.
+    c_q = F.round(F.col("_c") * 1e9).cast("long")
     return (
         per_bin.withColumn(
-            "psi_total", F.round(F.sum("_c").over(W.partitionBy()), 6)
+            "psi_total", F.round(F.sum(c_q).over(W.partitionBy()) / 1e9, 6)
         )
         .drop("_c")
         .orderBy("bin")
@@ -433,7 +439,8 @@ WITH v AS (
 )
 SELECT bin, n_v1, n_v2, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
        ROUND((p - q) * ln(p / q), 6) AS psi_contrib,
-       ROUND(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+       ROUND(SUM(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT)) OVER ()
+             / 1e9, 6) AS psi_total
 FROM scored ORDER BY bin
 """
 
@@ -525,6 +532,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
     quality gate → exact dedup → LSH near-dedup → decontamination."""
     from log_agent_spark.operators.dedup import (
+        J_DEN,
+        J_NUM,
         lsh_candidate_pairs,
         with_planted_dups,
     )
@@ -560,9 +569,12 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs(exact)
         .join(ta, "doc_a")
         .join(tb, "doc_b")
+        # gate built from dedup.JACCARD_THRESHOLD (integer form) so the
+        # funnel's near-dedup stage stays coupled to the dedup family it
+        # composes (ADVICE r2): jaccard >= t ⇔ J_DEN·inter >= J_NUM·union
         .filter(
-            2 * F.size(F.array_intersect("ta", "tb"))
-            >= F.size(F.array_union("ta", "tb"))
+            J_DEN * F.size(F.array_intersect("ta", "tb"))
+            >= J_NUM * F.size(F.array_union("ta", "tb"))
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -625,6 +637,8 @@ def _funnel_oracle() -> str:
     from log_agent_spark.operators.dedup import (
         _BAND_SELECTS,
         _MH_EXPRS,
+        J_DEN,
+        J_NUM,
         SHINGLE_LEN,
     )
 
@@ -683,8 +697,8 @@ WITH train AS (
   FROM pairs
   JOIN toksets ta ON ta.doc_id = doc_a
   JOIN toksets tb ON tb.doc_id = doc_b
-  WHERE 2 * len(list_intersect(ta.tk, tb.tk))
-        >= len(list_distinct(list_concat(ta.tk, tb.tk)))
+  WHERE {J_DEN} * len(list_intersect(ta.tk, tb.tk))
+        >= {J_NUM} * len(list_distinct(list_concat(ta.tk, tb.tk)))
 ), near AS (
   SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ), eval_ngrams AS (

@@ -38,6 +38,13 @@ SHINGLE_LEN = 8
 NUM_PERMS = 16
 NUM_BANDS = 4  # → 4 rows per band
 JACCARD_THRESHOLD = 0.5
+# integer cross-multiplication form, so composing queries (e.g. the corpus
+# funnel's near-dedup stage) can build their gate from the SAME constant:
+# jaccard >= t  ⇔  J_DEN·inter >= J_NUM·union (ADVICE r2 coupling note)
+from fractions import Fraction as _Fraction
+
+_J = _Fraction(JACCARD_THRESHOLD).limit_denominator(10_000)
+J_NUM, J_DEN = _J.numerator, _J.denominator
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +205,11 @@ WHERE inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter) >= {JACCARD_THRESHOL
 # as Jaccard: at scale this runs ONLY on LSH candidates.
 # ---------------------------------------------------------------------------
 CONTAINMENT_THRESHOLD = 0.8
+# integer cross-multiplication form of the threshold, derived so editing
+# the constant actually moves the gate (ADVICE r2): containment >= t
+# ⇔ _CT_DEN·inter >= _CT_NUM·min(size)
+_CT = _Fraction(CONTAINMENT_THRESHOLD).limit_denominator(10_000)
+_CT_NUM, _CT_DEN = _CT.numerator, _CT.denominator
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,8 +233,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     scored = inter.join(sa, "doc_a").join(sb, "doc_b")
-    # integer-exact gate: max containment >= t  ⇔  10·inter >= 8·min(size)
-    gate = 10 * F.col("inter") >= 8 * F.least("size_a", "size_b")
+    # integer-exact gate: max containment >= t  ⇔  den·inter >= num·min(size)
+    gate = _CT_DEN * F.col("inter") >= _CT_NUM * F.least("size_a", "size_b")
     return scored.filter(gate).select(
         "doc_a",
         "doc_b",
@@ -248,7 +260,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 10 * inter >= 8 * least(sa.n_shingles, sb.n_shingles)
+WHERE {_CT_DEN} * inter >= {_CT_NUM} * least(sa.n_shingles, sb.n_shingles)
 """
 
 

@@ -262,19 +262,26 @@ FROM d
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-media fake-codec feature extraction via mapInPandas (real plumbing, stub codec)."""
+    """Per-media fake-codec feature extraction via mapInPandas (real plumbing,
+    stub codec), flattened to one row per (media_id, feature position).
+
+    The internal operator (``extract_features``) keeps the natural
+    ``array<double>`` column; the driver-facing entry posexplodes it because
+    the correctness harness canonicalizes with pandas ``sort_values``, which
+    cannot hash list cells (CORRECTNESS_r02 ``unhashable type: 'list'``).
+    """
     media = media_corpus(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id", F.posexplode("features").alias("j", "feature")
+    )
 
 
 ORACLE_MEDIA_FEATURES = f"""
 WITH m AS ({MEDIA_CORPUS_SQL})
-SELECT media_id,
-       list_transform(
-         generate_series(0, {FEATURE_DIM - 1}),
-         j -> (('0x' || substring(md5(md5(text) || j), 1, 8))::UBIGINT % 10000) / 10000.0
-       ) AS features
-FROM m
+SELECT media_id, CAST(j AS INT) AS j,
+       (('0x' || substring(md5(md5(text) || j), 1, 8))::UBIGINT % 10000) / 10000.0
+         AS feature
+FROM m, unnest(generate_series(0, {FEATURE_DIM - 1})) AS u(j)
 """
 
 

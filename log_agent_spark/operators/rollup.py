@@ -144,8 +144,11 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_type"],
             "v",
         )
+    # `day` goes out as an ISO string: DATE columns reach pandas as
+    # datetime.date objects from Spark but datetime64 from DuckDB, an
+    # unproven driver-hash divergence (VERDICT r2 "What's wrong" #3).
     return spark.read.parquet(path).select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
         F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
         "n_events",
@@ -153,7 +156,7 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_INCREMENTAL_ROLLUP = """
-SELECT CAST(ts AS DATE) AS day, event_type,
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
        COUNT(*) AS n_events
 FROM events

@@ -985,6 +985,139 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF index health audit — the operational gate before shipping an IVF
+# index: per-cell occupancy, share of corpus, imbalance vs the uniform
+# ideal, and empty cells (surfaced via the centroid spine left-join, like
+# corpus_drift_psi's bin spine). Hot cells mean probe-time skew: a query
+# landing in a cell holding 10% of a 100 TB corpus scans 10%, not 1/k —
+# exactly what this report flags before the index goes live. All outputs
+# are counts or ratios of integer sums (deterministic cross-engine).
+# Scale: reuses the assignment plan of q_ann_ivf (broadcast centroids +
+# per-vector argmax); the audit itself is one k-row aggregate.
+# ---------------------------------------------------------------------------
+def q_ann_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    occ = (
+        ivf_assign(emb, centroids)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    spine = centroids.select(F.col("centroid_id").alias("cell"))
+    total = occ.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        spine.join(occ, "cell", "left")
+        .na.fill({"n_vectors": 0})
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("n_total"), 4).alias("share"),
+            F.round(
+                F.col("n_vectors") * N_CENTROIDS / F.col("n_total"), 4
+            ).alias("imbalance"),
+            (F.col("n_vectors") == 0).alias("is_empty"),
+        )
+    )
+
+
+ORACLE_ANN_IVF_HEALTH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), occ AS (
+  SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell
+), total AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM occ)
+SELECT s.centroid_id AS cell,
+       CAST(COALESCE(o.n_vectors, 0) AS BIGINT) AS n_vectors,
+       ROUND(COALESCE(o.n_vectors, 0) * 1.0 / n_total, 4) AS share,
+       ROUND(COALESCE(o.n_vectors, 0) * {N_CENTROIDS} * 1.0 / n_total, 4)
+         AS imbalance,
+       (COALESCE(o.n_vectors, 0) = 0) AS is_empty
+FROM cent s LEFT JOIN occ o ON s.centroid_id = o.cell CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding audit — dead/degenerate-dimension detection, the
+# pre-flight check for PQ/int8 quantization (a near-constant dimension
+# wastes codebook bits; ann_int8_topk's scale factor assumes non-trivial
+# spread). Mean and variance per dimension are computed from 1e-6-grid
+# integer sums held in DECIMAL(38,0) (exact, order-independent at any row
+# count — a float SUM would accumulate in partition order), then divided
+# once; the final subtraction can round to IEEE -0.0, hence `+ 0.0`.
+# Scale: posexplode is map-side (64 rows per vector), one aggregate
+# shuffle on the 64-value dim key with map-side partials.
+# ---------------------------------------------------------------------------
+_DIM_SCALE = 1_000_000
+_VAR_DEGENERATE = 1e-4
+
+
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    comp = emb.select(F.posexplode("emb").alias("dim", "v")).select(
+        "dim", F.round(F.col("v") * _DIM_SCALE).cast("long").alias("q")
+    )
+    agg = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s") / (F.col("n") * float(_DIM_SCALE))
+    var = F.col("s2") / (F.col("n") * float(_DIM_SCALE) ** 2) - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        (F.round(mean, 6) + 0.0).alias("mean"),
+        (F.round(var, 6) + 0.0).alias("variance"),
+        (var < _VAR_DEGENERATE).alias("is_degenerate"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_AUDIT = f"""
+WITH comp AS (
+  SELECT CAST(j - 1 AS INT) AS dim,
+         CAST(round(embedding[CAST(j AS INT)]::DOUBLE * {_DIM_SCALE}) AS BIGINT) AS q
+  FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS j
+        FROM embeddings)
+), agg AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(q) AS DOUBLE) AS s,
+         CAST(SUM(q * q) AS DOUBLE) AS s2
+  FROM comp GROUP BY dim
+)
+SELECT dim, n,
+       ROUND(s / (n * {float(_DIM_SCALE)!r}), 6) + 0.0 AS mean,
+       ROUND(s2 / (n * {float(_DIM_SCALE) ** 2!r})
+             - (s / (n * {float(_DIM_SCALE)!r})) * (s / (n * {float(_DIM_SCALE)!r})), 6)
+         + 0.0 AS variance,
+       (s2 / (n * {float(_DIM_SCALE) ** 2!r})
+        - (s / (n * {float(_DIM_SCALE)!r})) * (s / (n * {float(_DIM_SCALE)!r})))
+         < {_VAR_DEGENERATE} AS is_degenerate
+FROM agg
+"""
+
+
 QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
@@ -997,6 +1130,8 @@ QUERIES = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_health": q_ann_ivf_health,
+    "embedding_dim_audit": q_embedding_dim_audit,
     "embedding_norms": q_embedding_norms,
 }
 
@@ -1012,5 +1147,7 @@ ORACLES = {
     "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_health": ORACLE_ANN_IVF_HEALTH,
+    "embedding_dim_audit": ORACLE_EMBEDDING_DIM_AUDIT,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,
 }

@@ -704,16 +704,22 @@ POSTING_CAP = 20
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing shape is flattened to one row per (term, posting
+    position): the harness canonicalizes with pandas ``sort_values``, which
+    cannot hash the natural ``array<bigint>`` posting-list column
+    (CORRECTNESS_r02 ``unhashable type: 'list'``). The list form stays
+    available by re-aggregating on term."""
     d = load_table(spark, sf_dir, "documents")
     postings = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
     )
-    return postings.groupBy("term").agg(
+    idx = postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"),
         F.slice(
             F.sort_array(F.collect_set("doc_id")), 1, POSTING_CAP
         ).alias("postings"),
     )
+    return idx.select("term", "df", F.posexplode("postings").alias("pos", "doc_id"))
 
 
 ORACLE_INVERTED_INDEX = f"""
@@ -721,10 +727,14 @@ WITH postings AS (
   SELECT DISTINCT doc_id, term FROM (
     SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
   )
+), ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM postings
 )
-SELECT term, COUNT(DISTINCT doc_id) AS df,
-       list_sort(list(DISTINCT doc_id))[1:{POSTING_CAP}] AS postings
-FROM postings GROUP BY term
+SELECT term, CAST(df AS BIGINT) AS df, CAST(rn - 1 AS INT) AS pos, doc_id
+FROM ranked WHERE rn <= {POSTING_CAP}
 """
 
 
@@ -1247,6 +1257,143 @@ FROM scored GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Collocation mining: top adjacent-pair PMI over the corpus — the classic
+# phrase-detection signal (word2vec's phrase pass, "fast unigram" →
+# "fast_unigram" merges). PMI is computed from integer counts through ONE
+# fixed expression tree — ln((c_ab/Np) / ((c_a/Nu)·(c_b/Nu))) — written
+# identically in both engines (products of raw counts would overflow int64
+# at 100 TB; the ratio form never leaves unit scale), rounded to 4dp
+# BEFORE ordering so the top-k boundary cannot flip on a ulp. Top-k is
+# orderBy().limit() (TakeOrderedAndProject — parallel partial top-k, no
+# single-task global sort); the rank window then runs over only k rows.
+# Scale: two agg shuffles (unigrams, pairs) with map-side combine; the
+# unigram model broadcasts (Heaps' law).
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 10
+_PMI_TOP = 50
+
+
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    pairs = _bigrams(d).groupBy("prev", "term").agg(F.count("*").alias("c_pair"))
+    consts = uni.agg(F.sum("c_uni").alias("n_uni")).crossJoin(
+        pairs.agg(F.sum("c_pair").alias("n_pairs"))
+    )
+    scored = (
+        pairs.filter(F.col("c_pair") >= _PMI_MIN_COUNT)
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("prev"), F.col("c_uni").alias("c_a"))
+            ),
+            "prev",
+        )
+        .join(F.broadcast(uni.select("term", F.col("c_uni").alias("c_b"))), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "prev",
+            "term",
+            "c_pair",
+            F.round(
+                F.log(
+                    (F.col("c_pair") / F.col("n_pairs"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("term")).limit(_PMI_TOP)
+    w = W.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("term"))  # k rows only
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def _pmi_oracle() -> str:
+    return f"""
+WITH uni AS (
+  SELECT term, COUNT(*) AS c_uni FROM (
+    SELECT unnest({_SQL_TOKS}) AS term FROM documents
+  ) GROUP BY term
+), pairs AS (
+  SELECT prev, term, COUNT(*) AS c_pair
+  FROM ({_SQL_BIGRAMS.format(src="documents")}) GROUP BY prev, term
+), consts AS (
+  SELECT (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(SUM(c_pair) AS BIGINT) FROM pairs) AS n_pairs
+), scored AS (
+  SELECT pairs.prev, pairs.term, c_pair,
+         ROUND(ln((c_pair * 1.0 / n_pairs)
+                  / ((a.c_uni * 1.0 / n_uni) * (b.c_uni * 1.0 / n_uni))), 4) AS pmi
+  FROM pairs
+  JOIN uni a ON a.term = pairs.prev
+  JOIN uni b ON b.term = pairs.term
+  CROSS JOIN consts
+  WHERE c_pair >= {_PMI_MIN_COUNT}
+)
+SELECT prev, term, c_pair, pmi, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, prev ASC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {_PMI_TOP}
+"""
+
+
+ORACLE_PMI_TOP_PAIRS = _pmi_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Log-template mining (Drain-lite): mask the variable parts (digit runs →
+# '<N>'), group by the md5 of the masked text — the reference's domain is
+# factory log collection (SURVEY §0), and template extraction is the first
+# analytics step over such a corpus (error-class counting, novel-template
+# alerting). Per template: support, distinct sources, earliest doc, and a
+# display prefix. All-JVM (regexp + md5 + one agg shuffle on the hash
+# key); the template string rides the aggregation as min() — all members
+# are byte-identical by construction, and only a bounded prefix is output.
+# ---------------------------------------------------------------------------
+_TPL_PREFIX_LEN = 60
+
+
+def q_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    masked = F.regexp_replace(F.col("text"), "[0-9]+", "<N>")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.substring(F.md5(masked), 1, 12).alias("template_id"),
+            masked.alias("masked"),
+        )
+        .groupBy("template_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.substring(F.min("masked"), 1, _TPL_PREFIX_LEN).alias("template_prefix"),
+        )
+    )
+
+
+ORACLE_LOG_TEMPLATE_MINING = f"""
+WITH masked AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '[0-9]+', '<N>', 'g') AS masked
+  FROM documents
+)
+SELECT substring(md5(masked), 1, 12) AS template_id,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       substring(MIN(masked), 1, {_TPL_PREFIX_LEN}) AS template_prefix
+FROM masked
+GROUP BY template_id
+"""
+
+
 QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
@@ -1270,6 +1417,8 @@ QUERIES = {
     "text_doc_fingerprint": q_doc_fingerprint,
     "text_lang_profile": q_lang_profile,
     "text_token_frequency": q_token_frequency,
+    "text_pmi_top_pairs": q_pmi_top_pairs,
+    "logs_template_mining": q_log_template_mining,
 }
 
 ORACLES = {
@@ -1295,4 +1444,6 @@ ORACLES = {
     "text_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "text_lang_profile": ORACLE_LANG_PROFILE,
     "text_token_frequency": ORACLE_TOKEN_FREQUENCY,
+    "text_pmi_top_pairs": ORACLE_PMI_TOP_PAIRS,
+    "logs_template_mining": ORACLE_LOG_TEMPLATE_MINING,
 }

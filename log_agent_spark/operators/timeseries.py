@@ -424,9 +424,12 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = (F.col("s7") / F.col("n7")) * (F.col("inum") / F.col("iden"))
     num = F.col("cnt") * F.col("n7") * F.col("iden")
     den = F.col("s7") * F.col("inum")
+    # `day` goes out as an ISO string (same driver-hash reason as
+    # events_incremental_rollup: Spark DATE → datetime.date vs DuckDB →
+    # datetime64 in pandas; string form hashes identically on both).
     return j.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "dow",
         F.col("cnt").alias("n_events"),
         F.round(expected, 2).alias("expected"),
@@ -447,7 +450,7 @@ WITH {_DENSE_DAILY_SQL}, d2 AS (
   SELECT event_type, dow, SUM(cnt * n7) AS inum, SUM(s7) AS iden
   FROM t GROUP BY 1, 2
 )
-SELECT t.event_type, day, dow, cnt AS n_events,
+SELECT t.event_type, CAST(day AS VARCHAR) AS day, dow, cnt AS n_events,
        ROUND((s7 * 1.0 / n7) * (inum * 1.0 / iden), 2) AS expected,
        ROUND((cnt * n7 * iden) * 1.0 / (s7 * inum), 4) AS residual,
        (5 * cnt * n7 * iden > 6 * s7 * inum

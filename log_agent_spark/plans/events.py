@@ -417,12 +417,33 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 # sketches differ, so there is no value-level oracle — the driver records
 # rows-only and tests/test_sketches.py bounds the error against exact.
 # ---------------------------------------------------------------------------
+_SKETCH_QS = (0.5, 0.95, 0.99)
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+        F.percentile_approx(
+            "value", list(_SKETCH_QS), 10_000
+        ).alias("value_pcts"),
         F.count("*").alias("n_rows"),
+    )
+    # Flattened to one row per percentile: the driver's canonicalizer cannot
+    # hash array cells (pandas sort_values, CORRECTNESS_r02). pos → q via a
+    # literal lookup so the quantile label travels with each value.
+    qarr = F.array(*[F.lit(q) for q in _SKETCH_QS])
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "n_rows",
+        F.posexplode("value_pcts").alias("pos", "value_pct"),
+    ).select(
+        "event_type",
+        "approx_users",
+        "n_rows",
+        F.element_at(qarr, F.col("pos") + 1).alias("q"),
+        "value_pct",
     )
 
 

@@ -1180,6 +1180,143 @@ SELECT o_orderkey, weight, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain-reweighting step (DoReMi-style multiplicative-weights update,
+# "DoReMi: Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+# Xie et al. 2023): given a per-domain excess-loss signal, one update
+#   w'_i ∝ w_i · exp(η · excess_i)
+# over the current mixture weights, renormalized. The per-doc loss here is
+# a deterministic hash proxy (a real run joins per-domain eval losses — a
+# |domains|-row broadcast table; identical plan). Determinism discipline:
+# every per-domain statistic is a ratio of integer sums; the normalizer Z
+# sums 1e-12-grid integer quantizations of the exp() terms (the PSI
+# pattern), so no float accumulates in engine-dependent order.
+# Scale: one agg shuffle on the small domain key; two tiny broadcasts.
+# ---------------------------------------------------------------------------
+_DOREMI_ETA = 1.0
+_DOREMI_U = 1 << 20
+
+
+def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    u = _hash_bucket(F.col("doc_id"), _DOREMI_U)
+    counts = d.select("source", u.alias("u")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("u").alias("su")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("su").alias("su_total")
+    )
+    loss = F.col("su") / (F.col("n_docs") * float(_DOREMI_U))
+    g_loss = F.col("su_total") / (F.col("n_total") * float(_DOREMI_U))
+    w0 = F.col("n_docs") / F.col("n_total")
+    excess = loss - g_loss
+    per = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        w0.alias("w0"),
+        excess.alias("excess"),
+        F.round(w0 * F.exp(F.lit(_DOREMI_ETA) * excess) * 1e12)
+        .cast("long")
+        .alias("e"),
+    )
+    z = per.agg(F.sum("e").alias("z"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("w0", 6).alias("w_before"),
+        (F.round("excess", 6) + 0.0).alias("excess_loss"),
+        F.round(F.col("e") / F.col("z"), 6).alias("w_after"),
+    )
+
+
+ORACLE_MIXTURE_DOREMI_STEP = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM({_oracle_bucket('doc_id', _DOREMI_U)}) AS BIGINT) AS su
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(su) AS BIGINT) AS su_total
+  FROM counts
+), per AS (
+  SELECT source, n_docs,
+         n_docs * 1.0 / n_total AS w0,
+         su * 1.0 / (n_docs * {float(_DOREMI_U)!r})
+           - su_total * 1.0 / (n_total * {float(_DOREMI_U)!r}) AS excess,
+         CAST(round((n_docs * 1.0 / n_total)
+                    * exp({_DOREMI_ETA} * (su * 1.0 / (n_docs * {float(_DOREMI_U)!r})
+                          - su_total * 1.0 / (n_total * {float(_DOREMI_U)!r})))
+                    * 1e12) AS BIGINT) AS e
+  FROM counts CROSS JOIN totals
+), z AS (SELECT CAST(SUM(e) AS BIGINT) AS z FROM per)
+SELECT source, n_docs,
+       ROUND(w0, 6) AS w_before,
+       ROUND(excess, 6) + 0.0 AS excess_loss,
+       ROUND(e * 1.0 / z, 6) AS w_after
+FROM per CROSS JOIN z
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum binning: decile buckets over an integer quality score (alpha
+# ratio in basis points — integer division, so the score is exactly the
+# same integer on both engines), assigned with the DISTRIBUTED exact-NTILE
+# primitive (operators/ranking.py) instead of a single-task global window —
+# the ordering a curriculum/annealing data schedule consumes ("clean data
+# last"). Tie-break by doc_id makes the total order deterministic.
+# Scale: range-repartitioned parallel sort + P-row offset table; final agg
+# is 10 rows.
+# ---------------------------------------------------------------------------
+_CURRICULUM_BINS = 10
+
+
+def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.ranking import exact_ntile
+
+    d = _t(spark, sf_dir, "documents")
+    # DIV (not /+floor): float division of exact integers can land one ulp
+    # below an exact quotient and floor to k-1 while DuckDB's integer //
+    # gives k — DIV keeps the score integer-exact on both engines
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST((length(regexp_replace(text, '[^a-zA-Z]', '')) * 10000)"
+            " DIV greatest(n_chars, 1) AS BIGINT)"
+        ).alias("score"),
+    )
+    binned = exact_ntile(
+        scored,
+        _CURRICULUM_BINS,
+        order_cols=[F.asc("score"), F.asc("doc_id")],
+        out_col="bin",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_CURRICULUM_QUALITY_BINS = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10000)
+           // greatest(n_chars, 1) AS score
+  FROM documents
+), binned AS (
+  SELECT *, NTILE({_CURRICULUM_BINS}) OVER (ORDER BY score, doc_id) AS bin
+  FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "sample_weighted_reservoir": q_sample_weighted_reservoir,
     "sample_shuffle_shard": q_sample_shuffle_shard,
@@ -1201,6 +1338,8 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "winsorized_stats": q_winsorized_stats,
     "training_manifest": q_training_manifest,
+    "mixture_doremi_step": q_mixture_doremi_step,
+    "curriculum_quality_bins": q_curriculum_quality_bins,
     "sql_interface": q_sql_interface,
 }
 
@@ -1215,6 +1354,8 @@ ORACLES = {
     "sample_temperature_mixture": ORACLE_SAMPLE_TEMPERATURE_MIXTURE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
+    "mixture_doremi_step": ORACLE_MIXTURE_DOREMI_STEP,
+    "curriculum_quality_bins": ORACLE_CURRICULUM_QUALITY_BINS,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "sample_split_balance": ORACLE_SAMPLE_SPLIT_BALANCE,
     "sample_stratified_cap": ORACLE_SAMPLE_STRATIFIED_CAP,

@@ -31,3 +31,49 @@ def test_all_queries_run_smoke(spark, sf_dir):
         df = fn(spark, sf_dir)
         n = df.limit(5).count()
         assert n >= 0, name
+
+
+def test_no_driver_hostile_output_columns(spark, sf_dir):
+    """No queries() entry may output array/map/struct or DATE columns.
+
+    The driver's canonicalizer runs pandas ``sort_values`` over every output
+    column: array cells crash it (``unhashable type: 'list'`` —
+    CORRECTNESS_r02 errors on media_features / text_inverted_index), and
+    DATE cells reach pandas as ``datetime.date`` from Spark but
+    ``datetime64`` from DuckDB, hashing differently. Flatten arrays
+    (posexplode) and format dates as ISO strings instead.
+    """
+    from pyspark.sql import types as T
+
+    bad: list[tuple[str, str, str]] = []
+    for name, fn in entrymod.queries().items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType, T.DateType)
+            ):
+                bad.append((name, field.name, field.dataType.simpleString()))
+    assert not bad, f"driver-hostile output columns: {bad}"
+
+
+def test_mirror_canon_rejects_array_cells():
+    """tools/oracle_check.py must fail exactly where the driver fails:
+    its canon step must throw on array-typed cells (round-2 lesson — the
+    mirror stringified lists and passed queries the driver errored on)."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools", "oracle_check.py"
+    )
+    spec = importlib.util.spec_from_file_location("oracle_check_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pdf = pd.DataFrame({"a": [[1, 2], [3]], "b": [1, 2]})
+    with pytest.raises(TypeError):
+        mod.frame_hash(pdf)
+    # scalar frames still hash fine
+    n, h, _ = mod.frame_hash(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    assert n == 2 and isinstance(h, str)

@@ -10,7 +10,17 @@ from log_agent_spark.sources.tables import load_table
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
-    approx = {r.event_type: r for r in q_approx_sketches(spark, sf_dir).collect()}
+    # flattened shape: one row per (event_type, q)
+    rows = q_approx_sketches(spark, sf_dir).collect()
+    approx: dict[str, dict] = {}
+    for r in rows:
+        rec = approx.setdefault(
+            r.event_type,
+            {"approx_users": r.approx_users, "n_rows": r.n_rows, "pcts": {}},
+        )
+        assert rec["approx_users"] == r.approx_users  # repeated per q
+        assert rec["n_rows"] == r.n_rows
+        rec["pcts"][r.q] = r.value_pct
     e = load_table(spark, sf_dir, "events")
     exact = {
         r.event_type: r
@@ -24,14 +34,16 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     }
     assert set(approx) == set(exact)
     for k in exact:
-        assert approx[k].n_rows == exact[k].n
+        rec = approx[k]
+        assert rec["n_rows"] == exact[k].n
         # HLL at rsd=0.02: allow 3x the target rsd for tiny fixture counts
-        rel = abs(approx[k].approx_users - exact[k].users) / max(exact[k].users, 1)
-        assert rel <= 0.06, (k, approx[k].approx_users, exact[k].users)
+        rel = abs(rec["approx_users"] - exact[k].users) / max(exact[k].users, 1)
+        assert rel <= 0.06, (k, rec["approx_users"], exact[k].users)
         # percentile_approx returns a group member whose RANK is within the
         # accuracy bound of the target percentile (it never interpolates)
         vals, n = exact[k].vals, exact[k].n
-        for a, p in zip(approx[k].value_pcts, (0.5, 0.95, 0.99)):
+        assert set(rec["pcts"]) == {0.5, 0.95, 0.99}
+        for p, a in rec["pcts"].items():
             assert a in vals, (k, a)
             rank = vals.index(a) + 1
             assert abs(rank / n - p) <= 0.02 + 1 / n, (k, p, rank / n)

@@ -75,10 +75,25 @@ def _norm(v):
     return str(v)
 
 
+def driver_canon(pdf):
+    """Replicate the driver's canonicalization step verbatim.
+
+    The driver sorts the frame with pandas ``sort_values`` over all columns
+    (CORRECTNESS_r02 traceback, ``_canon`` line 16) — which THROWS
+    ``TypeError: unhashable type: 'list'`` on array cells. Round-2 lesson:
+    this mirror stringified lists and passed two queries the driver
+    errored on, so the mirror must fail exactly where the driver fails.
+    Any exception here is reported as a DRIVER-CANON error.
+    """
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
+
 def frame_hash(pdf) -> tuple[int, str, dict]:
     """(n_rows, order-insensitive md5, {col: dtype_str}) for a pandas frame."""
     import hashlib
 
+    pdf = driver_canon(pdf)
     cols = sorted(pdf.columns)
     dtypes = {c: str(pdf[c].dtype) for c in pdf.columns}
     # NaN in object columns arrives as float('nan'); pandas NA as pd.NA

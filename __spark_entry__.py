@@ -49,22 +49,32 @@ _MODULES = [
 # multimodal/text). Round-3 window, per VERDICT r2's ranked list:
 #   - the 2 array-output queries fixed this round (flattened shapes) — kept
 #     in-window to prove the fix against the real driver canonicalizer;
-#   - 2 previously-green relational canaries to catch regressions;
+#   - 1 driver-green relational canary (q01) to catch regressions, plus ALL
+#     SIX r1 hash-fail queries (dq_constraint_audit, lineitem_sequence_audit,
+#     scalar_functions, filter_patterns, q12_late_shipments, order_backlog —
+#     fixed in r2, but only mirror-verified): the known driver-level failure
+#     class gets re-proved before anything else;
 #   - the never-driver-verified families: decontaminate, graph, timeseries
 #     (incl. the DATE-defused events_seasonal_anomaly), rollup (incl. the
-#     DATE-defused events_incremental_rollup), temporal, skew,
-#     complex_types, and the head of events (incl. the flattened
-#     events_approx_sketches).
-# Still queued for rounds 4+: rest of events, sampling, analytics,
-# agentdemo (see COVERAGE.json; complex_types turned out to be already
-# driver-green from round 1, so it stays in the tail).
+#     DATE-defused events_incremental_rollup), temporal, skew, and the head
+#     of events (incl. the flattened events_approx_sketches).
+# Still queued for rounds 4+: rest of events, sampling (incl. the six new
+# curation queries), analytics, agentdemo (see COVERAGE.json;
+# complex_types turned out to be already driver-green from round 1, so it
+# stays in the tail).
 _R3_WINDOW = [
     # fixed-shape proofs (errored in CORRECTNESS_r02, flattened this round)
     "media_features",
     "text_inverted_index",
-    # relational canaries (driver-green in r1)
+    # relational canary (driver-green in r1)
     "q01_pricing_summary",
+    # the six r1 hash-fails, fixed in r2 — driver-level proof of the fixes
     "dq_constraint_audit",
+    "lineitem_sequence_audit",
+    "scalar_functions",
+    "filter_patterns",
+    "q12_late_shipments",
+    "order_backlog",
     # decontaminate (7)
     "text_decontaminate",
     "text_contamination_spans",
@@ -98,8 +108,9 @@ _R3_WINDOW = [
     # skew (2)
     "skew_salted_distinct",
     "skew_salted_join",
-    # head of events (19, incl. the flattened sketch query) — complex_types
+    # head of events (14, incl. the flattened sketch query) — complex_types
     # is NOT here: COVERAGE.json shows all 7 entries driver-green in r1
+    "events_approx_sketches",
     "events_hypertable_rollup",
     "events_session_window_native",
     "window_range_frame",
@@ -107,19 +118,17 @@ _R3_WINDOW = [
     "events_attribution_multitouch",
     "events_hll_report",
     "events_kmv_set_ops",
-    "events_approx_sketches",
     "events_quantile_sketch_report",
     "events_hll_incremental",
     "events_ab_test_ztest",
     "events_user_lifecycle",
     "events_weekly_load_profile",
     "events_dwell_percentiles",
-    "events_error_bursts",
-    "events_pit_versioned_join",
-    "events_transition_matrix",
-    "events_scd2_dimension",
-    "events_rolling_7d_users",
 ]
+
+# Stable alias for tools (tools/make_coverage.py): the per-round list above
+# is renamed each rotation; this name is not.
+DRIVER_WINDOW = _R3_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -130,7 +139,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    out = {name: full[name] for name in _R3_WINDOW if name in full}
+    missing = [name for name in _R3_WINDOW if name not in full]
+    # a typo in the window list must fail loudly, not silently shrink the
+    # driver's 50-slot verification window
+    assert not missing, f"window names not in queries(): {missing}"
+    out = {name: full[name] for name in _R3_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

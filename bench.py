@@ -166,6 +166,13 @@ HEADLINE = [
     "events_forecast_backtest",
     "dedup_minhash_estimate",
     "sample_split_balance",
+    "ann_ivf_health",
+    "embedding_dim_audit",
+    "mixture_doremi_step",
+    "curriculum_quality_bins",
+    "text_pmi_top_pairs",
+    "logs_template_mining",
+    "media_features",
 ]
 
 

@@ -1276,13 +1276,16 @@ def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # DIV (not /+floor): float division of exact integers can land one ulp
     # below an exact quotient and floor to k-1 while DuckDB's integer //
-    # gives k — DIV keeps the score integer-exact on both engines
+    # gives k — DIV keeps the score integer-exact on both engines. The
+    # BIGINT cast goes BEFORE the multiply: Spark length() is int32 and
+    # with ANSI off int32*10000 would wrap silently past ~214k alpha chars
+    # (DuckDB computes in BIGINT and would diverge).
     scored = d.select(
         "doc_id",
         "n_chars",
         F.expr(
-            "CAST((length(regexp_replace(text, '[^a-zA-Z]', '')) * 10000)"
-            " DIV greatest(n_chars, 1) AS BIGINT)"
+            "CAST(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
+            " * 10000 DIV greatest(n_chars, 1) AS BIGINT)"
         ).alias("score"),
     )
     binned = exact_ntile(

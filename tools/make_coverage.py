@@ -5,15 +5,18 @@ round, so driver-level hard signal accumulates across rounds as the window
 rotates (VERDICT r2 item 5). This tool folds every ``CORRECTNESS_r*.json``
 into one map so the rotation provably converges on all queries:
 
-  query -> {status, round, detail}
+  query -> {status, round}
 
-  status: "green"      — rows+schema+hash all matched in some round
-          "rows-only"  — driver recorded a weaker rows-only check
-          "error"      — most recent driver attempt errored
-          "unverified" — never inside any round's driver window yet
+  status: "green"       — rows+schema+hash all matched in some round
+          "hash-fail"   — rows/schema matched but the value hash did not
+          "shape-fail"  — row count or schema diverged
+          "rows-only"   — driver recorded a weaker rows-only check
+          "error"       — most recent driver attempt errored
+          "unverified"  — never inside any round's driver window yet
 
 Latest-round signal wins for a query checked in multiple rounds (fixes
-land in later rounds). Regenerate whenever the window rotates:
+land in later rounds). Regenerate whenever the window rotates or queries
+are added:
 
     python tools/make_coverage.py
 """
@@ -33,14 +36,13 @@ sys.path.insert(0, REPO)
 def classify(rec: dict) -> str:
     if rec.get("err"):
         return "error"
+    if rec.get("rows_match") is False or rec.get("schema_match") is False:
+        return "shape-fail"
     if rec.get("hash_match") is True:
         return "green"
     if rec.get("hash_match") is False:
         return "hash-fail"
-    if rec.get("rows_match") is None and rec.get("spark_rows") is not None:
-        return "rows-only"
-    # rows-only checks record spark_rows with null matches in some driver
-    # versions; anything else with no error is a weak pass
+    # no error and no match verdicts: the driver's weaker rows-only check
     return "rows-only"
 
 
@@ -48,16 +50,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     all_queries = list(entrymod.queries())
-    window = list(entrymod._R3_WINDOW)
+    window = list(entrymod.DRIVER_WINDOW)
 
-    ledger: dict[str, dict] = {q: {"status": "unverified", "round": None} for q in all_queries}
+    ledger: dict[str, dict] = {
+        q: {"status": "unverified", "round": None} for q in all_queries
+    }
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         rno = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         data = json.load(open(path))
         for q, rec in data.items():
-            if q not in ledger:
-                ledger[q] = {}
             ledger[q] = {"status": classify(rec), "round": rno}
 
     counts: dict[str, int] = {}

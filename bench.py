@@ -173,6 +173,10 @@ HEADLINE = [
     "text_pmi_top_pairs",
     "logs_template_mining",
     "media_features",
+    "graph_modularity",
+    "ann_ivf_multiprobe",
+    "mixture_token_budget",
+    "events_histogram_incremental",
 ]
 
 

@@ -710,6 +710,118 @@ FROM lv GROUP BY hop ORDER BY hop"""
 ORACLE_BFS_HOPS = _bfs_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Modularity score of the LPA communities (Newman-Girvan Q) — the standard
+# quality metric for a community partition, closing the loop on
+# graph_label_propagation the way ann_recall_report closes it on the ANN
+# family: Q = Σ_c [ e_c/m − (d_c/2m)² ] over communities, with m = |E|,
+# e_c = intra-community edges, d_c = community degree sum. Every input to
+# the float expression is an integer aggregate (edge counts, degree sums,
+# Σd_c² held in DECIMAL(38,0) so it cannot overflow or accumulate in
+# partition order), so both engines compute the identical doubles.
+# Scale: the label join is the only |E|-shuffle; community stats are one
+# agg on the label key; the Q totals are a broadcast 1-row aggregate —
+# never a data-scaled window.
+# ---------------------------------------------------------------------------
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lpa_edges(spark, sf_dir).persist()
+    labels = q_graph_label_propagation(spark, sf_dir)
+    m = edges.agg(F.count("*").alias("m"))
+    lu = labels.select(F.col("partkey").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("partkey").alias("v"), F.col("community").alias("cv"))
+    el = edges.join(lu, "u").join(lv, "v")
+    intra = (
+        el.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    sym = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    comm = (
+        labels.join(deg, labels.partkey == deg.node)
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("degree_sum"))
+        .join(intra, "community", "left")
+        .na.fill({"intra_edges": 0})
+    )
+    tot = comm.agg(
+        F.sum("intra_edges").alias("e_in"),
+        F.sum((F.col("degree_sum") * F.col("degree_sum")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    two_m = 2.0 * F.col("m")
+    contrib = (
+        F.col("intra_edges") / F.col("m")
+        - (F.col("degree_sum") / two_m) * (F.col("degree_sum") / two_m)
+    )
+    q_total = F.col("e_in") / F.col("m") - F.col("s2") / (
+        4.0 * F.col("m") * F.col("m")
+    )
+    return (
+        comm.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            (F.round(contrib, 6) + 0.0).alias("contribution"),
+            (F.round(q_total, 6) + 0.0).alias("q_total"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    return f"""
+WITH labels AS ({ORACLE_LABEL_PROPAGATION}),
+pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+), m AS (SELECT COUNT(*) AS m FROM edges),
+el AS (
+  SELECT lu.community AS cu, lv.community AS cv
+  FROM edges
+  JOIN labels lu ON lu.partkey = edges.u
+  JOIN labels lv ON lv.partkey = edges.v
+), intra AS (
+  SELECT cu AS community, COUNT(*) AS intra_edges FROM el
+  WHERE cu = cv GROUP BY cu
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), comm AS (
+  SELECT community, COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS degree_sum
+  FROM labels JOIN deg ON deg.node = labels.partkey
+  GROUP BY community
+), withintra AS (
+  SELECT c.community, c.n_nodes, c.degree_sum,
+         CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges
+  FROM comm c LEFT JOIN intra i ON c.community = i.community
+), tot AS (
+  SELECT CAST(SUM(intra_edges) AS BIGINT) AS e_in,
+         CAST(SUM(degree_sum * degree_sum) AS DOUBLE) AS s2
+  FROM withintra
+)
+SELECT community, n_nodes, intra_edges, degree_sum,
+       ROUND(intra_edges * 1.0 / m
+             - (degree_sum / (2.0 * m)) * (degree_sum / (2.0 * m)), 6) + 0.0
+         AS contribution,
+       ROUND(e_in * 1.0 / m - s2 / (4.0 * m * m), 6) + 0.0 AS q_total
+FROM withintra CROSS JOIN m CROSS JOIN tot
+"""
+
+
+ORACLE_GRAPH_MODULARITY = _modularity_oracle()
+
+
 QUERIES = {
     "graph_bfs_hops": q_graph_bfs_hops,
     "dedup_connected_components": q_dedup_connected_components,
@@ -717,6 +829,7 @@ QUERIES = {
     "graph_triangle_count": q_graph_triangle_count,
     "graph_label_propagation": q_graph_label_propagation,
     "graph_kcore": q_graph_kcore,
+    "graph_modularity": q_graph_modularity,
 }
 
 ORACLES = {
@@ -726,4 +839,5 @@ ORACLES = {
     "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
     "graph_label_propagation": ORACLE_LABEL_PROPAGATION,
     "graph_kcore": ORACLE_GRAPH_KCORE,
+    "graph_modularity": ORACLE_GRAPH_MODULARITY,
 }

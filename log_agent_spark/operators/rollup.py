@@ -212,12 +212,64 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable-histogram maintenance: a fixed-bin value histogram kept up to
+# date by additive partial merges — the counts twin of events_hll_incremental
+# (mergeable-sketch upkeep) built on the SAME merge_rollup machinery the
+# aggregate rollup uses (bin plays the partition-column role, each member
+# contributes value 1). Fixed bin edges are what makes the sketch mergeable:
+# edges derived from a batch-local min/max would change per batch and the
+# partials would not be additive. Two parity-split batches fold into the
+# store; the result must hash-match DuckDB's one-shot histogram.
+# Scale: per batch, one map-side partial count per bin (B rows shuffled),
+# dynamic-partition overwrite touches only bins present in the delta.
+# ---------------------------------------------------------------------------
+_HIST_BIN_WIDTH = 10
+_HIST_MAX_BIN = 63
+
+
+def q_events_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from log_agent_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.least(
+            F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("long"),
+            F.lit(_HIST_MAX_BIN),
+        ).alias("bin"),
+        F.lit(1).alias("one"),
+    )
+    path = tempfile.mkdtemp(prefix="log_agent_hist_q_")
+    for parity in (0, 1):
+        merge_rollup(
+            spark,
+            e.filter(F.col("event_id") % 2 == parity).drop("event_id"),
+            path,
+            "bin",
+            [],
+            "one",
+        )
+    return spark.read.parquet(path).select("bin", "n_events")
+
+
+ORACLE_EVENTS_HISTOGRAM_INCREMENTAL = f"""
+SELECT least(CAST(floor(value / {_HIST_BIN_WIDTH}) AS BIGINT), {_HIST_MAX_BIN}) AS bin,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
+    "events_histogram_incremental": q_events_histogram_incremental,
     "orders_join_ivm": q_orders_join_ivm,
 }
 
 ORACLES = {
     "events_incremental_rollup": ORACLE_EVENTS_INCREMENTAL_ROLLUP,
+    "events_histogram_incremental": ORACLE_EVENTS_HISTOGRAM_INCREMENTAL,
     "orders_join_ivm": ORACLE_ORDERS_JOIN_IVM,
 }

@@ -986,6 +986,102 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# IVF with multi-probe (nprobe=2): each query searches its TWO nearest
+# centroid cells — the standard recall/latency knob on an IVF index (the
+# cell boundary cuts off true neighbors that sit just across it; probing
+# the runner-up cell recovers most of them for 2× the scanned fraction).
+# Same plan family as q_ann_ivf: broadcast centroid assignment, the probe
+# set is a per-query top-2 window over k centroid scores (k rows per
+# query, never data-scaled), then one cell-equi-join + per-query top-k.
+# ---------------------------------------------------------------------------
+N_PROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    cells = ivf_assign(emb, centroids)
+    # query-side: top-N_PROBE cells instead of argmax
+    qscored = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "emb",
+            "centroid_id",
+            _dot(F.col("emb"), F.col("c_emb")).alias("dot"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= N_PROBE)
+        .select("query_id", F.col("emb").alias("q_emb"), F.col("centroid_id").alias("cell"))
+    )
+    candidates = cells.filter(F.col("vec_id") >= N_QUERIES)
+    pairs = (
+        probes.withColumn("q_norm", _norm(F.col("q_emb")))
+        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLE_ANN_IVF_MULTIPROBE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, emb, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+), c AS (
+  SELECT vec_id, emb, cell FROM assigned WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q_emb, emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
+           AS cos
+  FROM probes JOIN c USING (cell)
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF index health audit — the operational gate before shipping an IVF
 # index: per-cell occupancy, share of corpus, imbalance vs the uniform
 # ideal, and empty cells (surfaced via the centroid spine left-join, like
@@ -1130,6 +1226,7 @@ QUERIES = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_ivf_health": q_ann_ivf_health,
     "embedding_dim_audit": q_embedding_dim_audit,
     "embedding_norms": q_embedding_norms,
@@ -1147,6 +1244,7 @@ ORACLES = {
     "ann_filtered_topk": ORACLE_ANN_FILTERED_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
     "ann_ivf_health": ORACLE_ANN_IVF_HEALTH,
     "embedding_dim_audit": ORACLE_EMBEDDING_DIM_AUDIT,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,

@@ -1258,6 +1258,84 @@ FROM per CROSS JOIN z
 
 
 # ---------------------------------------------------------------------------
+# Token-budget planner: turn a temperature mixture into the concrete
+# per-source sampling plan a training run executes — target tokens per
+# source (w_i ∝ T_i^α over TOKEN counts, not doc counts), number of full
+# epochs over each source, and the oversampling factor. The α-weights are
+# normalized via integer-quantized shares (Z is a sum of BIGINTs, never a
+# float accumulation); epochs use integer ceil-division so both engines
+# agree exactly.
+# Scale: one agg shuffle on the small source key (token counts are map-
+# side partial sums); everything after runs on a |sources|-row table.
+# ---------------------------------------------------------------------------
+_TB_ALPHA = 0.7
+_TB_BUDGET_X = 2  # total training-token budget = 2x the corpus
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    counts = d.select("source", ntok.alias("ntok")).groupBy("source").agg(
+        F.sum("ntok").alias("tokens")
+    )
+    # integer-quantized α-share: p_i = round(T_i^α · 1e6) — the normalizer
+    # Z = Σ p_i is then an exact integer sum (order-free)
+    p = F.round(F.pow(F.col("tokens"), _TB_ALPHA) * 1e6).cast("long")
+    per = counts.select("source", "tokens", p.alias("p"))
+    z = per.agg(
+        F.sum("p").alias("z"), F.sum("tokens").alias("corpus_tokens")
+    )
+    j = per.crossJoin(F.broadcast(z))
+    # target_i = round(B · p_i / Z) with B = budget-multiple × corpus —
+    # computed in one float expression from exact integers, then fixed to
+    # an integer so the epoch ceil-division is engine-exact
+    target = F.round(
+        F.lit(float(_TB_BUDGET_X))
+        * F.col("corpus_tokens")
+        * (F.col("p") / F.col("z"))
+    ).cast("long")
+    return j.withColumn("target_tokens", target).select(
+        "source",
+        "tokens",
+        F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+        "target_tokens",
+        F.expr(
+            "CAST((target_tokens + tokens - 1) DIV tokens AS INT)"
+        ).alias("epochs"),
+        F.round(F.col("target_tokens") / F.col("tokens"), 4).alias("oversample_x"),
+    )
+
+
+ORACLE_MIXTURE_TOKEN_BUDGET = f"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), per AS (
+  SELECT source, tokens,
+         CAST(round(POW(tokens, {_TB_ALPHA}) * 1e6) AS BIGINT) AS p
+  FROM counts
+), z AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS z,
+         CAST(SUM(tokens) AS BIGINT) AS corpus_tokens
+  FROM per
+), j AS (
+  SELECT source, tokens, p, z, corpus_tokens,
+         CAST(round({float(_TB_BUDGET_X)!r} * corpus_tokens * (p * 1.0 / z))
+              AS BIGINT) AS target_tokens
+  FROM per CROSS JOIN z
+)
+SELECT source, tokens,
+       ROUND(p * 1.0 / z, 6) AS weight,
+       target_tokens,
+       CAST((target_tokens + tokens - 1) // tokens AS INT) AS epochs,
+       ROUND(target_tokens * 1.0 / tokens, 4) AS oversample_x
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Curriculum binning: decile buckets over an integer quality score (alpha
 # ratio in basis points — integer division, so the score is exactly the
 # same integer on both engines), assigned with the DISTRIBUTED exact-NTILE
@@ -1342,6 +1420,7 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "training_manifest": q_training_manifest,
     "mixture_doremi_step": q_mixture_doremi_step,
+    "mixture_token_budget": q_mixture_token_budget,
     "curriculum_quality_bins": q_curriculum_quality_bins,
     "sql_interface": q_sql_interface,
 }
@@ -1358,6 +1437,7 @@ ORACLES = {
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "mixture_doremi_step": ORACLE_MIXTURE_DOREMI_STEP,
+    "mixture_token_budget": ORACLE_MIXTURE_TOKEN_BUDGET,
     "curriculum_quality_bins": ORACLE_CURRICULUM_QUALITY_BINS,
     "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "sample_split_balance": ORACLE_SAMPLE_SPLIT_BALANCE,

@@ -211,3 +211,23 @@ def test_kcore_random_graphs_match_python_peel(spark):
         got_fix = {r.node: r.deg for r in kcore_peel(e, 3, 8).collect()}
         want_fix = py_peel(pairs, 3, n)
         assert got_fix == want_fix, trial
+
+
+def test_modularity_identities(spark):
+    """Q decomposes into per-community contributions; each row carries the
+    same q_total; Q is within Newman's bounds [-0.5, 1)."""
+    from log_agent_spark.operators.graph import q_graph_modularity
+
+    rows = q_graph_modularity(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no communities"
+    q_totals = {r.q_total for r in rows}
+    assert len(q_totals) == 1
+    q = q_totals.pop()
+    assert -0.5 <= q < 1.0, q
+    # the global Q equals the sum of per-community contributions (to the
+    # rounding grid: each contribution is rounded to 6dp independently)
+    s = sum(r.contribution for r in rows)
+    assert abs(s - q) <= 1e-6 * len(rows), (s, q)
+    # intra-edge count can never exceed what the degree sum allows
+    for r in rows:
+        assert 2 * r.intra_edges <= r.degree_sum, r

@@ -28,6 +28,7 @@ UNPARTITIONED_WINDOW_OK = {
     # rows, marked by the __rank_pid column (matched structurally below).
     "sample_weighted_reservoir": "rank over k=100 rows post TakeOrdered",
     "events_session_paths": "rank over k=20 rows post TakeOrdered",
+    "text_pmi_top_pairs": "rank over k=50 rows post TakeOrdered",
     "events_quantile_sketch_report": "cum over fixed 128-bucket histogram",
     "order_backlog": "running sum over calendar months (~decades = O(100))",
     "revenue_seasonality": "lag over calendar (year, month) series",

@@ -65,3 +65,25 @@ def test_matryoshka_recall_monotone_and_exact_at_full_dim(spark, sf_dir):
     assert rows[0].dim == 64 and rows[0].recall_at_k == 1.0
     for prev, cur in zip(rows, rows[1:]):
         assert cur.recall_at_k <= prev.recall_at_k
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 must recover at least the recall of nprobe=1 against the
+    brute-force ground truth (probing a superset of cells can only add
+    candidates)."""
+    from log_agent_spark.operators.similarity import (
+        q_ann_cosine_topk,
+        q_ann_ivf,
+        q_ann_ivf_multiprobe,
+    )
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(q_ann_cosine_topk(spark, sf_dir))
+    single = pairs(q_ann_ivf(spark, sf_dir))
+    multi = pairs(q_ann_ivf_multiprobe(spark, sf_dir))
+    assert len(multi & truth) >= len(single & truth), (
+        len(multi & truth),
+        len(single & truth),
+    )

@@ -746,11 +746,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(intra, "community", "left")
         .na.fill({"intra_edges": 0})
     )
+    # cast BEFORE the square: a long*long product wraps silently past
+    # d_c ~ 3e9 (non-ANSI); decimal*decimal is exact at any degree sum
+    d_dec = F.col("degree_sum").cast("decimal(38,0)")
     tot = comm.agg(
         F.sum("intra_edges").alias("e_in"),
-        F.sum((F.col("degree_sum") * F.col("degree_sum")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("s2"),
+        F.sum(d_dec * d_dec).cast("double").alias("s2"),
     )
     two_m = 2.0 * F.col("m")
     contrib = (
@@ -807,7 +808,7 @@ el AS (
   FROM comm c LEFT JOIN intra i ON c.community = i.community
 ), tot AS (
   SELECT CAST(SUM(intra_edges) AS BIGINT) AS e_in,
-         CAST(SUM(degree_sum * degree_sum) AS DOUBLE) AS s2
+         CAST(SUM(CAST(degree_sum AS HUGEINT) * degree_sum) AS DOUBLE) AS s2
   FROM withintra
 )
 SELECT community, n_nodes, intra_edges, degree_sum,

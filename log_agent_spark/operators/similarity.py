@@ -240,18 +240,42 @@ SELECT query_id, neighbor_id, rank FROM (
 N_CENTROIDS = 16
 
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
     """vectors (vec_id, emb) × centroids (centroid_id, c_emb) → (vec_id, emb,
-    cell): nearest centroid by dot product (vectors are unit-norm ⇒ same as
-    cosine), ties to the lowest centroid_id."""
+    cell): the ``nprobe`` nearest centroids by dot product (vectors are
+    unit-norm ⇒ same as cosine), ties to the lowest centroid_id. nprobe=1
+    is index assignment; nprobe>1 is the query-side multi-probe set."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "vec_id", "emb", "centroid_id", _dot(F.col("emb"), F.col("c_emb")).alias("dot")
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("vec_id", "emb", F.col("centroid_id").alias("cell"))
+    )
+
+
+def _cell_topk(probes: DataFrame, candidates: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Shared IVF search body: probes (query_id, q_emb, cell) ⋈ candidates
+    (vec_id, emb, cell) on cell → per-query cosine top-k. Norms hoisted out
+    of the per-pair score (see brute_force_topk)."""
+    pairs = (
+        probes.withColumn("q_norm", _norm(F.col("q_emb")))
+        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
 
 
@@ -266,45 +290,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     cells = ivf_assign(emb, centroids)
-    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+    probes = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
     )
     candidates = cells.filter(F.col("vec_id") >= N_QUERIES)
-    # norms hoisted out of the per-pair score (see brute_force_topk)
-    pairs = (
-        queries.withColumn("q_norm", _norm(F.col("q_emb")))
-        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _cell_topk(probes, candidates)
 
 
-ORACLE_ANN_IVF = f"""
+def _ivf_oracle(nprobe: int) -> str:
+    """One SQL body for both IVF variants: candidates from the rn=1
+    assignment, query probes from the same window with rn <= nprobe."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ), cent AS (
   SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
-), assigned AS (
-  SELECT vec_id, emb, centroid_id AS cell FROM (
-    SELECT e.vec_id, e.emb, cent.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
-                                       cent.centroid_id ASC) AS rn
-    FROM e CROSS JOIN cent
-  ) WHERE rn = 1
+), ranked AS (
+  SELECT e.vec_id, e.emb, cent.centroid_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
+                                     cent.centroid_id ASC) AS rn
+  FROM e CROSS JOIN cent
 ), q AS (
-  SELECT vec_id AS query_id, emb AS q_emb, cell FROM assigned WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS query_id, emb AS q_emb, cell FROM ranked
+  WHERE vec_id < {N_QUERIES} AND rn <= {nprobe}
 ), c AS (
-  SELECT vec_id, emb, cell FROM assigned WHERE vec_id >= {N_QUERIES}
+  SELECT vec_id, emb, cell FROM ranked
+  WHERE vec_id >= {N_QUERIES} AND rn = 1
 ), scored AS (
   SELECT query_id, c.vec_id AS neighbor_id,
          list_dot_product(q_emb, emb) /
@@ -319,6 +331,9 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+ORACLE_ANN_IVF = _ivf_oracle(1)
 
 
 # ---------------------------------------------------------------------------
@@ -998,6 +1013,9 @@ N_PROBE = 2
 
 
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf with the query side probing its N_PROBE nearest cells —
+    same assignment and search bodies (ivf_assign / _cell_topk), only the
+    probe bound differs."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
@@ -1006,79 +1024,16 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
-    cells = ivf_assign(emb, centroids)
-    # query-side: top-N_PROBE cells instead of argmax
-    qscored = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(centroids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "emb",
-            "centroid_id",
-            _dot(F.col("emb"), F.col("c_emb")).alias("dot"),
-        )
+    probes = ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=N_PROBE
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
     )
-    wq = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
-    probes = (
-        qscored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= N_PROBE)
-        .select("query_id", F.col("emb").alias("q_emb"), F.col("centroid_id").alias("cell"))
-    )
-    candidates = cells.filter(F.col("vec_id") >= N_QUERIES)
-    pairs = (
-        probes.withColumn("q_norm", _norm(F.col("q_emb")))
-        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    candidates = ivf_assign(emb, centroids).filter(F.col("vec_id") >= N_QUERIES)
+    return _cell_topk(probes, candidates)
 
 
-ORACLE_ANN_IVF_MULTIPROBE = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < {N_CENTROIDS}
-), assigned AS (
-  SELECT vec_id, emb, centroid_id AS cell FROM (
-    SELECT e.vec_id, e.emb, cent.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
-                                       cent.centroid_id ASC) AS rn
-    FROM e CROSS JOIN cent
-  ) WHERE rn = 1
-), probes AS (
-  SELECT vec_id AS query_id, emb AS q_emb, centroid_id AS cell FROM (
-    SELECT e.vec_id, e.emb, cent.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.emb, cent.c_emb) DESC,
-                                       cent.centroid_id ASC) AS rn
-    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
-), c AS (
-  SELECT vec_id, emb, cell FROM assigned WHERE vec_id >= {N_QUERIES}
-), scored AS (
-  SELECT query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q_emb, emb) /
-           (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb)))
-           AS cos
-  FROM probes JOIN c USING (cell)
-)
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {TOP_K}
-"""
+ORACLE_ANN_IVF_MULTIPROBE = _ivf_oracle(N_PROBE)
 
 
 # ---------------------------------------------------------------------------

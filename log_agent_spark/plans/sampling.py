@@ -1184,13 +1184,19 @@ SELECT o_orderkey, weight, rank FROM (
 # Domain-reweighting step (DoReMi-style multiplicative-weights update,
 # "DoReMi: Optimizing Data Mixtures Speeds Up Language Model Pretraining",
 # Xie et al. 2023): given a per-domain excess-loss signal, one update
-#   w'_i ∝ w_i · exp(η · excess_i)
-# over the current mixture weights, renormalized. The per-doc loss here is
-# a deterministic hash proxy (a real run joins per-domain eval losses — a
-# |domains|-row broadcast table; identical plan). Determinism discipline:
-# every per-domain statistic is a ratio of integer sums; the normalizer Z
-# sums 1e-12-grid integer quantizations of the exp() terms (the PSI
-# pattern), so no float accumulates in engine-dependent order.
+#   w'_i ∝ w_i · (1 + η · excess_i)
+# over the current mixture weights, renormalized. This is the linearized
+# multiplicative-weights rule (Arora–Hazan–Kale, "The Multiplicative
+# Weights Update Method", 2012 — w ← w(1+ηm)); DoReMi's exp(η·excess) form
+# agrees to first order, but a libm exp can differ by an ulp between
+# engines and flip a quantization boundary — the linear form is pure
+# rational arithmetic, so both engines compute identical doubles. The
+# per-doc loss here is a deterministic hash proxy (a real run joins
+# per-domain eval losses — a |domains|-row broadcast table; identical
+# plan). Determinism discipline: every per-domain statistic is a ratio of
+# integer sums; the normalizer Z sums 1e-12-grid integer quantizations of
+# the update terms (the PSI pattern), so no float accumulates in
+# engine-dependent order.
 # Scale: one agg shuffle on the small domain key; two tiny broadcasts.
 # ---------------------------------------------------------------------------
 _DOREMI_ETA = 1.0
@@ -1215,7 +1221,7 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         w0.alias("w0"),
         excess.alias("excess"),
-        F.round(w0 * F.exp(F.lit(_DOREMI_ETA) * excess) * 1e12)
+        F.round(w0 * (1.0 + F.lit(_DOREMI_ETA) * excess) * 1e12)
         .cast("long")
         .alias("e"),
     )
@@ -1244,8 +1250,8 @@ WITH counts AS (
          su * 1.0 / (n_docs * {float(_DOREMI_U)!r})
            - su_total * 1.0 / (n_total * {float(_DOREMI_U)!r}) AS excess,
          CAST(round((n_docs * 1.0 / n_total)
-                    * exp({_DOREMI_ETA} * (su * 1.0 / (n_docs * {float(_DOREMI_U)!r})
-                          - su_total * 1.0 / (n_total * {float(_DOREMI_U)!r})))
+                    * (1.0 + {_DOREMI_ETA} * (su * 1.0 / (n_docs * {float(_DOREMI_U)!r})
+                             - su_total * 1.0 / (n_total * {float(_DOREMI_U)!r})))
                     * 1e12) AS BIGINT) AS e
   FROM counts CROSS JOIN totals
 ), z AS (SELECT CAST(SUM(e) AS BIGINT) AS z FROM per)
@@ -1261,14 +1267,14 @@ FROM per CROSS JOIN z
 # Token-budget planner: turn a temperature mixture into the concrete
 # per-source sampling plan a training run executes — target tokens per
 # source (w_i ∝ T_i^α over TOKEN counts, not doc counts), number of full
-# epochs over each source, and the oversampling factor. The α-weights are
-# normalized via integer-quantized shares (Z is a sum of BIGINTs, never a
-# float accumulation); epochs use integer ceil-division so both engines
-# agree exactly.
+# epochs over each source, and the oversampling factor. α is fixed at 1/2
+# so the power is sqrt — IEEE sqrt is EXACTLY rounded, hence bit-identical
+# across engines (a libm pow(x, 0.7) can differ by an ulp and flip the
+# quantization grid's .5 boundary); the normalizer Z then sums the
+# quantized BIGINTs (order-free), and epochs use integer ceil-division.
 # Scale: one agg shuffle on the small source key (token counts are map-
 # side partial sums); everything after runs on a |sources|-row table.
 # ---------------------------------------------------------------------------
-_TB_ALPHA = 0.7
 _TB_BUDGET_X = 2  # total training-token budget = 2x the corpus
 
 
@@ -1278,9 +1284,9 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.select("source", ntok.alias("ntok")).groupBy("source").agg(
         F.sum("ntok").alias("tokens")
     )
-    # integer-quantized α-share: p_i = round(T_i^α · 1e6) — the normalizer
-    # Z = Σ p_i is then an exact integer sum (order-free)
-    p = F.round(F.pow(F.col("tokens"), _TB_ALPHA) * 1e6).cast("long")
+    # integer-quantized α-share (α=1/2): p_i = round(sqrt(T_i) · 1e6) — the
+    # normalizer Z = Σ p_i is then an exact integer sum (order-free)
+    p = F.round(F.sqrt(F.col("tokens")) * 1e6).cast("long")
     per = counts.select("source", "tokens", p.alias("p"))
     z = per.agg(
         F.sum("p").alias("z"), F.sum("tokens").alias("corpus_tokens")
@@ -1314,7 +1320,7 @@ WITH counts AS (
   FROM documents GROUP BY source
 ), per AS (
   SELECT source, tokens,
-         CAST(round(POW(tokens, {_TB_ALPHA}) * 1e6) AS BIGINT) AS p
+         CAST(round(sqrt(tokens) * 1e6) AS BIGINT) AS p
   FROM counts
 ), z AS (
   SELECT CAST(SUM(p) AS BIGINT) AS z,

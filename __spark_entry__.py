@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from log_agent_spark.operators import (
+    curation,
     decontaminate,
     dedup,
     graph,
@@ -37,9 +38,9 @@ from log_agent_spark.plans import (
 )
 
 _MODULES = [
-    dedup, similarity, multimodal, text, decontaminate, graph, timeseries,
-    events, sampling, temporal, skew, rollup, analytics, complex_types,
-    agentdemo, tpch_extra, tpch_partsupp, relational,
+    dedup, similarity, multimodal, text, decontaminate, curation, graph,
+    timeseries, events, sampling, temporal, skew, rollup, analytics,
+    complex_types, agentdemo, tpch_extra, tpch_partsupp, relational,
 ]
 
 # The driver's correctness gate checks only the FIRST ~50 queries() entries

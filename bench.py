@@ -177,6 +177,7 @@ HEADLINE = [
     "ann_ivf_multiprobe",
     "mixture_token_budget",
     "events_histogram_incremental",
+    "pipeline_corpus_build",
 ]
 
 

@@ -528,9 +528,13 @@ MIN_TOKENS = 25
 MAX_MEAN_WORD_LEN = 6.0
 
 
-def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
-    quality gate → exact dedup → LSH near-dedup → decontamination."""
+def corpus_stage_flags(d: DataFrame) -> DataFrame:
+    """Per-doc curation flags over the raw documents table: one row per
+    (planted-dup-augmented) train doc with booleans for each pipeline
+    stage — q (quality), s3 (exact-dedup root), s4 (near-dedup survivor),
+    s5 (decontaminated). The reusable core behind pipeline_corpus_funnel
+    (which aggregates it into the stage report) and
+    curation.build_corpus (which filters s5 and attaches splits)."""
     from log_agent_spark.operators.dedup import (
         J_DEN,
         J_NUM,
@@ -538,7 +542,6 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_planted_dups,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
     # the SAME planting scheme as every dedup fixture (50 exact copies at
     # +1e6, 100 truncations at +2e6), applied to the train side only
@@ -596,13 +599,19 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join strategy left to AQE: the exclusion sets are usually tiny
     # (broadcast) but scale with the duplicate/contamination rate, so a
     # forced broadcast would be wrong on a dup-heavy 100 TB corpus
-    flags = (
+    return (
         keyed.join(losers.withColumn("lose", F.lit(True)), "doc_id", "left")
         .join(contaminated.withColumn("cont", F.lit(True)), "doc_id", "left")
         .withColumn("s3", F.col("q") & (F.col("doc_id") == F.col("rootq")))
         .withColumn("s4", F.col("s3") & F.col("lose").isNull())
         .withColumn("s5", F.col("s4") & F.col("cont").isNull())
     )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
+    quality gate → exact dedup → LSH near-dedup → decontamination."""
+    flags = corpus_stage_flags(load_table(spark, sf_dir, "documents"))
     ln = F.length("text")
     one = flags.agg(
         F.count("*").alias("d1"),
@@ -633,7 +642,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def funnel_cte() -> str:
+    """The shared WITH-block of the curation pipeline oracle: raw →
+    quality → exact → near → clean. Reused by ORACLE_CORPUS_FUNNEL and
+    curation.ORACLE_PIPELINE_CORPUS_BUILD so the two stay coupled."""
     from log_agent_spark.operators.dedup import (
         _BAND_SELECTS,
         _MH_EXPRS,
@@ -643,10 +655,6 @@ def _funnel_oracle() -> str:
     )
 
     n = NGRAM_N
-    stage_select = (
-        "SELECT {i} AS stage_ord, '{name}' AS stage, COUNT(*) AS n_docs, "
-        "CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM {cte}"
-    )
     return f"""
 WITH train AS (
   SELECT doc_id, text FROM documents WHERE source <> '{EVAL_SOURCE}'
@@ -716,7 +724,15 @@ WITH train AS (
   WHERE ngram IN (SELECT ngram FROM eval_ngrams)
 ), clean AS (
   SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-)
+)"""
+
+
+def _funnel_oracle() -> str:
+    stage_select = (
+        "SELECT {i} AS stage_ord, '{name}' AS stage, COUNT(*) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM {cte}"
+    )
+    return f"""{funnel_cte()}
 {stage_select.format(i=1, name="raw", cte="raw")}
 UNION ALL {stage_select.format(i=2, name="quality", cte="quality")}
 UNION ALL {stage_select.format(i=3, name="exact_dedup", cte="exact")}

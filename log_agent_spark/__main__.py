@@ -1,0 +1,158 @@
+"""Agent entrypoint: ``python -m log_agent_spark --config conf.ini``.
+
+Application-level parity with the reference agent (main.go:64 →
+cmd/run.go): parse the ini, build one pipeline per active biz section
+(config.autoload — P1-P6 plugin surface), and serve. Two modes:
+
+- ``backfill`` (default): the S2/S3 history-import path — batch-ingest
+  each watch tree (filters pushed into the walk), apply the biz
+  transform, and write the canonical logfile parquet under ``--output``.
+- ``stream``: the S1 live path — file_events source → per-key debounce
+  (T1) → micro-batch keep-latest dedup (T3) → per-batch content
+  enrichment (M1, reading only the batch's files) → priority multi-sink
+  fan-out (K4 console, K3 file-copy when ``--copy-dest`` is given),
+  checkpointed (T4). Runs until ``--duration`` elapses or Ctrl-C.
+
+Example::
+
+    python -m log_agent_spark --config conf/agent.ini \\
+        --mode stream --copy-dest /srv/mirror --checkpoint /srv/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="log_agent_spark", description="config-driven log collection agent"
+    )
+    p.add_argument("--config", required=True, help="ini file (logagent.ini layout)")
+    p.add_argument(
+        "--mode", choices=("backfill", "stream"), default="backfill",
+        help="backfill = one-shot history import; stream = standing pipelines",
+    )
+    p.add_argument("--output", help="backfill: parquet output root (default: show)")
+    p.add_argument("--copy-dest", help="stream: add a file-copy sink rooted here")
+    p.add_argument("--checkpoint", help="stream: checkpoint root (one dir per biz)")
+    p.add_argument(
+        "--duration", type=float, default=None,
+        help="stream: stop after N seconds (default: run until interrupted)",
+    )
+    return p
+
+
+def _safe(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+
+
+def _stream_enrich(cfg):
+    """Per-batch M1 enrichment: read ONLY the batch's files (bounded by
+    maxFilesPerTrigger) and hand FileMeta rows to the sink chain — the
+    reference's read-content-on-event hot path (watchdog.go:314-326)."""
+    from pyspark.sql import functions as F
+
+    from log_agent_spark.sources.binary_files import enrich_file_meta
+
+    def _t(batch):
+        live = batch.filter(F.col("op") != "REMOVE")
+        paths = [r.path for r in live.select("path").distinct().collect()]
+        if not paths:
+            return enrich_file_meta(
+                batch.sparkSession.read.format("binaryFile")
+                .load(cfg.watch)
+                .limit(0),
+                cfg.watch,
+            )
+        raw = batch.sparkSession.read.format("binaryFile").load(paths)
+        return cfg.transform(enrich_file_meta(raw, cfg.watch))
+
+    return _t
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from log_agent_spark.config import autoload, build_batch_ingest, read_file_events
+    from log_agent_spark.session import get_spark
+
+    cfgs = autoload(args.config)
+    if not cfgs:
+        # cmd/run.go:20-27 — global switch off / nothing to do is a clean exit
+        print("no active pipelines (global switch off or no watch sections)")
+        return 0
+
+    spark = get_spark("log-agent")
+    if args.mode == "backfill":
+        from log_agent_spark.plans.ingest import write_logfile
+
+        for cfg in cfgs:
+            # biz transform already applied inside the ingest plan
+            # (ingest_tree → bsi_parse; non-BSI paths pass through)
+            df = build_batch_ingest(spark, cfg)
+            if args.output:
+                out = os.path.join(args.output, _safe(cfg.name))
+                write_logfile(df, out)
+                print(f"[{cfg.name}] wrote {out}")
+            else:
+                print(f"[{cfg.name}]")
+                df.show(20, truncate=80)
+        return 0
+
+    # stream mode
+    from log_agent_spark.sinks.filecopy import file_copy_sink
+    from log_agent_spark.sinks.multi import MultiSink, console_sink
+    from log_agent_spark.streaming.pipeline import run_event_pipeline
+
+    queries = []
+    for cfg in cfgs:
+        sinks = [console_sink(priority=0)]
+        if args.copy_dest:
+            sinks.append(
+                file_copy_sink(
+                    os.path.join(args.copy_dest, _safe(cfg.name)),
+                    # enrich_file_meta's sub_dir is the full root-relative
+                    # path (filename included) — don't re-append filename
+                    path_func=lambda row: row["sub_dir"],
+                    priority=5,
+                )
+            )
+        ckpt = (
+            os.path.join(args.checkpoint, _safe(cfg.name))
+            if args.checkpoint
+            else None
+        )
+        q = run_event_pipeline(
+            read_file_events(spark, cfg),
+            MultiSink(sinks),
+            transform=_stream_enrich(cfg),
+            debounce_ms=cfg.debounce_ms or None,
+            checkpoint_dir=ckpt,
+        )
+        queries.append((cfg.name, q))
+        print(f"[{cfg.name}] streaming from {cfg.watch}")
+
+    try:
+        if args.duration is not None:
+            deadline = time.time() + args.duration
+            while time.time() < deadline and any(q.isActive for _, q in queries):
+                time.sleep(0.5)
+        else:
+            while any(q.isActive for _, q in queries):
+                time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for name, q in queries:
+            if q.isActive:
+                q.stop()
+            print(f"[{name}] stopped")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,6 +51,11 @@ def _safe(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
 
 
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def _stream_enrich(cfg):
     """Per-batch M1 enrichment: read ONLY the batch's files (bounded by
     maxFilesPerTrigger) and hand FileMeta rows to the sink chain — the
@@ -62,14 +67,22 @@ def _stream_enrich(cfg):
     def _t(batch):
         live = batch.filter(F.col("op") != "REMOVE")
         paths = [r.path for r in live.select("path").distinct().collect()]
-        if not paths:
-            return enrich_file_meta(
+        if paths:
+            # ignoreMissingFiles: a file can be unlinked (log rotation)
+            # between the event walk and this read — the Handle404 analog
+            # (file_events_stream.py has the same guard on its side); a
+            # missing file must skip, not kill the standing query
+            raw = (
                 batch.sparkSession.read.format("binaryFile")
-                .load(cfg.watch)
-                .limit(0),
-                cfg.watch,
+                .option("ignoreMissingFiles", "true")
+                .load(paths)
             )
-        raw = batch.sparkSession.read.format("binaryFile").load(paths)
+        else:
+            # empty frame with the binaryFile schema: keeps the
+            # post-transform schema identical to non-empty batches (a
+            # schema-sensitive sink must not see a different shape) and
+            # costs nothing — no listing of the watch tree
+            raw = batch.sparkSession.createDataFrame([], _BINARY_FILE_SCHEMA)
         return cfg.transform(enrich_file_meta(raw, cfg.watch))
 
     return _t
@@ -91,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         from log_agent_spark.plans.ingest import write_logfile
 
         for cfg in cfgs:
+            if not cfg.history_import:
+                # S2 backfill gate (plugin.go:125-129): the operator
+                # explicitly disabled history import for this biz
+                print(f"[{cfg.name}] history_import off — skipped")
+                continue
             # biz transform already applied inside the ingest plan
             # (ingest_tree → bsi_parse; non-BSI paths pass through)
             df = build_batch_ingest(spark, cfg)
@@ -114,11 +132,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.copy_dest:
             sinks.append(
                 file_copy_sink(
-                    os.path.join(args.copy_dest, _safe(cfg.name)),
-                    # enrich_file_meta's sub_dir is the full root-relative
-                    # path (filename included) — don't re-append filename
-                    path_func=lambda row: row["sub_dir"],
-                    priority=5,
+                    os.path.join(args.copy_dest, _safe(cfg.name)), priority=5
                 )
             )
         ckpt = (
@@ -146,12 +160,19 @@ def main(argv: list[str] | None = None) -> int:
                 time.sleep(1.0)
     except KeyboardInterrupt:
         pass
-    finally:
-        for name, q in queries:
-            if q.isActive:
-                q.stop()
+    failed = 0
+    for name, q in queries:
+        if q.isActive:
+            q.stop()
             print(f"[{name}] stopped")
-    return 0
+        elif q.exception() is not None:
+            # a dead query must not exit 0 — a supervisor (systemd, the
+            # watcher-guard pattern) needs the failure to restart on
+            failed += 1
+            print(f"[{name}] FAILED: {q.exception()}", file=sys.stderr)
+        else:
+            print(f"[{name}] stopped")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

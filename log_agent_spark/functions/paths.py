@@ -17,10 +17,16 @@ BSI_TIME_FMT = "yyyy-MM-dd_HH_mm_ss_SSS"
 
 def sub_dir(path: Column, root: Column) -> Column:
     """Path relative to the watch root, slash-normalized, no leading slash
-    (watchdog.go:337-347)."""
+    (watchdog.go:337-347). The root is \\Q..\\E-quoted so regex
+    metacharacters in a real watch path ((, +, [ …) are matched literally
+    instead of corrupting the strip pattern."""
     rel = F.regexp_replace(
         F.regexp_replace(path, r"\\", "/"),
-        F.concat(F.lit("^"), F.regexp_replace(root, r"\\", "/"), F.lit("/?")),
+        F.concat(
+            F.lit("^\\Q"),
+            F.regexp_replace(root, r"\\", "/"),
+            F.lit("\\E/?"),
+        ),
         F.lit(""),
     )
     return rel

@@ -31,11 +31,15 @@ from log_agent_spark.plans.sampling import split_expr, split_sql
 from log_agent_spark.sources.tables import load_table
 
 
-def build_corpus(docs: DataFrame) -> DataFrame:
+def build_corpus(docs: DataFrame, plant_fixture_dups: bool = False) -> DataFrame:
     """Raw documents table → (doc_id, text, split): the fully-curated
     corpus (quality-gated, exact- and near-deduped, decontaminated) with
-    the deterministic train/val/test assignment attached."""
-    flags = corpus_stage_flags(docs)
+    the deterministic train/val/test assignment attached.
+
+    ``plant_fixture_dups`` stays False for real corpora — it injects the
+    test fixture's synthetic duplicates and exists only so the fixture
+    queries/tests can exercise the dedup stages against known dups."""
+    flags = corpus_stage_flags(docs, plant_fixture_dups=plant_fixture_dups)
     return flags.filter(F.col("s5")).select(
         "doc_id", "text", split_expr(F.col("doc_id")).alias("split")
     )
@@ -44,8 +48,11 @@ def build_corpus(docs: DataFrame) -> DataFrame:
 def q_pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split (n_docs, n_chars) of the final curated corpus — the
     builder's shipping manifest, cross-checked against the one-shot SQL
-    pipeline."""
-    clean = build_corpus(load_table(spark, sf_dir, "documents"))
+    pipeline. Runs on the planted fixture corpus (like the funnel) so the
+    dedup stages have known duplicates to remove."""
+    clean = build_corpus(
+        load_table(spark, sf_dir, "documents"), plant_fixture_dups=True
+    )
     return clean.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),

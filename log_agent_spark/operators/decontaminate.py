@@ -528,13 +528,20 @@ MIN_TOKENS = 25
 MAX_MEAN_WORD_LEN = 6.0
 
 
-def corpus_stage_flags(d: DataFrame) -> DataFrame:
+def corpus_stage_flags(d: DataFrame, plant_fixture_dups: bool = False) -> DataFrame:
     """Per-doc curation flags over the raw documents table: one row per
-    (planted-dup-augmented) train doc with booleans for each pipeline
-    stage — q (quality), s3 (exact-dedup root), s4 (near-dedup survivor),
-    s5 (decontaminated). The reusable core behind pipeline_corpus_funnel
-    (which aggregates it into the stage report) and
-    curation.build_corpus (which filters s5 and attaches splits)."""
+    train doc with booleans for each pipeline stage — q (quality), s3
+    (exact-dedup root), s4 (near-dedup survivor), s5 (decontaminated).
+    The reusable core behind pipeline_corpus_funnel (which aggregates it
+    into the stage report) and curation.build_corpus (which filters s5
+    and attaches splits).
+
+    ``plant_fixture_dups`` injects the TEST-FIXTURE duplicate scheme (50
+    exact copies at doc_id+1e6, 100 truncations at +2e6) so the fixture
+    queries have known dups to find. It must stay False for real corpora:
+    the synthetic ids can collide with genuine doc_ids ≥ 1e6 (silently
+    dropping real docs via the loser-id join) and the planted rows would
+    ship as fabricated documents."""
     from log_agent_spark.operators.dedup import (
         J_DEN,
         J_NUM,
@@ -543,9 +550,7 @@ def corpus_stage_flags(d: DataFrame) -> DataFrame:
     )
 
     base = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
-    # the SAME planting scheme as every dedup fixture (50 exact copies at
-    # +1e6, 100 truncations at +2e6), applied to the train side only
-    raw = with_planted_dups(base)
+    raw = with_planted_dups(base) if plant_fixture_dups else base
     ntoks = F.size(_toks(F.col("text")))
     qpred = (ntoks >= MIN_TOKENS) & (F.length("text") / ntoks <= MAX_MEAN_WORD_LEN)
     # Single-pass shape: one lineage computes per-doc stage flags, ONE
@@ -611,7 +616,9 @@ def corpus_stage_flags(d: DataFrame) -> DataFrame:
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-build funnel: per-stage (n_docs, n_chars) through
     quality gate → exact dedup → LSH near-dedup → decontamination."""
-    flags = corpus_stage_flags(load_table(spark, sf_dir, "documents"))
+    flags = corpus_stage_flags(
+        load_table(spark, sf_dir, "documents"), plant_fixture_dups=True
+    )
     ln = F.length("text")
     one = flags.agg(
         F.count("*").alias("d1"),

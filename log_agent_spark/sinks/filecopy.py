@@ -26,8 +26,15 @@ PathFunc = Callable[[Row], str]
 
 
 def default_path(row: Row) -> str:
-    sub = row["sub_dir"] if "sub_dir" in row else ""
-    return os.path.join(sub or "", row["filename"])
+    """file.go:44-47 dest layout. Accepts BOTH sub_dir conventions in use:
+    enrich_file_meta emits the full root-relative path (filename included,
+    watchdog.go:337-347); hand-built frames often carry the directory part
+    only — append the filename only when sub_dir doesn't already end in it."""
+    sub = (row["sub_dir"] if "sub_dir" in row else "") or ""
+    name = row["filename"]
+    if sub == name or sub.endswith("/" + name):
+        return sub
+    return os.path.join(sub, name)
 
 
 def file_copy_sink(

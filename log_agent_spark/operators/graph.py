@@ -464,9 +464,10 @@ def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synchronous LPA communities on supported co-purchases."""
-    edges = _lpa_edges(spark, sf_dir)
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """LPA_ROUNDS of deterministic synchronous LPA over (u, v) edges →
+    (node, lbl). Shared by the LPA query and graph_modularity so the
+    expensive co-purchase projection is built once by the caller."""
     sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
     ).persist()
@@ -485,6 +486,12 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
+    return labels
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA communities on supported co-purchases."""
+    labels = _lpa_labels(_lpa_edges(spark, sf_dir))
     return labels.select(F.col("node").alias("partkey"), F.col("lbl").alias("community"))
 
 
@@ -724,8 +731,15 @@ ORACLE_BFS_HOPS = _bfs_oracle()
 # never a data-scaled window.
 # ---------------------------------------------------------------------------
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE co-purchase projection feeds both the LPA labels and the
+    # intra-edge/degree audits (persisted; the naive call-the-LPA-query
+    # form built the expensive orderkey self-join twice)
     edges = _lpa_edges(spark, sf_dir).persist()
-    labels = q_graph_label_propagation(spark, sf_dir)
+    # labels feed three consumers (both sides of the intra-edge join and
+    # the degree rollup) — persist, or the 2-round LPA plan re-runs 3x
+    labels = _lpa_labels(edges).select(
+        F.col("node").alias("partkey"), F.col("lbl").alias("community")
+    ).persist()
     m = edges.agg(F.count("*").alias("m"))
     lu = labels.select(F.col("partkey").alias("u"), F.col("community").alias("cu"))
     lv = labels.select(F.col("partkey").alias("v"), F.col("community").alias("cv"))

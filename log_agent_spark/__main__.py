@@ -44,6 +44,15 @@ def _parser() -> argparse.ArgumentParser:
         "--duration", type=float, default=None,
         help="stream: stop after N seconds (default: run until interrupted)",
     )
+    p.add_argument(
+        "--supervise", action="store_true",
+        help="stream: restart a crashed pipeline from its checkpoint "
+        "(S4 watcher-guard parity) instead of failing fast",
+    )
+    p.add_argument(
+        "--max-restarts", type=int, default=3,
+        help="stream --supervise: give up after N restarts per pipeline",
+    )
     return p
 
 
@@ -126,8 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     from log_agent_spark.sinks.multi import MultiSink, console_sink
     from log_agent_spark.streaming.pipeline import run_event_pipeline
 
-    queries = []
-    for cfg in cfgs:
+    def _start(cfg):
         sinks = [console_sink(priority=0)]
         if args.copy_dest:
             sinks.append(
@@ -140,15 +148,81 @@ def main(argv: list[str] | None = None) -> int:
             if args.checkpoint
             else None
         )
-        q = run_event_pipeline(
+        return run_event_pipeline(
             read_file_events(spark, cfg),
             MultiSink(sinks),
             transform=_stream_enrich(cfg),
             debounce_ms=cfg.debounce_ms or None,
             checkpoint_dir=ckpt,
         )
-        queries.append((cfg.name, q))
-        print(f"[{cfg.name}] streaming from {cfg.watch}")
+
+    if args.supervise:
+        # S4 watcher-guard parity: one supervisor thread per biz restarts
+        # a crashed query from its checkpoint (fsnotify.go:74 probe loop)
+        import threading
+
+        from log_agent_spark.streaming.supervisor import supervise
+
+        holders: list[dict] = []
+        threads: list[threading.Thread] = []
+        for cfg in cfgs:
+            holder: dict = {"name": cfg.name, "q": None, "error": None}
+
+            def _run(cfg=cfg, holder=holder):
+                def _fresh():
+                    q = holder["q"] = _start(cfg)
+                    return q
+
+                try:
+                    _, n = supervise(
+                        _fresh,
+                        max_restarts=args.max_restarts,
+                        on_restart=lambda i, exc: print(
+                            f"[{cfg.name}] restart {i}: {exc}", file=sys.stderr
+                        ),
+                    )
+                    if n:
+                        print(f"[{cfg.name}] recovered after {n} restart(s)")
+                except Exception as exc:  # restarts exhausted
+                    holder["error"] = exc
+
+            t = threading.Thread(target=_run, daemon=True)
+            t.start()
+            holders.append(holder)
+            threads.append(t)
+            print(f"[{cfg.name}] streaming (supervised) from {cfg.watch}")
+        try:
+            deadline = (
+                time.time() + args.duration if args.duration is not None else None
+            )
+            while any(t.is_alive() for t in threads):
+                if deadline is not None and time.time() >= deadline:
+                    break
+                time.sleep(0.5)
+        except KeyboardInterrupt:
+            pass
+        for holder in holders:
+            q = holder["q"]
+            if q is not None and q.isActive:
+                q.stop()  # clean stop → supervise returns, thread exits
+        for t in threads:
+            t.join(timeout=60)
+        failed = 0
+        for holder in holders:
+            if holder["error"] is not None:
+                failed += 1
+                print(
+                    f"[{holder['name']}] FAILED after {args.max_restarts} "
+                    f"restarts: {holder['error']}",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"[{holder['name']}] stopped")
+        return 1 if failed else 0
+
+    queries = [(cfg.name, _start(cfg)) for cfg in cfgs]
+    for name, _ in queries:
+        print(f"[{name}] streaming")
 
     try:
         if args.duration is not None:

@@ -85,3 +85,28 @@ def test_global_switch_off_is_clean_noop(tmp_path):
     )
     assert proc.returncode == 0
     assert "no active pipelines" in proc.stdout
+
+
+def test_stream_mode_supervised_copies_files(tmp_path):
+    """--supervise: the S4 guard path delivers the same result for a
+    healthy pipeline (threaded supervisor, clean stop at --duration)."""
+    watch = str(tmp_path / "watched")
+    _write_tree(watch)
+    ini = str(tmp_path / "agent.ini")
+    _write_ini(ini, watch)
+    dest = str(tmp_path / "mirror")
+    proc = subprocess.run(
+        [sys.executable, "-m", "log_agent_spark",
+         "--config", ini, "--mode", "stream", "--supervise",
+         "--copy-dest", dest, "--checkpoint", str(tmp_path / "ckpt"),
+         "--duration", "40"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    copied = {
+        os.path.relpath(os.path.join(dp, f), os.path.join(dest, "SPI.CLI"))
+        for dp, _, fs in os.walk(os.path.join(dest, "SPI.CLI"))
+        for f in fs
+    }
+    assert copied == {"a.log", os.path.join("sub", "b.log")}, (copied, proc.stderr[-800:])

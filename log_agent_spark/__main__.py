@@ -156,6 +156,19 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=ckpt,
         )
 
+    def _wait(alive) -> None:
+        """Poll until --duration elapses, everything is dead, or Ctrl-C."""
+        try:
+            if args.duration is not None:
+                deadline = time.time() + args.duration
+                while time.time() < deadline and alive():
+                    time.sleep(0.5)
+            else:
+                while alive():
+                    time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+
     if args.supervise:
         # S4 watcher-guard parity: one supervisor thread per biz restarts
         # a crashed query from its checkpoint (fsnotify.go:74 probe loop)
@@ -163,23 +176,36 @@ def main(argv: list[str] | None = None) -> int:
 
         from log_agent_spark.streaming.supervisor import supervise
 
+        if not args.checkpoint:
+            # a restart without a checkpoint recomputes from scratch and
+            # re-delivers everything — refuse rather than silently break
+            # the flag's resume contract
+            print("--supervise requires --checkpoint", file=sys.stderr)
+            return 2
+
+        stop_evt = threading.Event()
         holders: list[dict] = []
         threads: list[threading.Thread] = []
         for cfg in cfgs:
-            holder: dict = {"name": cfg.name, "q": None, "error": None}
+            holder: dict = {
+                "name": cfg.name, "q": None, "error": None, "restarts": 0
+            }
 
             def _run(cfg=cfg, holder=holder):
                 def _fresh():
                     q = holder["q"] = _start(cfg)
                     return q
 
+                def _note(i, exc):
+                    holder["restarts"] = i
+                    print(f"[{cfg.name}] restart {i}: {exc}", file=sys.stderr)
+
                 try:
                     _, n = supervise(
                         _fresh,
                         max_restarts=args.max_restarts,
-                        on_restart=lambda i, exc: print(
-                            f"[{cfg.name}] restart {i}: {exc}", file=sys.stderr
-                        ),
+                        on_restart=_note,
+                        should_stop=stop_evt.is_set,
                     )
                     if n:
                         print(f"[{cfg.name}] recovered after {n} restart(s)")
@@ -191,49 +217,58 @@ def main(argv: list[str] | None = None) -> int:
             holders.append(holder)
             threads.append(t)
             print(f"[{cfg.name}] streaming (supervised) from {cfg.watch}")
-        try:
-            deadline = (
-                time.time() + args.duration if args.duration is not None else None
-            )
-            while any(t.is_alive() for t in threads):
-                if deadline is not None and time.time() >= deadline:
-                    break
-                time.sleep(0.5)
-        except KeyboardInterrupt:
-            pass
-        for holder in holders:
-            q = holder["q"]
-            if q is not None and q.isActive:
-                q.stop()  # clean stop → supervise returns, thread exits
-        for t in threads:
-            t.join(timeout=60)
+
+        # don't start the --duration clock until every pipeline has either
+        # come up or already failed — otherwise a short duration measures
+        # Spark startup, not streaming time (bounded by a startup timeout)
+        startup_deadline = time.time() + 120
+        while time.time() < startup_deadline and any(
+            h["q"] is None and h["error"] is None and t.is_alive()
+            for h, t in zip(holders, threads)
+        ):
+            time.sleep(0.2)
+
+        _wait(lambda: any(t.is_alive() for t in threads))
+
+        # shutdown: flag first (no thread will start another query past
+        # this point — supervise checks it before every restart), then
+        # stop whatever is live, re-checking until the threads drain (a
+        # thread mid-start can surface a fresh query after our first pass)
+        stop_evt.set()
+        join_deadline = time.time() + 90
+        while any(t.is_alive() for t in threads) and time.time() < join_deadline:
+            for holder in holders:
+                q = holder["q"]
+                if q is not None and q.isActive:
+                    q.stop()  # clean stop → awaitTermination returns
+            for t in threads:
+                t.join(timeout=1.0)
+
         failed = 0
-        for holder in holders:
+        for holder, t in zip(holders, threads):
             if holder["error"] is not None:
                 failed += 1
                 print(
-                    f"[{holder['name']}] FAILED after {args.max_restarts} "
-                    f"restarts: {holder['error']}",
+                    f"[{holder['name']}] FAILED after {holder['restarts']} "
+                    f"restart(s): {holder['error']}",
+                    file=sys.stderr,
+                )
+            elif t.is_alive():
+                failed += 1
+                print(
+                    f"[{holder['name']}] did not shut down cleanly",
                     file=sys.stderr,
                 )
             else:
                 print(f"[{holder['name']}] stopped")
         return 1 if failed else 0
 
-    queries = [(cfg.name, _start(cfg)) for cfg in cfgs]
-    for name, _ in queries:
-        print(f"[{name}] streaming")
+    queries = []
+    for cfg in cfgs:
+        queries.append((cfg.name, _start(cfg)))
+        print(f"[{cfg.name}] streaming from {cfg.watch}")
 
-    try:
-        if args.duration is not None:
-            deadline = time.time() + args.duration
-            while time.time() < deadline and any(q.isActive for _, q in queries):
-                time.sleep(0.5)
-        else:
-            while any(q.isActive for _, q in queries):
-                time.sleep(1.0)
-    except KeyboardInterrupt:
-        pass
+    _wait(lambda: any(q.isActive for _, q in queries))
     failed = 0
     for name, q in queries:
         if q.isActive:

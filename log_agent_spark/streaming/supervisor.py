@@ -29,7 +29,6 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
-from pyspark.errors.exceptions.captured import StreamingQueryException
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -38,26 +37,42 @@ def supervise(
     max_restarts: int = 3,
     backoff_s: float = 0.5,
     on_restart: Callable[[int, Exception], None] | None = None,
-) -> tuple[StreamingQuery, int]:
+    should_stop: Callable[[], bool] | None = None,
+) -> tuple[StreamingQuery | None, int]:
     """Run a streaming query to termination, restarting on failure.
 
     ``start_query`` must create a FRESH query each call with the same
     checkpointLocation (so a restart resumes, not recomputes). Returns
     ``(final_query, n_restarts)`` after a clean termination; re-raises
-    the last failure once ``max_restarts`` is exhausted.
+    the last failure once ``max_restarts`` is exhausted. Start-time
+    failures (e.g. a transiently unreachable checkpoint dir) count as
+    restarts too — the guard's job is to outlast transient faults, not
+    only crashes of an already-running query.
+
+    ``should_stop``: optional shutdown witness checked before every
+    (re)start and during backoff; when it turns true the loop returns
+    ``(None, restarts)`` without starting another query — the hook that
+    lets an owner stop the guard without racing its restart loop.
     """
     restarts = 0
     while True:
-        q = start_query()
+        if should_stop is not None and should_stop():
+            return None, restarts
         try:
+            q = start_query()
             q.awaitTermination()
             return q, restarts
-        except StreamingQueryException as exc:
+        except Exception as exc:  # noqa: BLE001 — start failures included
             restarts += 1
             if restarts > max_restarts:
                 raise
             if on_restart is not None:
                 on_restart(restarts, exc)
             # linear backoff (the reference probes on a fixed 20 s
-            # cadence, fsnotify.go:74)
-            time.sleep(backoff_s * restarts)
+            # cadence, fsnotify.go:74); interruptible so a shutdown
+            # request isn't held hostage by the sleep
+            deadline = time.time() + backoff_s * restarts
+            while time.time() < deadline:
+                if should_stop is not None and should_stop():
+                    return None, restarts
+                time.sleep(min(0.05, backoff_s))

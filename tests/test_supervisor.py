@@ -69,3 +69,47 @@ def test_supervise_exhausts_restarts(spark, tmp_path, in_dir):
             on_restart=lambda n, e: seen.append(n),
         )
     assert seen == [1, 2]
+
+
+def test_supervise_retries_start_time_failures(spark, tmp_path, in_dir):
+    """A start_query() exception (transient checkpoint-dir fault) counts
+    as a restart — the guard outlasts transient faults, not only crashes
+    of a running query."""
+    attempts = []
+
+    def start():
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise RuntimeError("transient start failure (fs blip)")
+        stream = spark.readStream.schema("id long, v long").parquet(in_dir)
+        return (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q, restarts = supervise(start, max_restarts=3, backoff_s=0.05)
+    assert restarts == 1
+    assert len(attempts) == 2
+
+
+def test_supervise_should_stop_prevents_restart(spark, tmp_path, in_dir):
+    """Once should_stop turns true, the guard returns instead of starting
+    another query — the shutdown hook the CLI's stop loop relies on."""
+    stopping = {"flag": False}
+    started = []
+
+    def start():
+        started.append(1)
+        stopping["flag"] = True  # owner requests shutdown mid-run
+        raise RuntimeError("crash right after the stop request")
+
+    q, restarts = supervise(
+        start,
+        max_restarts=10,
+        backoff_s=0.05,
+        should_stop=lambda: stopping["flag"],
+    )
+    assert q is None
+    assert len(started) == 1  # no restart happened after the stop flag

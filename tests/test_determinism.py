@@ -29,6 +29,12 @@ CASES = [
     "customer_rfm",               # range-partitioned exact ntile
     "events_hll_report",          # register-level sketch
     "media_shard_manifest",       # running-sum packing
+    # round-3 additions with float paths / quantized integer sums
+    "corpus_drift_psi",           # 1e-9-grid integer PSI total
+    "mixture_doremi_step",        # linear-MW update, 1e-12-grid normalizer
+    "mixture_token_budget",       # sqrt weights, integer ceil-division
+    "graph_modularity",           # decimal Σd², ratio-of-integer Q
+    "embedding_dim_audit",        # decimal sums over 1e-6 grid
 ]
 
 

@@ -178,6 +178,7 @@ HEADLINE = [
     "mixture_token_budget",
     "events_histogram_incremental",
     "pipeline_corpus_build",
+    "ann_nprobe_recall",
 ]
 
 

@@ -1106,6 +1106,66 @@ FROM cent s LEFT JOIN occ o ON s.centroid_id = o.cell CROSS JOIN total
 
 
 # ---------------------------------------------------------------------------
+# Recall-vs-nprobe curve — the tuning table for the IVF probe knob: for
+# each nprobe in 1..4, recall@k of the multi-probe search against the
+# brute-force ground truth, as one row per setting (the matryoshka-recall
+# convention: exact integer intersection count over Q·k). This is the
+# evaluation an operator reads before fixing nprobe in production; the
+# brute-force side is documented ground-truth-only, the per-n searches
+# are the audited IVF shape (shared ivf_assign/_cell_topk bodies).
+# ---------------------------------------------------------------------------
+NPROBE_CURVE = [1, 2, 3, 4]
+
+
+def q_ann_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    candidates = ivf_assign(emb, centroids).filter(F.col("vec_id") >= N_QUERIES)
+    qemb = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = None
+    denom = float(N_QUERIES * TOP_K)
+    for n in NPROBE_CURVE:
+        probes = ivf_assign(qemb, centroids, nprobe=n).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
+        )
+        topk = _cell_topk(probes, candidates).select("query_id", "neighbor_id")
+        rec = (
+            truth.join(topk, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_recovered"))
+            .select(
+                F.lit(n).alias("nprobe"),
+                "n_recovered",
+                F.round(F.col("n_recovered") / denom, 4).alias("recall_at_k"),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _nprobe_recall_oracle() -> str:
+    parts = [
+        f"""
+SELECT {n} AS nprobe, COUNT(*) AS n_recovered,
+       ROUND(COUNT(*) * 1.0 / {N_QUERIES * TOP_K}, 4) AS recall_at_k
+FROM ({_ivf_oracle(n)}) a
+JOIN ({ORACLE_ANN_COSINE_TOPK}) e
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
+        for n in NPROBE_CURVE
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_ANN_NPROBE_RECALL = _nprobe_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Per-dimension embedding audit — dead/degenerate-dimension detection, the
 # pre-flight check for PQ/int8 quantization (a near-constant dimension
 # wastes codebook bits; ann_int8_topk's scale factor assumes non-trivial
@@ -1182,6 +1242,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "ann_nprobe_recall": q_ann_nprobe_recall,
     "ann_ivf_health": q_ann_ivf_health,
     "embedding_dim_audit": q_embedding_dim_audit,
     "embedding_norms": q_embedding_norms,
@@ -1200,6 +1261,7 @@ ORACLES = {
     "ann_lsh_bucketed": ORACLE_ANN_LSH_BUCKETED,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
+    "ann_nprobe_recall": ORACLE_ANN_NPROBE_RECALL,
     "ann_ivf_health": ORACLE_ANN_IVF_HEALTH,
     "embedding_dim_audit": ORACLE_EMBEDDING_DIM_AUDIT,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,

@@ -87,3 +87,18 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         len(multi & truth),
         len(single & truth),
     )
+
+
+def test_nprobe_recall_curve_is_monotone(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe (each setting probes a
+    superset of cells) and reach 1.0 when every cell is probed... or at
+    least never decrease; the curve rows carry consistent counts."""
+    from log_agent_spark.operators.similarity import q_ann_nprobe_recall
+
+    rows = sorted(
+        q_ann_nprobe_recall(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4]
+    recalls = [r.recall_at_k for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert all(0.0 <= r <= 1.0 for r in recalls)

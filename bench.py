@@ -179,6 +179,8 @@ HEADLINE = [
     "events_histogram_incremental",
     "pipeline_corpus_build",
     "ann_nprobe_recall",
+    "decontam_ngram_sweep",
+    "corpus_datasheet",
 ]
 
 

@@ -68,10 +68,143 @@ GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus datasheet: the one-page "datasheet for datasets" summary a corpus
+# release ships with — size, composition, duplication, quality, and
+# eval-contamination rates as (metric, value) rows. Every value is either
+# an exact integer cast to double or a ratio of integer aggregates
+# (deterministic cross-engine); the quality gate and contamination pass
+# reuse the funnel's exact predicates so the datasheet can never disagree
+# with the pipeline that enforces them.
+# Scale: one scan computes all single-pass metrics (one agg row); the
+# dedup rate is one md5-distinct aggregate; contamination is the audited
+# broadcast semi-join. Three passes total, all map-side heavy.
+# ---------------------------------------------------------------------------
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.decontaminate import (
+        EVAL_SOURCE,
+        MAX_MEAN_WORD_LEN,
+        MIN_TOKENS,
+        token_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ntoks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    qpred = (ntoks >= MIN_TOKENS) & (
+        F.length("text") / ntoks <= MAX_MEAN_WORD_LEN
+    )
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(ntoks).alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum(qpred.cast("long")).alias("n_quality"),
+        F.sum((F.col("source") != EVAL_SOURCE).cast("long")).alias("n_train"),
+    )
+    eval_ngrams = (
+        d.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .distinct()
+    )
+    contaminated = (
+        d.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram"))
+        .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    row = base.crossJoin(F.broadcast(contaminated))
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_chars", F.col("n_chars").cast("double")),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("avg_doc_tokens", F.round(F.col("n_tokens") / F.col("n_docs"), 4)),
+        (
+            "exact_dup_frac",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 4
+            ),
+        ),
+        ("quality_pass_frac", F.round(F.col("n_quality") / F.col("n_docs"), 4)),
+        (
+            "eval_contaminated_frac",
+            F.round(F.col("n_contaminated") / F.col("n_train"), 4),
+        ),
+    ]
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("metric"), expr.alias("value"))
+            for name, expr in metrics
+        ]
+    )
+    return row.select(F.explode(rows).alias("m")).select("m.metric", "m.value")
+
+
+def _datasheet_oracle() -> str:
+    from log_agent_spark.operators.decontaminate import (
+        EVAL_SOURCE,
+        MAX_MEAN_WORD_LEN,
+        MIN_TOKENS,
+        _sql_ngrams_n,
+        NGRAM_N,
+    )
+
+    grams = _sql_ngrams_n(NGRAM_N)
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         CAST(SUM(CASE WHEN len({toks}) >= {MIN_TOKENS}
+                        AND length(text) * 1.0 / len({toks})
+                            <= {MAX_MEAN_WORD_LEN}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN source <> '{EVAL_SOURCE}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_train
+  FROM documents
+), cont AS (
+  SELECT COUNT(*) AS n_contaminated FROM (
+    SELECT DISTINCT t.doc_id
+    FROM ({grams.format(where="WHERE source <> '" + EVAL_SOURCE + "'")}) t
+    WHERE t.ngram IN (
+      SELECT DISTINCT ngram
+      FROM ({grams.format(where="WHERE source = '" + EVAL_SOURCE + "'")})
+    )
+  )
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM base
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+UNION ALL SELECT 'avg_doc_tokens', ROUND(n_tokens * 1.0 / n_docs, 4) FROM base
+UNION ALL SELECT 'exact_dup_frac',
+                 ROUND((n_docs - n_unique) * 1.0 / n_docs, 4) FROM base
+UNION ALL SELECT 'quality_pass_frac',
+                 ROUND(n_quality * 1.0 / n_docs, 4) FROM base
+UNION ALL SELECT 'eval_contaminated_frac',
+                 ROUND(n_contaminated * 1.0 / n_train, 4) FROM base CROSS JOIN cont
+"""
+
+
+ORACLE_CORPUS_DATASHEET = _datasheet_oracle()
+
+
 QUERIES = {
     "pipeline_corpus_build": q_pipeline_corpus_build,
+    "corpus_datasheet": q_corpus_datasheet,
 }
 
 ORACLES = {
     "pipeline_corpus_build": ORACLE_PIPELINE_CORPUS_BUILD,
+    "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
 }

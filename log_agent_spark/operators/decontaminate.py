@@ -44,17 +44,23 @@ def token_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-# DuckDB twin of token_ngrams (1-based inclusive list_slice).
-_SQL_NGRAMS = f"""
+def _sql_ngrams_n(n: int) -> str:
+    """DuckDB twin of token_ngrams for an arbitrary n (1-based inclusive
+    list_slice); keeps a ``{where}`` hole for the source filter."""
+    return f"""
   SELECT doc_id,
-         array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS ngram
+         array_to_string(toks[i:i+{n - 1}], ' ') AS ngram
   FROM (
     SELECT doc_id,
            list_filter(string_split(text, ' '), t -> t <> '') AS toks
     FROM documents {{where}}
   ),
-  LATERAL unnest(generate_series(1, greatest(len(toks) - {NGRAM_N - 1}, 0))) AS g(i)
+  LATERAL unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS g(i)
 """
+
+
+# DuckDB twin of token_ngrams at the default N.
+_SQL_NGRAMS = _sql_ngrams_n(NGRAM_N)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,8 +757,77 @@ UNION ALL {stage_select.format(i=5, name="decontaminated", cte="clean")}
 ORACLE_CORPUS_FUNNEL = _funnel_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Decontamination sensitivity sweep: contamination rate as a function of
+# the n-gram size — the tuning table behind the NGRAM_N=8 choice (the
+# nprobe-curve convention applied to decontamination: one row per
+# setting). Small n over-flags (common phrases collide), large n
+# under-flags (only long verbatim spans match); the sweep shows where the
+# rate stabilizes. Each setting is the audited decontaminate shape: eval
+# n-grams distinct + broadcast, one semi-join over the train explode; the
+# train-doc denominator is computed once.
+# ---------------------------------------------------------------------------
+NGRAM_SWEEP = [6, 8, 10, 13]
+
+
+def q_decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
+    evald = d.filter(F.col("source") == EVAL_SOURCE).select("text")
+    n_train = train.count()  # scalar denominator, one cheap count
+    out = None
+    for n in NGRAM_SWEEP:
+        eval_ngrams = evald.select(
+            F.explode(token_ngrams(F.col("text"), n)).alias("ngram")
+        ).distinct()
+        contaminated = (
+            train.select(
+                "doc_id", F.explode(token_ngrams(F.col("text"), n)).alias("ngram")
+            )
+            .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        rec = contaminated.agg(F.count("*").alias("n_contaminated")).select(
+            F.lit(n).alias("ngram_n"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / float(n_train), 4).alias(
+                "contaminated_frac"
+            ),
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _ngram_sweep_oracle() -> str:
+    parts = []
+    for n in NGRAM_SWEEP:
+        grams = _sql_ngrams_n(n)
+        parts.append(
+            f"""
+SELECT {n} AS ngram_n,
+       COUNT(*) AS n_contaminated,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents
+                               WHERE source <> '{EVAL_SOURCE}'), 4)
+         AS contaminated_frac
+FROM (
+  SELECT DISTINCT t.doc_id
+  FROM ({grams.format(where="WHERE source <> '" + EVAL_SOURCE + "'")}) t
+  WHERE t.ngram IN (
+    SELECT DISTINCT ngram
+    FROM ({grams.format(where="WHERE source = '" + EVAL_SOURCE + "'")})
+  )
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_DECONTAM_NGRAM_SWEEP = _ngram_sweep_oracle()
+
+
 QUERIES = {
     "text_decontaminate": q_decontaminate,
+    "decontam_ngram_sweep": q_decontam_ngram_sweep,
     "text_contamination_spans": q_contamination_spans,
     "text_ngram_novelty": q_ngram_novelty,
     "corpus_snapshot_diff": q_snapshot_diff,
@@ -763,6 +838,7 @@ QUERIES = {
 
 ORACLES = {
     "text_decontaminate": ORACLE_DECONTAMINATE,
+    "decontam_ngram_sweep": ORACLE_DECONTAM_NGRAM_SWEEP,
     "text_contamination_spans": ORACLE_CONTAMINATION_SPANS,
     "text_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "corpus_snapshot_diff": ORACLE_SNAPSHOT_DIFF,

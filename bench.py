@@ -181,6 +181,8 @@ HEADLINE = [
     "ann_nprobe_recall",
     "decontam_ngram_sweep",
     "corpus_datasheet",
+    "dedup_savings",
+    "graph_degree_powerlaw",
 ]
 
 

@@ -1375,6 +1375,48 @@ FROM keyed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup savings report — the capacity-planning view of exact dedup: per
+# duplicate-cluster size, how many clusters exist, how many docs a dedup
+# pass removes, and how many chars it reclaims. All integer aggregates
+# (cluster members are byte-identical, so per-doc size is min() over the
+# group); runs on the planted fixture corpus like every dedup query so
+# the cluster-size spectrum is non-trivial.
+# Scale: one md5-keyed aggregate (content never shuffles — only the
+# 32-hex key and two ints), then a k-row rollup on cluster size.
+# ---------------------------------------------------------------------------
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    groups = (
+        docs.select(F.md5("text").alias("h"), F.length("text").alias("nch"))
+        .groupBy("h")
+        .agg(F.count("*").alias("sz"), F.min("nch").alias("doc_chars"))
+    )
+    return groups.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).alias("docs_removable"),
+        F.sum((F.col("sz") - 1) * F.col("doc_chars").cast("bigint")).alias(
+            "chars_savable"
+        ),
+    )
+
+
+ORACLE_DEDUP_SAVINGS = f"""
+WITH corpus AS ({PLANTED_DUPS_SQL}),
+groups AS (
+  SELECT md5(text) AS h, COUNT(*) AS sz,
+         CAST(MIN(length(text)) AS BIGINT) AS doc_chars
+  FROM corpus GROUP BY md5(text)
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(sz - 1) AS BIGINT) AS docs_removable,
+       CAST(SUM((sz - 1) * doc_chars) AS BIGINT) AS chars_savable
+FROM groups GROUP BY sz
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_canonical_corpus": q_dedup_canonical_corpus,
@@ -1393,6 +1435,7 @@ QUERIES = {
     "dedup_split_leakage": q_dedup_split_leakage,
     "dedup_group_split": q_dedup_group_split,
     "dedup_soft_weights": q_dedup_soft_weights,
+    "dedup_savings": q_dedup_savings,
 }
 
 ORACLES = {
@@ -1413,4 +1456,5 @@ ORACLES = {
     "dedup_split_leakage": ORACLE_DEDUP_SPLIT_LEAKAGE,
     "dedup_group_split": ORACLE_DEDUP_GROUP_SPLIT,
     "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
+    "dedup_savings": ORACLE_DEDUP_SAVINGS,
 }

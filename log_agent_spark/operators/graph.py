@@ -837,6 +837,64 @@ FROM withintra CROSS JOIN m CROSS JOIN tot
 ORACLE_GRAPH_MODULARITY = _modularity_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law fit — is the co-purchase graph scale-free?
+# ln(degree) regressed on ln(rank) over the degree-ranked nodes (the
+# text_zipf_fit recipe on a graph domain): slope ≈ -1/(α-1) for a
+# power-law tail, plus r² as the fit check and the hub degree. Uses the
+# distributed global rank (range-partitioned sort + P-row offsets), never
+# a SinglePartition window; regr_slope/regr_r2 are one-pass aggregates
+# with map-side partials, stable under round(4) (the proven zipf-fit
+# discipline).
+# ---------------------------------------------------------------------------
+def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.operators.ranking import with_global_order
+
+    edges = _lpa_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    ranked = with_global_order(
+        deg, [F.desc("degree"), F.asc("node")], rank_col="rank"
+    )
+    return ranked.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.regr_slope(F.log("degree"), F.log("rank")), 4).alias(
+            "powerlaw_slope"
+        ),
+        F.round(F.regr_r2(F.log("degree"), F.log("rank")), 4).alias("r2"),
+    )
+
+
+ORACLE_GRAPH_DEGREE_POWERLAW = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), ranked AS (
+  SELECT degree,
+         ROW_NUMBER() OVER (ORDER BY degree DESC, node ASC) AS rank
+  FROM deg
+)
+SELECT COUNT(*) AS n_nodes,
+       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       ROUND(regr_slope(ln(degree), ln(rank)), 4) AS powerlaw_slope,
+       ROUND(regr_r2(ln(degree), ln(rank)), 4) AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "graph_bfs_hops": q_graph_bfs_hops,
     "dedup_connected_components": q_dedup_connected_components,
@@ -845,6 +903,7 @@ QUERIES = {
     "graph_label_propagation": q_graph_label_propagation,
     "graph_kcore": q_graph_kcore,
     "graph_modularity": q_graph_modularity,
+    "graph_degree_powerlaw": q_graph_degree_powerlaw,
 }
 
 ORACLES = {
@@ -855,4 +914,5 @@ ORACLES = {
     "graph_label_propagation": ORACLE_LABEL_PROPAGATION,
     "graph_kcore": ORACLE_GRAPH_KCORE,
     "graph_modularity": ORACLE_GRAPH_MODULARITY,
+    "graph_degree_powerlaw": ORACLE_GRAPH_DEGREE_POWERLAW,
 }

@@ -46,90 +46,85 @@ _MODULES = [
 # The driver's correctness gate checks only the FIRST ~50 queries() entries
 # in iteration order, so the window below is rotated each round until every
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
-# map; round 1 verified relational/TPC-H, round 2 dedup/similarity/
-# multimodal/text). Round-3 window, per VERDICT r2's ranked list:
-#   - the 2 array-output queries fixed this round (flattened shapes) — kept
-#     in-window to prove the fix against the real driver canonicalizer;
-#   - 1 driver-green relational canary (q01) to catch regressions, plus ALL
-#     SIX r1 hash-fail queries (dq_constraint_audit, lineitem_sequence_audit,
-#     scalar_functions, filter_patterns, q12_late_shipments, order_backlog —
-#     fixed in r2, but only mirror-verified): the known driver-level failure
-#     class gets re-proved before anything else;
-#   - the never-driver-verified families: decontaminate, graph, timeseries
-#     (incl. the DATE-defused events_seasonal_anomaly), rollup (incl. the
-#     DATE-defused events_incremental_rollup), temporal, skew, and the head
-#     of events (incl. the flattened events_approx_sketches).
-# Still queued for rounds 4+: rest of events, sampling (incl. the six new
-# curation queries), analytics, agentdemo (see COVERAGE.json;
-# complex_types turned out to be already driver-green from round 1, so it
-# stays in the tail).
-_R3_WINDOW = [
-    # fixed-shape proofs (errored in CORRECTNESS_r02, flattened this round)
-    "media_features",
-    "text_inverted_index",
-    # relational canary (driver-green in r1)
+# map; round 1 verified relational/TPC-H + complex_types, round 2 dedup/
+# similarity/multimodal/text, round 3 decontaminate/graph/timeseries/
+# rollup/temporal/skew/events-head — 141/217 cumulative green after r3).
+# Round-4 window, per VERDICT r3's ranked list: 1 canary (q01) + 49
+# first-time queries —
+#   - all 24 sampling queries (incl. the three new mixture/curriculum
+#     planners, the newest float-discipline code → highest residual risk);
+#   - the four new ANN queries, graph_modularity/graph_degree_powerlaw,
+#     curation (2), rollup tail (events_histogram_incremental);
+#   - analytics' never-verified 11;
+#   - dedup_savings, decontam_ngram_sweep, and the three riskiest events
+#     remainders (variant/json extraction + epoch projections).
+# Still queued for round 5 (27): rest of events (13), text tail (9),
+# agentdemo (5) — all strict-mirror-verified today (see COVERAGE.json).
+_R4_WINDOW = [
+    # relational canary (driver-green r1, re-proved r3)
     "q01_pricing_summary",
-    # the six r1 hash-fails, fixed in r2 — driver-level proof of the fixes
-    "dq_constraint_audit",
-    "lineitem_sequence_audit",
-    "scalar_functions",
-    "filter_patterns",
-    "q12_late_shipments",
-    "order_backlog",
-    # decontaminate (7)
-    "text_decontaminate",
-    "text_contamination_spans",
-    "text_ngram_novelty",
-    "corpus_snapshot_diff",
-    "corpus_drift_psi",
-    "dedup_repeated_spans",
-    "pipeline_corpus_funnel",
-    # graph (6)
-    "graph_bfs_hops",
-    "dedup_connected_components",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_kcore",
-    # timeseries (7)
-    "events_sax_similarity",
-    "events_cusum_shift",
-    "events_seasonal_anomaly",
-    "events_forecast_holt",
-    "events_forecast_holt_winters",
-    "events_forecast_backtest",
-    "events_trend_robust",
-    # rollup (2)
-    "events_incremental_rollup",
-    "orders_join_ivm",
-    # temporal (3)
-    "events_asof_join",
-    "events_range_join",
-    "events_funnel",
-    # skew (2)
-    "skew_salted_distinct",
-    "skew_salted_join",
-    # head of events (14, incl. the flattened sketch query) — complex_types
-    # is NOT here: COVERAGE.json shows all 7 entries driver-green in r1
-    "events_approx_sketches",
-    "events_hypertable_rollup",
-    "events_session_window_native",
-    "window_range_frame",
-    "events_countmin_heavyhitters",
-    "events_attribution_multitouch",
-    "events_hll_report",
-    "events_kmv_set_ops",
-    "events_quantile_sketch_report",
-    "events_hll_incremental",
-    "events_ab_test_ztest",
-    "events_user_lifecycle",
-    "events_weekly_load_profile",
-    "events_dwell_percentiles",
+    # sampling (24) — mixture/curriculum trio leads: newest float recipes
+    "mixture_doremi_step",
+    "mixture_token_budget",
+    "curriculum_quality_bins",
+    "sample_weighted_reservoir",
+    "sample_shuffle_shard",
+    "sample_importance_weighted",
+    "sample_source_mixture",
+    "sample_temperature_mixture",
+    "sample_hash_split",
+    "sample_split_balance",
+    "sample_stratified_cap",
+    "sample_bootstrap_ci",
+    "anomaly_mad",
+    "anomaly_zscore",
+    "histogram_equidepth",
+    "histogram_totalprice",
+    "layout_zorder_stats",
+    "unpivot_measures",
+    "gapfill_locf",
+    "events_ewma_daily",
+    "time_weighted_avg",
+    "winsorized_stats",
+    "training_manifest",
+    "sql_interface",
+    # similarity: the four new ANN queries (r3 additions, mirror-only)
+    "ann_ivf_multiprobe",
+    "ann_nprobe_recall",
+    "ann_ivf_health",
+    "embedding_dim_audit",
+    # graph tail (2)
+    "graph_modularity",
+    "graph_degree_powerlaw",
+    # curation (2)
+    "pipeline_corpus_build",
+    "corpus_datasheet",
+    # rollup tail (1)
+    "events_histogram_incremental",
+    # analytics — never-verified 11
+    "pareto_revenue_concentration",
+    "revenue_seasonality",
+    "cohort_ltv",
+    "part_supplier_hhi",
+    "basket_part_pairs_lift",
+    "customer_rfm",
+    "stats_regression_by_brand",
+    "events_gaps_islands",
+    "events_retention_cohort",
+    "window_rank_variants",
+    "dedup_levenshtein",
+    # dedup/decontaminate tails (2)
+    "dedup_savings",
+    "decontam_ngram_sweep",
+    # events remainder that fits (3): the riskiest extraction shapes
+    "events_json_extract",
+    "events_variant_extract",
+    "epoch_projections",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R3_WINDOW
+DRIVER_WINDOW = _R4_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -140,11 +135,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R3_WINDOW if name not in full]
-    # a typo in the window list must fail loudly, not silently shrink the
-    # driver's 50-slot verification window
-    assert not missing, f"window names not in queries(): {missing}"
-    out = {name: full[name] for name in _R3_WINDOW}
+    missing = [name for name in _R4_WINDOW if name not in full]
+    if missing:
+        # a typo in the window list must fail loudly, not silently shrink
+        # the driver's 50-slot verification window (and must survive -O,
+        # so no assert)
+        raise ValueError(f"window names not in queries(): {missing}")
+    out = {name: full[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

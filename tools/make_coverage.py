@@ -56,10 +56,16 @@ def main() -> None:
         q: {"status": "unverified", "round": None} for q in all_queries
     }
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    stale: dict[str, int] = {}
     for path in rounds:
         rno = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         data = json.load(open(path))
         for q, rec in data.items():
+            if q not in ledger:
+                # renamed/removed since that round — report separately
+                # instead of polluting the live ledger and summary counts
+                stale[q] = rno
+                continue
             ledger[q] = {"status": classify(rec), "round": rno}
 
     counts: dict[str, int] = {}
@@ -77,6 +83,7 @@ def main() -> None:
         "rounds_seen": [os.path.basename(p) for p in rounds],
         "current_window": window,
         "summary": counts,
+        "stale_names": stale,
         "queries": ledger,
     }
     path = os.path.join(REPO, "COVERAGE.json")

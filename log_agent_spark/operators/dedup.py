@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.scratch import pinned_query
+
 from log_agent_spark.operators.similarity import _bucket_sql as _similarity_bucket_sql
 from log_agent_spark.plans.sampling import split_expr as _split_expr
 from log_agent_spark.plans.sampling import split_sql as _split_sql
@@ -803,6 +805,7 @@ def _bloom_positions() -> F.Column:
     )
 
 
+@pinned_query("dedup_bloom_")
 def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom prefilter vs prior corpus; every positive classified true/false."""
     corpus = (
@@ -1140,6 +1143,7 @@ JOIN sizes nb ON nb.source = source_b
 # LSH-bucket collisions; the component loop is O(cluster diameter) rounds
 # over the sparse dup graph (operators/graph.py notes).
 # ---------------------------------------------------------------------------
+@pinned_query("dedup_canon_")
 def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_agent_spark.operators.graph import connected_components
 

@@ -25,7 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window as W
+
+from log_agent_spark.scratch import pinned_query
 
 from log_agent_spark.sources.tables import load_table
 
@@ -170,6 +173,7 @@ def connected_components_star(
 # are already oracle-verified) resolved to components. Output is per-doc:
 # (doc_id, component = min doc_id of its cluster).
 # ---------------------------------------------------------------------------
+@pinned_query("graph_cc_")
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
@@ -226,6 +230,7 @@ PAGERANK_ITERS = 3
 _SUPP_OFFSET = 1_000_000
 
 
+@pinned_query("graph_pagerank_")
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -489,6 +494,7 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
     return labels
 
 
+@pinned_query("graph_lpa_")
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous LPA communities on supported co-purchases."""
     labels = _lpa_labels(_lpa_edges(spark, sf_dir))
@@ -575,6 +581,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     return keep
 
 
+@pinned_query("graph_kcore_")
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KCORE_ROUNDS-round k-core peel (k=KCORE_K) on supported co-purchases:
     surviving parts + the degree that qualified them in the final round."""
@@ -627,6 +634,7 @@ ORACLE_GRAPH_KCORE = _kcore_oracle()
 BFS_ITERS = 3
 
 
+@pinned_query("graph_bfs_")
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -730,6 +738,7 @@ ORACLE_BFS_HOPS = _bfs_oracle()
 # agg on the label key; the Q totals are a broadcast 1-row aggregate —
 # never a data-scaled window.
 # ---------------------------------------------------------------------------
+@pinned_query("graph_modularity_")
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE co-purchase projection feeds both the LPA labels and the
     # intra-edge/degree audits (persisted; the naive call-the-LPA-query

@@ -31,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.scratch import scratch_dir as _scratch_dir
+
 
 def aggregate_partials(
     facts: DataFrame, day_col: str, key_cols: list[str], value_col: str
@@ -124,8 +126,6 @@ def foreach_batch_rollup(
 # addition is exact — the same rule the TPC-H queries use cross-engine).
 # ---------------------------------------------------------------------------
 def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from log_agent_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "events").select(
@@ -134,7 +134,7 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
-    path = tempfile.mkdtemp(prefix="log_agent_rollup_q_")
+    path = _scratch_dir("log_agent_rollup_q_")
     for parity in (0, 1):
         merge_rollup(
             spark,
@@ -180,8 +180,6 @@ GROUP BY day, event_type
 # commuted/dropped term cannot hash-match the one-shot oracle.
 # ---------------------------------------------------------------------------
 def q_orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from log_agent_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -199,7 +197,7 @@ def q_orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "l_linenumber", "o_custkey", "l_quantity"
         )
 
-    path = tempfile.mkdtemp(prefix="log_agent_join_ivm_")
+    path = _scratch_dir("log_agent_join_ivm_")
     j(a0, b0).write.mode("overwrite").parquet(path)  # V0 materialized
     delta = j(da, b0).unionByName(j(a0, db)).unionByName(j(da, db))
     delta.write.mode("append").parquet(path)  # ΔV appended, V0 untouched
@@ -229,8 +227,6 @@ _HIST_MAX_BIN = 63
 
 
 def q_events_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from log_agent_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "events").select(
@@ -241,7 +237,7 @@ def q_events_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("bin"),
         F.lit(1).alias("one"),
     )
-    path = tempfile.mkdtemp(prefix="log_agent_hist_q_")
+    path = _scratch_dir("log_agent_hist_q_")
     for parity in (0, 1):
         merge_rollup(
             spark,

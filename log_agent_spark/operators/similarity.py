@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.scratch import pinned_query
 from log_agent_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -662,6 +664,7 @@ SELECT anchor_id, anchor_label, negative_id, negative_label, rank FROM (
 POWER_ITERS = 3
 
 
+@pinned_query("power_iter_")
 def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
@@ -1187,12 +1190,15 @@ def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(F.posexplode("emb").alias("dim", "v")).select(
         "dim", F.round(F.col("v") * _DIM_SCALE).cast("long").alias("q")
     )
+    # cast to decimal BEFORE the square: with ANSI off a LONG q*q wraps
+    # silently for |component| ≳ 3e3 after the 1e6 quantization, while the
+    # DuckDB oracle promotes SUM(q*q) to HUGEINT (same divergence class as
+    # graph_modularity's degree sums)
+    d_q = F.col("q").cast("decimal(38,0)")
     agg = comp.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"),
-        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("s2"),
+        F.sum(d_q).cast("double").alias("s"),
+        F.sum(d_q * d_q).cast("double").alias("s2"),
     )
     mean = F.col("s") / (F.col("n") * float(_DIM_SCALE))
     var = F.col("s2") / (F.col("n") * float(_DIM_SCALE) ** 2) - mean * mean

@@ -26,15 +26,18 @@ PathFunc = Callable[[Row], str]
 
 
 def default_path(row: Row) -> str:
-    """file.go:44-47 dest layout. Accepts BOTH sub_dir conventions in use:
-    enrich_file_meta emits the full root-relative path (filename included,
-    watchdog.go:337-347); hand-built frames often carry the directory part
-    only — append the filename only when sub_dir doesn't already end in it."""
-    sub = (row["sub_dir"] if "sub_dir" in row else "") or ""
-    name = row["filename"]
-    if sub == name or sub.endswith("/" + name):
-        return sub
-    return os.path.join(sub, name)
+    """file.go:44-47 dest layout: <dir>/<filename>. The directory comes from
+    an EXPLICIT producer column, never a suffix heuristic (a dir legitimately
+    named like the file, e.g. sub_dir='logs/a.log' + filename='a.log', would
+    defeat any endswith inference — ADVICE r3): enrich_file_meta frames carry
+    `folder` (the directory part, reference SubDir semantics,
+    watchdog.go:338-347) which wins; hand-built frames carry `sub_dir` as a
+    plain directory, joined unconditionally."""
+    if "folder" in row and row["folder"] is not None:
+        sub = row["folder"]
+    else:
+        sub = (row["sub_dir"] if "sub_dir" in row else "") or ""
+    return os.path.join(sub, row["filename"])
 
 
 def file_copy_sink(

@@ -58,7 +58,13 @@ class FileCopyWriter(DataSourceWriter):
             if not filename:  # empty path ⇒ skip (file.go:49-54)
                 skipped += 1
                 continue
-            dest = os.path.join(self._dest_root, d.get("sub_dir") or "", filename)
+            # explicit `folder` (directory part, reference SubDir semantics)
+            # wins over sub_dir — same producer-side disambiguation as
+            # sinks/filecopy.py default_path
+            sub = d.get("folder")
+            if sub is None:
+                sub = d.get("sub_dir") or ""
+            dest = os.path.join(self._dest_root, sub, filename)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             with open(dest, "wb") as f:
                 f.write(bytes(d.get("content") or b""))

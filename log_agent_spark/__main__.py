@@ -53,6 +53,12 @@ def _parser() -> argparse.ArgumentParser:
         "--max-restarts", type=int, default=3,
         help="stream --supervise: give up after N restarts per pipeline",
     )
+    p.add_argument(
+        "--check", action="store_true",
+        help="validate the config and exit 0/1 without starting Spark "
+        "(nginx -t style; the reference's `dcagent -t` self-check, "
+        "cmd/test.go:7-10)",
+    )
     return p
 
 
@@ -101,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     from log_agent_spark.config import autoload, build_batch_ingest, read_file_events
     from log_agent_spark.session import get_spark
+
+    if args.check:
+        # `-t` config self-check (cmd/test.go:7-10, nginx -t convention):
+        # run the full autoload validation path, report, exit — no Spark
+        try:
+            n = len(autoload(args.config))
+        except Exception as exc:  # noqa: BLE001 — any validation failure ⇒ 1
+            print(f"config check FAILED: {exc}", file=sys.stderr)
+            return 1
+        print(f"config ok: {n} active pipeline(s)")
+        return 0
 
     cfgs = autoload(args.config)
     if not cfgs:

@@ -110,3 +110,26 @@ def test_stream_mode_supervised_copies_files(tmp_path):
         for f in fs
     }
     assert copied == {"a.log", os.path.join("sub", "b.log")}, (copied, proc.stderr[-800:])
+
+
+def test_check_mode_validates_config_without_spark(tmp_path):
+    """`--check` = the reference's `dcagent -t` self-check (cmd/test.go:7-10,
+    nginx -t convention): full autoload validation, exit 0/1, no session."""
+    watch = str(tmp_path / "watched")
+    _write_tree(watch)
+    ini = str(tmp_path / "agent.ini")
+    _write_ini(ini, watch)
+    proc = subprocess.run(
+        [sys.executable, "-m", "log_agent_spark", "--config", ini, "--check"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "config ok: 1 active pipeline(s)" in proc.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "log_agent_spark",
+         "--config", str(tmp_path / "missing.ini"), "--check"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 1
+    assert "config check FAILED" in bad.stderr

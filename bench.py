@@ -203,21 +203,31 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the host is shared, and a transient CPU-steal
-    # spike can inflate a single 1 s query to 10 s+. Min-of-N is the
-    # standard noise-robust estimator for deterministic workloads.
+    # Best-of-2 per query, escalating to best-of-3 when the first two
+    # attempts disagree by >1.5x: the host is shared, and a sustained
+    # CPU-steal window can span BOTH attempts of one query — round 3
+    # published graph_triangle_count at 7.5 s when an off-window re-measure
+    # gave 4.7 s (VERDICT r3 "What's wrong" #2). Min-of-N is the standard
+    # noise-robust estimator for deterministic workloads; the third attempt
+    # buys a sample outside the steal window exactly when the first two
+    # look noise-contaminated.
+    NOISE_RATIO = 1.5
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     flaky: dict[str, str] = {}  # passed once, then crashed — keep the trace
+    retimed: list[str] = []  # queries that needed the third attempt
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        attempts: list[float] = []
+        n_attempts = 2
+        i = 0
+        while i < n_attempts:
+            i += 1
             t0 = time.perf_counter()
             try:
                 qs[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
+                attempts.append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 — one bad query must
                 # not void the other 120+ measurements on the driver's box
                 failures[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -234,11 +244,23 @@ def main() -> None:
                 # this either, or its pinned blocks tax the NEXT query.
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
+            if (
+                len(attempts) == 2
+                and n_attempts == 2
+                and max(attempts) > NOISE_RATIO * min(attempts)
+                # heavy tail only: for sub-second queries the first attempt's
+                # plan-compilation overhead alone trips the ratio (79/160
+                # escalated in a sf0.01 smoke run), and their noise can't
+                # distort the headline anyway
+                and min(attempts) > 1.0
+            ):
+                n_attempts = 3
+                retimed.append(name)
         # keep a clean earlier measurement even if a later attempt failed,
         # but record the late failure as flaky instead of dropping it
         # (ADVICE r2: a pass-then-crash query must not report as clean)
-        if best != float("inf"):
-            timings[name] = round(best, 3)
+        if attempts:
+            timings[name] = round(min(attempts), 3)
             late = failures.pop(name, None)
             if late is not None:
                 flaky[name] = late
@@ -263,6 +285,7 @@ def main() -> None:
         "n_queries": len(timings),
         "failures": failures,
         "flaky": flaky,
+        "retimed_best_of_3": retimed,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -15,6 +15,19 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _body_plan(fn, spark, sf) -> str:
+    """Plan of a pinned_query-wrapped query's BODY (the distributed plan
+    its write job runs); the wrapper's return value is just a readback
+    scan of the materialized result."""
+    from log_agent_spark.scratch import _persistent_ids, _release_new
+
+    before = _persistent_ids(spark)
+    try:
+        return _plan(getattr(fn, "__wrapped__", fn)(spark, sf))
+    finally:
+        _release_new(spark, before)
+
+
 def test_pq_adc_broadcasts_codebook_and_distance_tables(spark):
     plan = _plan(similarity.q_ann_pq_adc(spark, SF))
     # codebook (M*K rows) and query distance table (Q*M*K rows) broadcast;
@@ -24,7 +37,7 @@ def test_pq_adc_broadcasts_codebook_and_distance_tables(spark):
 
 
 def test_bloom_prefilter_broadcasts_filter(spark):
-    plan = _plan(dedup.q_dedup_bloom_prefilter(spark, SF))
+    plan = _body_plan(dedup.q_dedup_bloom_prefilter, spark, SF)
     # the ≤W-row position table and the prior-hash set both broadcast
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
@@ -52,5 +65,5 @@ def test_triangle_count_no_cartesian_no_wedge_shuffle(spark):
 
 
 def test_lpa_no_cartesian(spark):
-    plan = _plan(graph.q_graph_label_propagation(spark, SF))
+    plan = _body_plan(graph.q_graph_label_propagation, spark, SF)
     assert "CartesianProduct" not in plan, plan

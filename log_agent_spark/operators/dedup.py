@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_agent_spark.scratch import pinned_query
+from log_agent_spark.scratch import pin, pinned_query
 
 from log_agent_spark.operators.similarity import _bucket_sql as _similarity_bucket_sql
 from log_agent_spark.plans.sampling import split_expr as _split_expr
@@ -819,7 +819,7 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (doc_id, h) is 16 B/row; three branches consume it (filter build,
         # probe stream, ground-truth hashes) — persist so the full-text md5
         # scan runs once instead of three times.
-        .persist()
+        .transform(pin)
     )
     prior = corpus.filter(F.col("doc_id") < 250)
     incoming = corpus.filter(F.col("doc_id") >= 250)

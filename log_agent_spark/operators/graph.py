@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
 
-from log_agent_spark.scratch import pinned_query
+from log_agent_spark.scratch import pin, pin_checkpoint, pinned_query
 
 from log_agent_spark.sources.tables import load_table
 
@@ -55,7 +55,7 @@ def connected_components(
 
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_checkpoint)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     for _ in range(max_iter):
@@ -67,7 +67,7 @@ def connected_components(
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(pin_checkpoint)
         )
         # labels only ever decrease → the sum is a monotone convergence
         # witness; one scalar to the driver per round, no row comparison.
@@ -118,7 +118,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin_checkpoint)
     )
 
     def half_step(e: DataFrame, large: bool) -> DataFrame:
@@ -147,7 +147,7 @@ def connected_components_star(
         return (
             out.filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin_checkpoint)
         )
 
     prev = _edge_checksum(e)
@@ -245,12 +245,12 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").persist()
+    edges_deg = edges.join(outdeg, "src").transform(pin)
     nodes = (
         edges_deg.select(F.col("src").alias("node"))
         .union(edges_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .transform(pin)
     )
     n = nodes.count()
 
@@ -475,7 +475,7 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
     expensive co-purchase projection is built once by the caller."""
     sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
-    ).persist()
+    ).transform(pin)
     labels = sym.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -576,7 +576,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         edges = (
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(pin_checkpoint)
         )
     return keep
 
@@ -651,7 +651,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Symmetrize: the two id spaces are disjoint, so the union is dup-free.
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).transform(pin)
     # broadcast-size guard from an UPPER BOUND that costs two parquet
     # footer counts (customer + supplier row counts) instead of a
     # distinct+count over the edge list — the guard only needs to know
@@ -676,7 +676,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(_maybe_bcast(visited.select("node")), "node", "left_anti")
             .select("node", F.lit(k).alias("hop"))
-            .persist()
+            .transform(pin)
         )
         visited = visited.union(nxt)
         frontier = nxt.select("node")
@@ -743,12 +743,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE co-purchase projection feeds both the LPA labels and the
     # intra-edge/degree audits (persisted; the naive call-the-LPA-query
     # form built the expensive orderkey self-join twice)
-    edges = _lpa_edges(spark, sf_dir).persist()
+    edges = _lpa_edges(spark, sf_dir).transform(pin)
     # labels feed three consumers (both sides of the intra-edge join and
     # the degree rollup) — persist, or the 2-round LPA plan re-runs 3x
     labels = _lpa_labels(edges).select(
         F.col("node").alias("partkey"), F.col("lbl").alias("community")
-    ).persist()
+    ).transform(pin)
     m = edges.agg(F.count("*").alias("m"))
     lu = labels.select(F.col("partkey").alias("u"), F.col("community").alias("cu"))
     lv = labels.select(F.col("partkey").alias("v"), F.col("community").alias("cv"))

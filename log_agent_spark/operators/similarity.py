@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
 
-from log_agent_spark.scratch import pinned_query
+from log_agent_spark.scratch import pin, pinned_query
 from log_agent_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -671,7 +671,7 @@ def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = emb.select(
         "vec_id", F.posexplode("emb").alias("pos", "val")
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id").persist()
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id").transform(pin)
     v = x.select("pos").distinct().select(
         "pos", F.when(F.col("pos") == 0, 1.0).otherwise(0.0).alias("v")
     )

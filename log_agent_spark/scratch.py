@@ -14,28 +14,44 @@ r3 #5):
   so a round's output is computed once, not once per downstream consumer —
   but the pins outlived the query: 16 persists vs 2 unpersists repo-wide,
   masked only by the harnesses' ``clearCache()``. In a real long-lived
-  session composing operators, the leaked blocks degrade unrelated queries
-  once eviction pressure starts. ``pinned_query`` releases every block a
-  query pinned *on the query's own path*:
+  session composing these operators, the leaked blocks degrade unrelated
+  queries once eviction pressure starts. The fix:
 
-      snapshot persistent-RDD ids → run body → write the (small, bounded)
-      result to scratch parquet while the caches are hot → unpersist every
-      RDD id the body added → return a readback handle.
+      query bodies pin through ``pin``/``pin_checkpoint`` → the
+      ``pinned_query`` wrapper writes the (small, bounded) result to
+      scratch parquet while the caches are hot → releases exactly the
+      handles the body recorded → returns a readback handle.
 
-  The parquet round-trip is the release point: the body's full distributed
-  plan executes in the write job (read THAT job's UI/metrics for the real
-  plan — the returned DataFrame is just a scan of the materialized
-  result), after which nothing references the pinned blocks. Results are
-  k-row to node-sized — bounded, never |E|- or corpus-sized — so the extra
-  write is noise. Working at the RDD-id level (JavaSparkContext
-  .getPersistentRDDs) releases ``localCheckpoint`` blocks too, which
-  DataFrame.unpersist cannot reach (the checkpoint's persistence lives on
-  the internal RDD, not in the cache manager).
+  Release is by EXPLICIT HANDLE, not by diffing the context-global
+  persistent-RDD map: a diff would also sweep up pins created
+  concurrently by unrelated work on the same SparkContext — e.g. a
+  streaming micro-batch persisted for multi-sink fan-out
+  (sinks/multi.py) while a wrapped query runs on the driver — and
+  unpersisting that mid-fan-out forces a batch recompute. Handles are
+  recorded in a ``contextvars`` list scoped to the wrapped call, so a
+  streaming thread's pins are invisible to the release path by
+  construction. ``pin_checkpoint`` releases the checkpoint's storage via
+  the LogicalRDD's internal RDD (``DataFrame.unpersist`` cannot reach
+  it); the checkpointed frame is unusable afterwards, which is safe here
+  because release happens only after the result parquet is written.
+
+  The parquet round-trip is the release point: the body's full
+  distributed plan executes in the write job (the returned DataFrame is
+  just a scan of the materialized result — plan tooling reads the body's
+  plan via ``__wrapped__``), after which nothing references the pinned
+  blocks. Results are k-row to node-sized — bounded, never |E|- or
+  corpus-sized — so the extra write is noise.
+
+  Helpers called OUTSIDE any ``pinned_query`` context (library users
+  composing ``connected_components`` etc. directly) get plain
+  persist/checkpoint behavior: the caller owns the pins, as with Spark's
+  own API.
 """
 
 from __future__ import annotations
 
 import atexit
+import contextvars
 import functools
 import shutil
 import tempfile
@@ -44,6 +60,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _SCRATCH_ROOT: str | None = None
+
+# handles pinned by the wrapped query body currently executing on this
+# context (driver thread); None = no wrapped query active
+_ACTIVE_PINS: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "log_agent_scratch_pins", default=None
+)
 
 
 def scratch_dir(prefix: str) -> str:
@@ -56,16 +78,55 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + record the handle for release at wrapped-query end."""
+    df.persist()
+    pins = _ACTIVE_PINS.get()
+    if pins is not None:
+        pins.append(("df", df))
+    return df
+
+
+def pin_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=True) + record the checkpoint's internal RDD
+    (the persisted block owner) for release at wrapped-query end."""
+    out = df.localCheckpoint(eager=True)
+    pins = _ACTIVE_PINS.get()
+    if pins is not None:
+        try:
+            jrdd = out._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001 — an unreachable handle must fall
+            # back to leaking this one block, never to releasing a wrong one
+            jrdd = None
+        if jrdd is not None:
+            pins.append(("jrdd", jrdd))
+    return out
+
+
+def _release(pins: list) -> None:
+    for kind, handle in pins:
+        try:
+            if kind == "df":
+                handle.unpersist()
+            else:  # blocking=False: lazy async drop, no barrier
+                handle.unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort cleanup
+            pass
+
+
 def _persistent_ids(spark: SparkSession) -> set[int]:
+    """Snapshot of pinned RDD ids — for TESTS asserting no-new-pins deltas;
+    the release path never uses the context-global map (see module doc)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(i) for i in jmap.keySet().toArray()}
 
 
 def _release_new(spark: SparkSession, before: set[int]) -> None:
+    """Release every pin added since ``before`` — TEST-FIXTURE cleanup for
+    plan builds that call unwrapped bodies; single-threaded use only."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for i in jmap.keySet().toArray():
         if int(i) not in before:
-            # blocking=False: lazy async drop, no barrier on the query path
             jmap.get(i).unpersist(False)
 
 
@@ -76,18 +137,21 @@ def pinned_query(
     Callable[[SparkSession, str], DataFrame],
 ]:
     """Wrap a ``(spark, sf_dir) -> DataFrame`` query whose body pins
-    executor storage; guarantees zero persistent RDDs survive the call."""
+    executor storage via ``pin``/``pin_checkpoint``; guarantees the query's
+    own pins are released by the time the call returns."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         @functools.wraps(fn)
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-            before = _persistent_ids(spark)
+            pins: list = []
+            token = _ACTIVE_PINS.set(pins)
             try:
                 out = fn(spark, sf_dir)
                 path = scratch_dir(prefix)
                 out.write.mode("overwrite").parquet(path)
             finally:
-                _release_new(spark, before)
+                _ACTIVE_PINS.reset(token)
+                _release(pins)
             return spark.read.parquet(path)
 
         return wrapper

@@ -47,7 +47,15 @@ def file_copy_sink(
     preserve_mtime: bool = True,
 ) -> Sink:
     def _write(df: DataFrame) -> None:
-        cols = [c for c in ("sub_dir", "filename", "content", "modify_time") if c in df.columns]
+        # `folder` must reach path_func: default_path resolves the dest dir
+        # from it (producer-side disambiguation) — dropping it here would
+        # silently fall back to sub_dir, which for enriched frames is the
+        # FULL relative path and would double-append the filename
+        cols = [
+            c
+            for c in ("folder", "sub_dir", "filename", "content", "modify_time")
+            if c in df.columns
+        ]
         for row in df.select(*cols).toLocalIterator():
             rel = path_func(row)
             if not rel:  # custom path '' ⇒ skip (file.go:49-54)

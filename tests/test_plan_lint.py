@@ -37,25 +37,15 @@ UNPARTITIONED_WINDOW_OK = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    # unwrap pinned_query-wrapped queries: their returned DataFrame is a
-    # readback scan of the materialized result — the plan the lint must
-    # see is the BODY's distributed plan (the one the write job runs).
-    # Building those bodies outside their wrapper pins storage, so release
-    # everything this fixture added (test_storage_hygiene asserts an empty
-    # persistent-RDD map later in the same session).
-    from log_agent_spark.scratch import _persistent_ids, _release_new
+    # body plans via the shared helper: pinned_query-wrapped queries
+    # return a readback scan; the lint must see the BODY's distributed
+    # plan, and any storage the unwrapped bodies pin is released per call
+    from tests.conftest import body_plan
 
-    before = _persistent_ids(spark)
-    try:
-        return {
-            name: getattr(fn, "__wrapped__", fn)(spark, SF)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            for name, fn in entrymod.queries().items()
-        }
-    finally:
-        _release_new(spark, before)
+    return {
+        name: body_plan(fn, spark, SF)
+        for name, fn in entrymod.queries().items()
+    }
 
 
 def test_no_cartesian_product_anywhere(plans):

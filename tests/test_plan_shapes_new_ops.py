@@ -11,21 +11,11 @@ from log_agent_spark.plans import events
 SF = "/root/testdata/sf0.001"
 
 
+from tests.conftest import body_plan as _body_plan
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _body_plan(fn, spark, sf) -> str:
-    """Plan of a pinned_query-wrapped query's BODY (the distributed plan
-    its write job runs); the wrapper's return value is just a readback
-    scan of the materialized result."""
-    from log_agent_spark.scratch import _persistent_ids, _release_new
-
-    before = _persistent_ids(spark)
-    try:
-        return _plan(getattr(fn, "__wrapped__", fn)(spark, sf))
-    finally:
-        _release_new(spark, before)
 
 
 def test_pq_adc_broadcasts_codebook_and_distance_tables(spark):

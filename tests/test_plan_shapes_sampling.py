@@ -121,15 +121,9 @@ def test_supplier_leadtime_broadcasts_dims(spark):
 def test_pagerank_no_cartesian_and_bounded_exchanges(spark):
     from log_agent_spark.operators import graph
 
-    from log_agent_spark.scratch import _persistent_ids, _release_new
+    from tests.conftest import body_plan
 
-    before = _persistent_ids(spark)
-    try:
-        # body plan: the wrapper returns a readback scan (see
-        # test_plan_shapes_new_ops._body_plan)
-        plan = _plan(graph.q_pagerank_trade_graph.__wrapped__(spark, SF))
-    finally:
-        _release_new(spark, before)
+    plan = body_plan(graph.q_pagerank_trade_graph, spark, SF)
     # every per-round join is keyed (edges.src = ranks.node) — no
     # cartesian anywhere in the unrolled 3-iteration lineage. (Exchange
     # COUNTS are not assertable here: the textual plan re-prints the

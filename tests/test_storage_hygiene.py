@@ -4,18 +4,23 @@ VERDICT r3 "What's wrong" #1: 16 persist()/cache() calls vs 2 unpersists
 repo-wide — masked by the harnesses' clearCache(), but a real long-lived
 session composing these operators would leak storage blocks until eviction
 pressure degrades unrelated queries. The fix is ``scratch.pinned_query``:
-snapshot persistent-RDD ids, materialize the bounded result to scratch
-parquet while the caches are hot, release every id the body added (RDD
-level, so ``localCheckpoint`` pins are released too), return a readback.
+bodies pin through ``pin``/``pin_checkpoint`` (explicit handles — a
+context-global id diff would sweep up concurrent streaming pins), the
+wrapper materializes the bounded result to scratch parquet while the
+caches are hot, releases exactly the recorded handles, returns a readback.
 
-These tests run the pinning queries back-to-back WITHOUT any clearCache and
-assert the persistent-RDD map is empty after each collect — the verdict's
-own done-criterion.
+These tests run the pinning queries back-to-back WITHOUT any clearCache
+and assert no NEW persistent RDDs survive each collect. The assertion is a
+delta, not a global zero: the session-scoped Spark fixture is shared with
+earlier test modules whose direct helper calls (connected_components etc.)
+legitimately leave caller-owned pins.
 """
 
 from __future__ import annotations
 
 import pytest
+
+from log_agent_spark.scratch import _persistent_ids
 
 PINNING_QUERIES = [
     # graph family (persist + localCheckpoint pins)
@@ -32,28 +37,27 @@ PINNING_QUERIES = [
 ]
 
 
-def _persistent_rdd_count(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
-
-
 @pytest.mark.parametrize("name", PINNING_QUERIES)
 def test_query_releases_all_pinned_storage(spark, sf_dir, name):
     import __spark_entry__ as entry
 
-    q = entry.queries()[name]
-    df = q(spark, sf_dir)
+    before = _persistent_ids(spark)
+    df = entry.queries()[name](spark, sf_dir)
     assert df.count() >= 0  # consume the result like the driver does
-    assert _persistent_rdd_count(spark) == 0, (
-        f"{name} leaked persistent RDDs past its own collect"
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, (
+        f"{name} leaked persistent RDDs past its own collect: {leaked}"
     )
 
 
 def test_back_to_back_graph_queries_leave_no_blocks(spark, sf_dir):
     """Two heavy graph queries composed in one session (the composition the
-    harness clearCache used to mask) — nothing pinned after each."""
+    harness clearCache used to mask) — nothing new pinned after each."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    before = _persistent_ids(spark)
     for name in ("graph_modularity", "graph_pagerank"):
         qs[name](spark, sf_dir).collect()
-        assert _persistent_rdd_count(spark) == 0, f"{name} leaked"
+        leaked = _persistent_ids(spark) - before
+        assert not leaked, f"{name} leaked: {leaked}"

@@ -148,14 +148,18 @@ def pinned_query(
             try:
                 out = fn(spark, sf_dir)
                 path = scratch_dir(prefix)
-                # wrapped results are bounded (k-row to node-sized) by
-                # contract; the body's final stage often carries dozens of
-                # near-empty partitions (per-round unions), and writing
-                # them costs a task + commit each (~1.3 s measured on BFS
-                # at sf0.1). One exchange of the bounded rows → one write
-                # task. repartition, not coalesce: coalesce would collapse
-                # the UPSTREAM stages' parallelism into the single task.
-                out.repartition(1).write.mode("overwrite").parquet(path)
+                # The body's final stage often carries dozens of near-empty
+                # partitions (per-round unions), and writing them costs a
+                # task + commit each (~1 s measured on BFS at sf0.1). The
+                # rebalance hint adds one exchange that AQE sizes to the
+                # DATA: k-row results collapse to one write task, while a
+                # node-sized result at large sf still fans out — a fixed
+                # repartition(1) would make that a serial O(nodes) write.
+                # Without AQE the hint degrades to a round-robin shuffle of
+                # a bounded result — still correct. (coalesce is wrong
+                # here: it would collapse the upstream stages' parallelism
+                # into the write tasks.)
+                out.hint("rebalance").write.mode("overwrite").parquet(path)
             finally:
                 _ACTIVE_PINS.reset(token)
                 _release(pins)

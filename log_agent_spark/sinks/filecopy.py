@@ -47,16 +47,12 @@ def file_copy_sink(
     preserve_mtime: bool = True,
 ) -> Sink:
     def _write(df: DataFrame) -> None:
-        # `folder` must reach path_func: default_path resolves the dest dir
-        # from it (producer-side disambiguation) — dropping it here would
-        # silently fall back to sub_dir, which for enriched frames is the
-        # FULL relative path and would double-append the filename
-        cols = [
-            c
-            for c in ("folder", "sub_dir", "filename", "content", "modify_time")
-            if c in df.columns
-        ]
-        for row in df.select(*cols).toLocalIterator():
+        # full rows, no projection: a column whitelist here silently starves
+        # path_func of whatever columns it reads (first `folder`, then any
+        # custom func's column — the same failure class per incident); the
+        # dominant column (content) is needed anyway, so projecting saves
+        # nothing material
+        for row in df.toLocalIterator():
             rel = path_func(row)
             if not rel:  # custom path '' ⇒ skip (file.go:49-54)
                 continue

@@ -40,7 +40,7 @@ def plans(spark):
     # body plans via the shared helper: pinned_query-wrapped queries
     # return a readback scan; the lint must see the BODY's distributed
     # plan, and any storage the unwrapped bodies pin is released per call
-    from tests.conftest import body_plan
+    from tests._plans import body_plan
 
     return {
         name: body_plan(fn, spark, SF)

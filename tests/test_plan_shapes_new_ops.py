@@ -11,7 +11,7 @@ from log_agent_spark.plans import events
 SF = "/root/testdata/sf0.001"
 
 
-from tests.conftest import body_plan as _body_plan
+from tests._plans import body_plan as _body_plan
 
 
 def _plan(df) -> str:

@@ -121,7 +121,7 @@ def test_supplier_leadtime_broadcasts_dims(spark):
 def test_pagerank_no_cartesian_and_bounded_exchanges(spark):
     from log_agent_spark.operators import graph
 
-    from tests.conftest import body_plan
+    from tests._plans import body_plan
 
     plan = body_plan(graph.q_pagerank_trade_graph, spark, SF)
     # every per-round join is keyed (edges.src = ranks.node) — no

@@ -61,3 +61,27 @@ def test_back_to_back_graph_queries_leave_no_blocks(spark, sf_dir):
         qs[name](spark, sf_dir).collect()
         leaked = _persistent_ids(spark) - before
         assert not leaked, f"{name} leaked: {leaked}"
+
+
+def test_no_raw_pins_in_query_modules():
+    """Enforcement for the handle-based release design: a raw .persist()/
+    .cache()/.localCheckpoint() inside a query module would compile, run
+    and silently leak past pinned_query (which releases only recorded
+    handles) — bodies must pin through .transform(pin) /
+    .transform(pin_checkpoint). Streaming/sink modules pair their own
+    persist/unpersist in try/finally and are out of scope."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "log_agent_spark")
+    offenders = []
+    for sub in ("operators", "plans"):
+        for path in glob.glob(os.path.join(root, sub, "*.py")):
+            for i, line in enumerate(open(path), 1):
+                if re.search(r"\.(persist|cache|localCheckpoint)\(", line):
+                    offenders.append(f"{os.path.basename(path)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "raw pin calls in query modules (use .transform(pin) / "
+        f".transform(pin_checkpoint)): {offenders}"
+    )

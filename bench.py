@@ -183,6 +183,11 @@ HEADLINE = [
     "corpus_datasheet",
     "dedup_savings",
     "graph_degree_powerlaw",
+    "media_phash_neardup",
+    "text_langid_fertility",
+    "text_quality_calibration",
+    "text_char_entropy",
+    "dedup_cluster_sizes",
 ]
 
 

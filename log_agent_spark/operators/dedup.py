@@ -1421,6 +1421,47 @@ FROM groups GROUP BY sz
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution — the shape report behind the dedup
+# savings number: how many exact-dup clusters exist at each size, how many
+# docs and redundant chars each size class holds. Power-law-ish cluster
+# sizes mean a few mega-clusters dominate savings (delete-by-representative
+# is cheap); a flat distribution means the long tail dominates (per-pair
+# work). Same corpus and md5 grouping as the green dedup_exact query.
+# Scale: one content-hash groupBy (map-side partials) + one k-row histogram
+# aggregate on cluster size; text bytes never shuffle (md5 + length only).
+# ---------------------------------------------------------------------------
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    clusters = docs.groupBy(F.md5("text").alias("checksum")).agg(
+        F.count("*").alias("cluster_size"),
+        F.sum(F.length("text").cast("bigint")).alias("cluster_chars"),
+        F.max(F.length("text").cast("bigint")).alias("rep_chars"),
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count("*")).alias("redundant_docs"),
+        F.sum(F.col("cluster_chars") - F.col("rep_chars")).alias("redundant_chars"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_SIZES = f"""
+WITH clusters AS (
+  SELECT md5(text) AS checksum, COUNT(*) AS cluster_size,
+         CAST(SUM(length(text)) AS BIGINT) AS cluster_chars,
+         CAST(MAX(length(text)) AS BIGINT) AS rep_chars
+  FROM ({PLANTED_DUPS_SQL})
+  GROUP BY md5(text)
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS redundant_docs,
+       CAST(SUM(cluster_chars - rep_chars) AS BIGINT) AS redundant_chars
+FROM clusters GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_canonical_corpus": q_dedup_canonical_corpus,
@@ -1440,6 +1481,7 @@ QUERIES = {
     "dedup_group_split": q_dedup_group_split,
     "dedup_soft_weights": q_dedup_soft_weights,
     "dedup_savings": q_dedup_savings,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 ORACLES = {
@@ -1461,4 +1503,5 @@ ORACLES = {
     "dedup_group_split": ORACLE_DEDUP_GROUP_SPLIT,
     "dedup_soft_weights": ORACLE_DEDUP_SOFT_WEIGHTS,
     "dedup_savings": ORACLE_DEDUP_SAVINGS,
+    "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
 }

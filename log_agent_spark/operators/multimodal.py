@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.scratch import pin_checkpoint, pinned_query
 from log_agent_spark.sources.tables import load_table
 
 FEATURE_DIM = 8
@@ -526,6 +527,165 @@ FROM s GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs — dedup for the media family (text
+# dedup is operators/dedup.py; nothing covered image/audio blobs). The hash
+# is a real average-hash (aHash) over the decoded byte stream: split the
+# payload into 16 equal blocks, per-block intensity = occurrences of a
+# probe byte, bit_b = 1 iff block intensity exceeds the payload mean
+# (integer cross-multiplication 16*intensity > total — no float compare).
+# Identical payloads collide exactly; local edits flip only the touched
+# blocks, so near-dups sit at small hamming distance. With a real codec the
+# block statistic becomes mean pixel luma over an 4x4 grid — the plumbing
+# (block fold, bit packing, banded join, hamming filter) is codec-agnostic.
+#
+# Candidate generation is banded LSH, never all-pairs: 4 bands of 4 bits;
+# hamming <= 3 pigeonholes at least one identical band, so the band
+# equi-join finds every pair the hamming filter can accept. Scale: hashing
+# is a pure map (the blob never shuffles — only the 16-bit hash does);
+# the join is per-(band, value) buckets; the exact bit_count(xor) filter
+# runs only on bucket collisions.
+# ---------------------------------------------------------------------------
+_PHASH_BLOCKS = 16
+_PHASH_BANDS = 4
+_PHASH_BITS_PER_BAND = 4
+_PHASH_MAX_HAMMING = 3
+_PHASH_PROBE = "e"
+
+
+def phash_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, phash): 16-bit average-hash of a string payload per row.
+
+    The lineage is cut with a checkpoint pin: the 16-block hash expression
+    tree would otherwise be inlined into BOTH sides of the downstream band
+    self-join and the distinct — Catalyst plan compilation explodes
+    (observed as a hang at sf0.01). The output table is 16 B/row; inside a
+    pinned_query the pin is released by the wrapper, outside it the caller
+    owns it (standard pin contract).
+    """
+    m = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("p")
+    ).withColumn(
+        "l", F.greatest(F.floor(F.length("p") / _PHASH_BLOCKS).cast("int"), F.lit(1))
+    )
+    ints = [
+        (
+            F.length(F.expr(f"substring(p, 1 + {b} * l, l)"))
+            - F.length(
+                F.regexp_replace(
+                    F.expr(f"substring(p, 1 + {b} * l, l)"), _PHASH_PROBE, ""
+                )
+            )
+        ).alias(f"i{b}")
+        for b in range(_PHASH_BLOCKS)
+    ]
+    w = m.select("media_id", *ints)
+    total = sum(F.col(f"i{b}") for b in range(_PHASH_BLOCKS))
+    phash = sum(
+        (F.col(f"i{b}") * _PHASH_BLOCKS > total).cast("bigint") * (1 << b)
+        for b in range(_PHASH_BLOCKS)
+    )
+    return w.select("media_id", phash.alias("phash")).transform(pin_checkpoint)
+
+
+def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs (hamming <= _PHASH_MAX_HAMMING) from a
+    (media_id, phash) table — never all-pairs."""
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright("phash", b * _PHASH_BITS_PER_BAND)
+                            % (1 << _PHASH_BITS_PER_BAND)
+                        ).alias("val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("hb"), "band", "val"
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )
+    return pairs.select("media_a", "media_b", "hamming")
+
+
+@pinned_query("media_phash_")
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = phash_table(
+        media_corpus(docs).withColumn("p", F.col("content").cast("string")),
+        "media_id",
+        "p",
+    )
+    return phash_neardup_pairs(hashed)
+
+
+def _phash_sql() -> str:
+    ints = ",\n         ".join(
+        f"length(substring(p, 1 + {b} * l, l)) - "
+        f"length(replace(substring(p, 1 + {b} * l, l), '{_PHASH_PROBE}', '')) AS i{b}"
+        for b in range(_PHASH_BLOCKS)
+    )
+    total = " + ".join(f"i{b}" for b in range(_PHASH_BLOCKS))
+    bits = " + ".join(
+        f"(CASE WHEN i{b} * {_PHASH_BLOCKS} > total THEN {1 << b} ELSE 0 END)"
+        for b in range(_PHASH_BLOCKS)
+    )
+    bands = ", ".join(
+        f"({b}, (phash // {1 << (b * _PHASH_BITS_PER_BAND)}) % {1 << _PHASH_BITS_PER_BAND})"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""
+WITH m AS ({MEDIA_CORPUS_SQL}),
+base AS (
+  SELECT media_id, text AS p,
+         greatest(CAST(floor(length(text) / {_PHASH_BLOCKS}) AS INT), 1) AS l
+  FROM m
+), ints AS (
+  SELECT media_id,
+         {ints}
+  FROM base
+), hashed AS MATERIALIZED (
+  SELECT media_id, CAST({bits} AS BIGINT) AS phash
+  FROM (SELECT *, {total} AS total FROM ints)
+), bands AS (
+  SELECT media_id, phash, b.band, b.val
+  FROM hashed, LATERAL (VALUES {bands}) AS b(band, val)
+), pairs AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.phash AS ha, b.phash AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+ORACLE_MEDIA_PHASH_NEARDUP = _phash_sql()
+
+
 QUERIES = {
     "media_aspect_buckets": q_media_aspect_buckets,
     "media_shard_manifest": q_media_shard_manifest,
@@ -533,6 +693,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_kind_stats": q_media_kind_stats,
+    "media_phash_neardup": q_media_phash_neardup,
 }
 
 ORACLES = {
@@ -541,5 +702,5 @@ ORACLES = {
     "media_decode_meta": ORACLE_MEDIA_DECODE_META,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
-    "media_kind_stats": ORACLE_MEDIA_KIND_STATS,
+    "media_kind_stats": ORACLE_MEDIA_KIND_STATS,    "media_phash_neardup": ORACLE_MEDIA_PHASH_NEARDUP,
 }

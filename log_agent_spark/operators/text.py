@@ -1394,6 +1394,208 @@ GROUP BY template_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by detected language — the mixture-planning input a
+# multilingual pretraining run needs: languages whose whitespace tokens
+# carry more characters consume more subword tokens per document, so the
+# per-language token budget must be weighted by fertility, not doc count.
+# chars/token is the standard whitespace proxy. Determinism: counts are
+# exact integers; the two ratios are single divisions of integer sums
+# (ratio-of-sums convention, never avg-of-ratios).
+# Scale: one langid projection (pure map) + one k-row aggregate (k = number
+# of languages + 'und'); no joins, no windows.
+# ---------------------------------------------------------------------------
+def q_langid_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: _lang_hits(toks, ws) for lang, ws in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    scored = d.select(
+        pred.alias("predicted_lang"),
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return scored.groupBy("predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias("chars_per_token"),
+        F.round(F.sum("n_tokens") / F.count("*"), 4).alias("tokens_per_doc"),
+    )
+
+
+ORACLE_LANGID_FERTILITY = f"""
+WITH scored AS ({ORACLE_LANGID_HEURISTIC})
+SELECT predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) * 1.0 / SUM(n_tokens), 4) AS chars_per_token,
+       ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 4) AS tokens_per_doc
+FROM scored
+JOIN (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens, length(text) AS n_chars
+      FROM documents) USING (doc_id)
+GROUP BY predicted_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration: reliability table of the learned score
+# (q_quality_classifier's sigmoid) against the heuristic quality gate
+# (q_quality_score's passes_quality as the gold proxy). Fixed-width score
+# deciles — NOT quantile bins — so no distributed sort is needed and the
+# bins are stable across corpus snapshots (the property a drift monitor
+# needs). pass_rate is a single division of integer counts.
+# Scale: one scoring map (same plan as the green classifier query) + one
+# 10-row aggregate; boundary behavior inherits the proven p>0.5 gate class
+# (sigmoid of a rational sum never lands exactly on a 0.1 grid line).
+# ---------------------------------------------------------------------------
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+
+    def _w(bg):
+        bucket = (
+            F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("bigint")
+            % _QC_BUCKETS
+        )
+        return ((bucket * _QC_GOLD) % _QC_MOD) / F.lit(float(_QC_MOD) / 2.0) - 1.0
+
+    score = F.when(
+        n >= 2,
+        F.aggregate(bigrams, F.lit(0.0), lambda acc, bg: acc + _w(bg)) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    sig = 1.0 / (1.0 + F.exp(-score))
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    gold = (
+        (n >= 10)
+        & (n_stop / n < 0.5)
+        & (alpha_chars / F.length("text") > 0.5)
+    )
+    binned = d.select(
+        F.least(F.floor(sig * 10).cast("int"), F.lit(9)).alias("score_bin"),
+        gold.cast("long").alias("gold_pass"),
+    )
+    return binned.groupBy("score_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("gold_pass").alias("n_gold_pass"),
+        F.round(F.sum("gold_pass") / F.count("*"), 4).alias("gold_pass_rate"),
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+WITH feats AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         length(text) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(CASE WHEN len(toks) >= 2 THEN
+           list_sum(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> ((('0x' || substr(md5(toks[i] || '_' || toks[i + 1]), 1, 8))::BIGINT
+                    % {_QC_BUCKETS}) * {_QC_GOLD} % {_QC_MOD})
+                  / ({_QC_MOD} / 2.0) - 1.0
+           )) / (len(toks) - 1)
+         ELSE 0.0 END))) AS p_quality,
+         (len(toks) >= 10
+          AND len(list_filter(toks, t -> t IN {_SQL_STOPS})) * 1.0 / len(toks) < 0.5
+          AND alpha_chars * 1.0 / n_chars > 0.5) AS gold
+  FROM feats
+)
+SELECT CAST(least(floor(p_quality * 10), 9) AS INT) AS score_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold_pass,
+       ROUND(SUM(CASE WHEN gold THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS gold_pass_rate
+FROM scored GROUP BY score_bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution Shannon entropy per document — the gibberish /
+# boilerplate detector quality pipelines run next to the stopword gate:
+# natural prose sits in a band (~4-4.5 bits for English); base64 blobs and
+# repeated-char padding fall far outside it. Computed from exact integer
+# character counts via an explode over character positions (the same
+# corpus-x-length row class as the shingle operators: narrow map + one
+# partial-agg shuffle on (doc, char), then a per-doc k-row fold). log2
+# under round(4): cross-engine ln noise is ~1 ulp, far inside the grid.
+# ---------------------------------------------------------------------------
+_ENTROPY_FLAG_LOW = 2.5
+_ENTROPY_FLAG_HIGH = 5.2
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).join(d, "doc_id").select(
+        "doc_id", F.expr("substring(text, i, 1)").alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log2(F.col("c") / F.col("n"))
+                ),
+                4,
+            ).alias("entropy_bits"),
+            F.count("*").alias("n_distinct_chars"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "entropy_bits",
+        "n_distinct_chars",
+        (
+            (F.col("entropy_bits") < _ENTROPY_FLAG_LOW)
+            | (F.col("entropy_bits") > _ENTROPY_FLAG_HIGH)
+        ).alias("is_suspect"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
+), ent AS (
+  SELECT counts.doc_id,
+         ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy_bits,
+         COUNT(*) AS n_distinct_chars
+  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+  GROUP BY counts.doc_id
+)
+SELECT doc_id, entropy_bits, n_distinct_chars,
+       (entropy_bits < {_ENTROPY_FLAG_LOW} OR entropy_bits > {_ENTROPY_FLAG_HIGH})
+         AS is_suspect
+FROM ent
+"""
+
+
 QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
@@ -1419,6 +1621,9 @@ QUERIES = {
     "text_token_frequency": q_token_frequency,
     "text_pmi_top_pairs": q_pmi_top_pairs,
     "logs_template_mining": q_log_template_mining,
+    "text_langid_fertility": q_langid_fertility,
+    "text_quality_calibration": q_quality_calibration,
+    "text_char_entropy": q_char_entropy,
 }
 
 ORACLES = {
@@ -1446,4 +1651,7 @@ ORACLES = {
     "text_token_frequency": ORACLE_TOKEN_FREQUENCY,
     "text_pmi_top_pairs": ORACLE_PMI_TOP_PAIRS,
     "logs_template_mining": ORACLE_LOG_TEMPLATE_MINING,
+    "text_langid_fertility": ORACLE_LANGID_FERTILITY,
+    "text_quality_calibration": ORACLE_QUALITY_CALIBRATION,
+    "text_char_entropy": ORACLE_CHAR_ENTROPY,
 }

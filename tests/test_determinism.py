@@ -35,6 +35,9 @@ CASES = [
     "mixture_token_budget",       # sqrt weights, integer ceil-division
     "graph_modularity",           # decimal Σd², ratio-of-integer Q
     "embedding_dim_audit",        # decimal sums over 1e-6 grid
+    # round-4 additions
+    "text_char_entropy",          # per-doc float log2 fold under round(4)
+    "media_phash_neardup",        # integer aHash + banded join
 ]
 
 

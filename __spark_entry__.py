@@ -17,6 +17,7 @@ from log_agent_spark.operators import (
     curation,
     decontaminate,
     dedup,
+    governance,
     graph,
     multimodal,
     rollup,
@@ -41,6 +42,7 @@ _MODULES = [
     dedup, similarity, multimodal, text, decontaminate, curation, graph,
     timeseries, events, sampling, temporal, skew, rollup, analytics,
     complex_types, agentdemo, tpch_extra, tpch_partsupp, relational,
+    governance,
 ]
 
 # The driver's correctness gate checks only the FIRST ~50 queries() entries

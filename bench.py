@@ -188,7 +188,44 @@ HEADLINE = [
     "text_quality_calibration",
     "text_char_entropy",
     "dedup_cluster_sizes",
+    "events_interval_overlap",
+    "ts_autocorrelation",
+    "graph_jaccard_neighbors",
+    "skew_key_profile",
+    "privacy_kanonymity",
+    "dq_benford",
+    "gdpr_cascade",
 ]
+
+
+def _scaling_priors() -> dict[str, float]:
+    """Per-query sf0.1 seconds from the committed SCALING.md probe table.
+
+    Used as a cross-run prior for the noise gate: a sustained CPU-steal
+    window on this shared host can span BOTH best-of-2 attempts of one
+    query, in which case the attempts *agree* and the intra-run ratio
+    check never fires (round 4 watched ``supplier_leadtime`` publish a
+    phantom 1.52x this way). The committed scale-probe measurement was
+    taken in a different process at a different time, so it is the one
+    reference point a single steal window cannot contaminate.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md")
+    priors: dict[str, float] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                if not line.startswith("| `"):
+                    continue
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) < 4:
+                    continue
+                try:
+                    priors[cells[0].strip("`")] = float(cells[3])
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return priors
 
 
 def main() -> None:
@@ -217,10 +254,14 @@ def main() -> None:
     # buys a sample outside the steal window exactly when the first two
     # look noise-contaminated.
     NOISE_RATIO = 1.5
+    # The SCALING.md prior only describes sf0.1 runs; at any other SF the
+    # cross-run check would compare apples to oranges, so disable it.
+    priors = _scaling_priors() if SF_DIR.rstrip("/").endswith("sf0.1") else {}
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     flaky: dict[str, str] = {}  # passed once, then crashed — keep the trace
     retimed: list[str] = []  # queries that needed the third attempt
+    retimed_vs_prior: list[str] = []  # third attempt forced by the prior
     for name in HEADLINE:
         attempts: list[float] = []
         n_attempts = 2
@@ -252,15 +293,24 @@ def main() -> None:
             if (
                 len(attempts) == 2
                 and n_attempts == 2
-                and max(attempts) > NOISE_RATIO * min(attempts)
                 # heavy tail only: for sub-second queries the first attempt's
                 # plan-compilation overhead alone trips the ratio (79/160
                 # escalated in a sf0.01 smoke run), and their noise can't
                 # distort the headline anyway
                 and min(attempts) > 1.0
             ):
-                n_attempts = 3
-                retimed.append(name)
+                if max(attempts) > NOISE_RATIO * min(attempts):
+                    n_attempts = 3
+                    retimed.append(name)
+                elif name in priors and min(attempts) > NOISE_RATIO * priors[name]:
+                    # Both attempts agree but sit far above the committed
+                    # scale-probe time → likely a steal window spanning both
+                    # attempts; buy one sample outside it. If the third
+                    # attempt is just as slow, min() keeps it — a genuine
+                    # code-change regression still surfaces, it just costs
+                    # one extra run to publish.
+                    n_attempts = 3
+                    retimed_vs_prior.append(name)
         # keep a clean earlier measurement even if a later attempt failed,
         # but record the late failure as flaky instead of dropping it
         # (ADVICE r2: a pass-then-crash query must not report as clean)
@@ -291,6 +341,7 @@ def main() -> None:
         "failures": failures,
         "flaky": flaky,
         "retimed_best_of_3": retimed,
+        "retimed_vs_prior": retimed_vs_prior,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -1,0 +1,335 @@
+"""Data-governance audits: re-identification risk, deletion impact, and
+statistical-forensics data quality.
+
+A training-data pipeline at 100 TB is also a compliance surface — before
+a corpus ships, the operator on call answers three questions that none of
+the relational/dedup families cover:
+
+- *Can rows be re-identified?* k-anonymity / l-diversity over the
+  quasi-identifier columns (Sweeney 2002; Machanavajjhala et al. 2006).
+- *What does a deletion request touch?* The GDPR/right-to-be-forgotten
+  cascade: given a deletion cohort, how many rows in each downstream
+  table reference it (the impact estimate that sizes the actual delete
+  job).
+- *Do the numbers look organic?* Benford first-digit forensics on a
+  monetary column — fabricated or truncated feeds show up as first-digit
+  distributions far from log10(1 + 1/d) (Benford 1938; standard audit
+  practice).
+
+All four queries are k-row reports built from one or two aggregations
+over the scanned table — the scale shape is a single groupBy (bounded
+output: ≤ digits, ≤ distinct group sizes, ≤ tables) plus broadcast
+1-row totals; nothing all-pairs, nothing driver-side. Reference parity:
+the reference agent has no governance layer at all (its closest analog
+is the checksum/oversize gates, watchdog/handler/handler.go:13-30); this
+module is part of the training-pipeline extension surface SURVEY.md §2
+lists alongside dedup/similarity/curation.
+
+Cross-engine float discipline (see operators/timeseries.py for the
+recipe catalog): every percentage is a ratio of exact integers rounded
+at 6, Benford's expected shares are Python-formatted literals pasted
+into BOTH engines' plans, and signed deviations get the ``+ 0.0``
+negative-zero guard.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_agent_spark.plans.sampling import _hash_bucket, _oracle_bucket
+from log_agent_spark.sources.tables import load_table
+
+# Quasi-identifier bucketing: account balance in coarse 1000-unit bands.
+# floor(double / 1000) is IEEE division + floor — identical bits on both
+# engines; the band index is then an exact small integer.
+_ACCTBAL_BAND = 1000
+
+
+def _qi_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per quasi-identifier group: size and #distinct sensitive values.
+
+    QI = (nation, mktsegment, acctbal band) — the published-attribute
+    combination an attacker could link on; sensitive attribute for
+    l-diversity = the customer name (stand-in for the payload column a
+    real release would carry). One groupBy over the table; group count is
+    bounded by |nations| × |segments| × |bands|, so everything downstream
+    of the first aggregate is k-row.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("bigint").alias(
+            "bal_band"
+        ),
+    ).agg(
+        F.count("*").alias("grp_sz"),
+        F.countDistinct("c_name").alias("l_div"),
+    )
+
+
+def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk histogram: for each occurring group size k, how
+    many QI groups and rows sit at that k, what share of all rows, and
+    whether that k re-identifies (k < 5, the conventional release
+    threshold).
+
+    The histogram row count equals the number of DISTINCT group sizes —
+    bounded at any data scale (sizes cluster), like the skew profile's
+    count-of-counts table. Totals arrive as a broadcast 1-row aggregate.
+    """
+    groups = _qi_groups(spark, sf_dir)
+    hist = groups.groupBy(F.col("grp_sz").alias("k")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("grp_sz").alias("n_rows"),
+    )
+    tot = groups.agg(F.sum("grp_sz").alias("tot_rows"))
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "k",
+            "n_groups",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("tot_rows"), 6).alias(
+                "pct_rows"
+            ),
+            (F.col("k") < 5).alias("reidentifiable"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_PRIVACY_KANONYMITY = f"""
+WITH grp AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / {_ACCTBAL_BAND}) AS BIGINT) AS bal_band,
+         COUNT(*) AS grp_sz
+  FROM customer GROUP BY 1, 2, 3
+), hist AS (
+  SELECT grp_sz AS k, COUNT(*) AS n_groups, SUM(grp_sz) AS n_rows
+  FROM grp GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(n_rows * 100.0 / (SELECT SUM(grp_sz) FROM grp), 6) AS pct_rows,
+       k < 5 AS reidentifiable
+FROM hist
+ORDER BY k
+"""
+
+
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram over the same QI partition: for each
+    occurring l (#distinct sensitive values within a group), the number
+    of groups and rows. A k-anonymous group with l = 1 still leaks the
+    sensitive value outright — this is the audit k-anonymity alone
+    misses. Same bounded count-of-counts shape as the k histogram.
+    """
+    groups = _qi_groups(spark, sf_dir)
+    tot = groups.agg(F.sum("grp_sz").alias("tot_rows"))
+    hist = groups.groupBy(F.col("l_div").alias("l")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("grp_sz").alias("n_rows"),
+    )
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "l",
+            "n_groups",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("tot_rows"), 6).alias(
+                "pct_rows"
+            ),
+        )
+        .orderBy("l")
+    )
+
+
+ORACLE_PRIVACY_LDIVERSITY = f"""
+WITH grp AS (
+  SELECT c_nationkey, c_mktsegment,
+         FLOOR(c_acctbal / {_ACCTBAL_BAND}) AS bal_band,
+         COUNT(*) AS grp_sz,
+         COUNT(DISTINCT c_name) AS l_div
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(l_div AS BIGINT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_sz) AS BIGINT) AS n_rows,
+       ROUND(SUM(grp_sz) * 100.0 / (SELECT SUM(grp_sz) FROM grp), 6)
+         AS pct_rows
+FROM grp GROUP BY 1
+ORDER BY 1
+"""
+
+
+# Benford expected share of first digit d is 100·log10(1 + 1/d). Computed
+# ONCE in Python and pasted as the same literal into both engines — no
+# cross-engine log10 in the plans at all.
+_BENFORD_PCT = {d: round(100.0 * math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: per digit 1-9, the
+    observed count/share vs Benford's law, and the signed deviation.
+
+    First digit extracted integer-exactly: totalprice > 1 always, so
+    ``substr(cast(cast(floor(x) as bigint) as string), 1, 1)`` — floor of
+    a double is IEEE-identical on both engines and integer→string
+    formatting is canonical, avoiding the double→string and the
+    cast-rounding (Spark truncates, DuckDB rounds) divergence classes.
+    One scan, 9-row output, broadcast 1-row total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("tot"))
+    exp_pct = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d in range(1, 10) for x in (d, _BENFORD_PCT[d])]
+        ),
+        F.col("digit").cast("int"),
+    )
+    obs_pct = F.col("n") * 100.0 / F.col("tot")
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs_pct, 6).alias("obs_pct"),
+            exp_pct.alias("benford_pct"),
+            (F.round(obs_pct - exp_pct, 6) + F.lit(0.0)).alias("dev_pct"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_case() -> str:
+    branches = "\n         ".join(
+        f"WHEN {d} THEN {_BENFORD_PCT[d]}" for d in range(1, 10)
+    )
+    return f"CASE digit {branches} END"
+
+
+ORACLE_DQ_BENFORD = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n * 100.0 / (SELECT SUM(n) FROM obs), 6) AS obs_pct,
+       {_benford_case()} AS benford_pct,
+       ROUND(n * 100.0 / (SELECT SUM(n) FROM obs)
+             - {_benford_case()}, 6) + 0.0 AS dev_pct
+FROM obs
+ORDER BY digit
+"""
+
+
+# Deletion cohort: a deterministic 1% of customers (md5 bucket 0 of 100 —
+# the same cross-engine hash the split/sampling family standardizes on).
+_GDPR_BUCKETS = 100
+
+
+def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact estimate: for a deterministic 1%
+    customer deletion cohort, the affected row count and share in each
+    table it cascades to (customer → orders → lineitem).
+
+    Shape: the cohort key set is |customers|/100 — joined as a SEMI join
+    at each hop, so payload columns never shuffle; each hop's key column
+    feeds the next. Totals are per-table 1-row aggregates broadcast onto
+    k-row results. At 100 TB each semi join is an AQE-planned shuffle
+    join on the key (the cohort outgrows a broadcast at ~10⁹ customers,
+    but stays key-only); the final report is 3 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    cohort = cust.filter(
+        _hash_bucket(F.col("c_custkey"), _GDPR_BUCKETS) == 0
+    ).select("c_custkey")
+    aff_orders = orders.join(
+        cohort, orders.o_custkey == cohort.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    aff_li = li.join(
+        aff_orders, li.l_orderkey == aff_orders.o_orderkey, "left_semi"
+    )
+
+    def report(name: str, aff: DataFrame, full: DataFrame) -> DataFrame:
+        a = aff.agg(F.count("*").alias("n_affected"))
+        t = full.agg(F.count("*").alias("n_total"))
+        return (
+            a.join(F.broadcast(t))
+            .select(
+                F.lit(name).alias("tbl"),
+                "n_affected",
+                "n_total",
+                F.round(
+                    F.col("n_affected") * 100.0 / F.col("n_total"), 6
+                ).alias("pct_affected"),
+            )
+        )
+
+    return (
+        report("customer", cohort, cust)
+        .unionByName(report("orders", aff_orders, orders))
+        .unionByName(report("lineitem", aff_li, li))
+    )
+
+
+ORACLE_GDPR_CASCADE = f"""
+WITH cohort AS (
+  SELECT c_custkey FROM customer
+  WHERE {_oracle_bucket('c_custkey', _GDPR_BUCKETS)} = 0
+), aff_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+)
+SELECT 'customer' AS tbl,
+       (SELECT COUNT(*) FROM cohort) AS n_affected,
+       (SELECT COUNT(*) FROM customer) AS n_total,
+       ROUND((SELECT COUNT(*) FROM cohort) * 100.0
+             / (SELECT COUNT(*) FROM customer), 6) AS pct_affected
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM aff_orders),
+       (SELECT COUNT(*) FROM orders),
+       ROUND((SELECT COUNT(*) FROM aff_orders) * 100.0
+             / (SELECT COUNT(*) FROM orders), 6)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)),
+       (SELECT COUNT(*) FROM lineitem),
+       ROUND((SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+             * 100.0 / (SELECT COUNT(*) FROM lineitem), 6)
+"""
+
+
+QUERIES = {
+    "privacy_kanonymity": q_privacy_kanonymity,
+    "privacy_ldiversity": q_privacy_ldiversity,
+    "dq_benford": q_dq_benford,
+    "gdpr_cascade": q_gdpr_cascade,
+}
+
+ORACLES = {
+    "privacy_kanonymity": ORACLE_PRIVACY_KANONYMITY,
+    "privacy_ldiversity": ORACLE_PRIVACY_LDIVERSITY,
+    "dq_benford": ORACLE_DQ_BENFORD,
+    "gdpr_cascade": ORACLE_GDPR_CASCADE,
+}

@@ -904,6 +904,88 @@ FROM ranked
 """
 
 
+_JACCARD_TOP_K = 20
+
+
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 node pairs by neighbor-set Jaccard over the supported
+    co-purchase graph — the structural-similarity primitive behind
+    link prediction and graph-side near-dup detection (two parts whose
+    basket neighborhoods coincide are interchangeable).
+
+    Shape: wedge enumeration — symmetrize the (pruned, `_lpa_edges`)
+    adjacency, self-join on the shared neighbor, count per pair — then
+    one degree join; |wedges| = Σ_c deg(c)², kept tractable by the same
+    min-support prune every query on this graph relies on. At 100 TB the
+    standard hub mitigation applies unchanged: cap or sample neighbor
+    lists above a degree threshold before the wedge join (documented, not
+    needed at fixture scale). Jaccard = common/(da+db-common) is a ratio
+    of small exact ints — identical IEEE division on both engines, so the
+    ORDER BY on the raw ratio (ties → (a, b)) picks the same 20 rows;
+    output rounds to 6 places (strictly positive, no -0 risk).
+    """
+    edges = _lpa_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    a = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    b = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    common = (
+        a.join(b, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_nbrs"))
+    )
+    joined = (
+        common.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+        .withColumn("union_nbrs", F.col("da") + F.col("db") - F.col("common_nbrs"))
+    )
+    ratio = F.col("common_nbrs") / F.col("union_nbrs")
+    return (
+        joined.orderBy(ratio.desc(), "a", "b")
+        .limit(_JACCARD_TOP_K)
+        .select(
+            "a",
+            "b",
+            "common_nbrs",
+            "union_nbrs",
+            F.round(ratio, 6).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_GRAPH_JACCARD = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1
+), common AS (
+  SELECT x.u AS a, y.u AS b, COUNT(*) AS common_nbrs
+  FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(common_nbrs AS BIGINT) AS common_nbrs,
+       CAST(da.deg + db.deg - common_nbrs AS BIGINT) AS union_nbrs,
+       ROUND(common_nbrs * 1.0 / (da.deg + db.deg - common_nbrs), 6)
+         AS jaccard
+FROM common
+JOIN deg da ON da.u = a
+JOIN deg db ON db.u = b
+ORDER BY common_nbrs * 1.0 / (da.deg + db.deg - common_nbrs) DESC, a, b
+LIMIT {_JACCARD_TOP_K}
+"""
+
+
 QUERIES = {
     "graph_bfs_hops": q_graph_bfs_hops,
     "dedup_connected_components": q_dedup_connected_components,
@@ -913,6 +995,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_modularity": q_graph_modularity,
     "graph_degree_powerlaw": q_graph_degree_powerlaw,
+    "graph_jaccard_neighbors": q_graph_jaccard_neighbors,
 }
 
 ORACLES = {
@@ -924,4 +1007,5 @@ ORACLES = {
     "graph_kcore": ORACLE_GRAPH_KCORE,
     "graph_modularity": ORACLE_GRAPH_MODULARITY,
     "graph_degree_powerlaw": ORACLE_GRAPH_DEGREE_POWERLAW,
+    "graph_jaccard_neighbors": ORACLE_GRAPH_JACCARD,
 }

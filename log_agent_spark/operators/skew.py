@@ -116,11 +116,101 @@ GROUP BY e.event_type
 """
 
 
+def key_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row skew diagnosis of ``df[key]``: row/key counts, max
+    multiplicity, exact p50/p99 multiplicity, and skew_ratio = max/avg.
+
+    This is the measurement half of this module — run it BEFORE choosing
+    between the plain, AQE, and salted plans above (the decision input:
+    skew_ratio ≈ 1 → plain; heavy p99 → AQE split; one pathological
+    max_cnt → salt). Shape: per-key count agg, then a count-of-counts
+    histogram whose row count is the number of DISTINCT multiplicities —
+    bounded (≤ a few hundred at any scale: multiplicities cluster), so
+    the unpartitioned cumulative window over it is a k-row frame, not a
+    data-sized sort. Percentiles come from the cumulative histogram via
+    integer cross-multiplication (cum*2 >= tot, cum*100 >= 99*tot — no
+    float compares); skew_ratio is a ratio of exact ints, rounded(4),
+    strictly positive.
+    """
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count("*").alias("k"))
+    cum = F.sum("k").over(W.orderBy("cnt"))
+    tot = F.sum("k").over(W.partitionBy())
+    h = hist.select("cnt", "k", cum.alias("cum"), tot.alias("tot"))
+    dec = "decimal(38,0)"
+    return h.agg(
+        F.sum(F.col("cnt") * F.col("k")).alias("n_rows"),
+        F.sum("k").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("cnt"))).alias(
+            "p50_cnt"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("cnt"))
+        ).alias("p99_cnt"),
+        F.round(
+            (F.max("cnt").cast(dec) * F.max("tot").cast(dec)).cast("double")
+            / F.sum(F.col("cnt") * F.col("k")).cast("double"),
+            4,
+        ).alias("skew_ratio"),
+    ).select(F.lit(label).alias("profile"), "*")
+
+
+def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the three join keys the relational plans
+    actually shuffle on — the planning query a 1000-executor run issues
+    before picking join strategies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        key_profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(key_profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(key_profile(orders, "o_custkey", "orders.o_custkey"))
+    )
+
+
+def _profile_sql(table: str, key: str) -> str:
+    return f"""
+  SELECT '{table}.{key}' AS profile,
+         CAST(SUM(cnt * k) AS BIGINT) AS n_rows,
+         CAST(SUM(k) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(MIN(CASE WHEN cum * 2 >= tot THEN cnt END) AS BIGINT)
+           AS p50_cnt,
+         CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN cnt END) AS BIGINT)
+           AS p99_cnt,
+         ROUND(CAST(MAX(cnt) * MAX(tot) AS DOUBLE)
+               / CAST(SUM(cnt * k) AS DOUBLE), 4) AS skew_ratio
+  FROM (
+    SELECT cnt, k,
+           SUM(k) OVER (ORDER BY cnt) AS cum,
+           SUM(k) OVER () AS tot
+    FROM (
+      SELECT cnt, COUNT(*) AS k FROM (
+        SELECT {key}, COUNT(*) AS cnt FROM {table} GROUP BY 1
+      ) GROUP BY 1
+    )
+  )"""
+
+
+ORACLE_SKEW_KEY_PROFILE = (
+    _profile_sql("lineitem", "l_orderkey")
+    + "\nUNION ALL\n"
+    + _profile_sql("lineitem", "l_suppkey")
+    + "\nUNION ALL\n"
+    + _profile_sql("orders", "o_custkey")
+)
+
+
 QUERIES = {
     "skew_salted_distinct": q_skew_salted_distinct,
     "skew_salted_join": q_skew_salted_join,
+    "skew_key_profile": q_skew_key_profile,
 }
 ORACLES = {
     "skew_salted_distinct": ORACLE_SKEW_SALTED_DISTINCT,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+    "skew_key_profile": ORACLE_SKEW_KEY_PROFILE,
 }

@@ -101,6 +101,52 @@ def time_range_join(
     return l.join(r, on="_bucket").filter(band).drop("_bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """All (left, right) pairs whose [start, end] second-intervals overlap
+    (``l_start <= r_end AND r_start <= l_end``, bounds inclusive).
+
+    Grid-bucketized equi-join — the third member of this module's
+    join family (as-of = union+window, band = bucket ±1, overlap = grid):
+    each interval is exploded to the grid cells it covers, pairs meet on a
+    shared cell, and a pair spanning several common cells is kept only in
+    its FIRST common cell (the cell of the later of the two starts), so no
+    distinct pass is needed. The exact predicate then drops grid neighbors
+    that don't truly overlap. The shuffle is an equi-join on the cell —
+    linear in matches + replication, never the quadratic theta-join a
+    naive ``ON overlap`` would force at 100 TB. Pick ``bucket_s`` near the
+    typical interval length: replication factor ≈ len/bucket_s + 1.
+    """
+    def cells(s: str, e: str):
+        return F.sequence(
+            F.floor(F.col(s) / bucket_s).cast("long"),
+            F.floor(F.col(e) / bucket_s).cast("long"),
+        )
+
+    l = left.select(
+        *[F.col(c).alias("l_" + c) for c in left.columns],
+        F.explode(cells(l_start, l_end)).alias("_cell"),
+    )
+    r = right.select(
+        *[F.col(c).alias("r_" + c) for c in right.columns],
+        F.explode(cells(r_start, r_end)).alias("_cell"),
+    )
+    ls, le = F.col("l_" + l_start), F.col("l_" + l_end)
+    rs, re = F.col("r_" + r_start), F.col("r_" + r_end)
+    overlap = (ls <= re) & (rs <= le)
+    first_common = F.col("_cell") == F.floor(F.greatest(ls, rs) / bucket_s).cast(
+        "long"
+    )
+    return l.join(r, on="_cell").filter(overlap & first_common).drop("_cell")
+
+
 # ---------------------------------------------------------------------------
 # queries() entries
 # ---------------------------------------------------------------------------
@@ -196,14 +242,78 @@ FROM attributed GROUP BY user_id
 """
 
 
+def q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: which users' daily activity spans overlapped the
+    type's daily active span, and for how long — an interval-overlap join
+    between two derived interval sets (user×day activity, type×day
+    activity).
+
+    Both interval sets are day-bounded aggregates, so their sizes are
+    O(users·days) and O(types·days) — already reduced before the join; the
+    grid join replicates each ≤ 24 cells (1 h grid over day-bounded
+    spans). All output columns are exact integers (epoch-second
+    arithmetic), no float discipline needed.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+    )
+    day = (F.floor(F.col("s") / 86400)).cast("long").alias("day")
+    users = ev.groupBy("user_id", day).agg(
+        F.min("s").alias("ustart"), F.max("s").alias("uend")
+    )
+    types = ev.groupBy("event_type", day).agg(
+        F.min("s").alias("tstart"), F.max("s").alias("tend")
+    )
+    pairs = interval_overlap_join(
+        users, types, "ustart", "uend", "tstart", "tend", bucket_s=3600
+    )
+    return pairs.groupBy(F.col("r_event_type").alias("event_type")).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("l_user_id").alias("n_users"),
+        F.sum(
+            F.least(F.col("l_uend"), F.col("r_tend"))
+            - F.greatest(F.col("l_ustart"), F.col("r_tstart"))
+        ).alias("overlap_s"),
+    )
+
+
+# Oracle uses the plain theta overlap join (DuckDB's IEJoin handles it at
+# oracle scale); day-bounded intervals from different days can never
+# overlap, so no day equality constraint is needed on either engine.
+ORACLE_EVENTS_INTERVAL_OVERLAP = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s FROM events
+), u AS (
+  SELECT user_id, s // 86400 AS day,
+         MIN(s) AS ustart, MAX(s) AS uend
+  FROM e GROUP BY 1, 2
+), t AS (
+  SELECT event_type, s // 86400 AS day,
+         MIN(s) AS tstart, MAX(s) AS tend
+  FROM e GROUP BY 1, 2
+)
+SELECT t.event_type,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(LEAST(uend, tend) - GREATEST(ustart, tstart)) AS BIGINT)
+         AS overlap_s
+FROM u JOIN t ON u.ustart <= t.tend AND t.tstart <= u.uend
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_attribution,
     "events_range_join": q_events_range_join,
     "events_funnel": q_events_funnel,
+    "events_interval_overlap": q_events_interval_overlap,
 }
 
 ORACLES = {
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_interval_overlap": ORACLE_EVENTS_INTERVAL_OVERLAP,
 }

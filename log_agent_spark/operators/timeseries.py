@@ -932,6 +932,122 @@ ORDER BY f.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Sample autocorrelation (ACF) of the daily count series, per event type.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF r_k of the daily event-count series per type, lags 1..7 — the
+    lag-structure diagnostic behind every seasonal/forecast choice above
+    (a weekly cycle shows as a positive r_7).
+
+    Cross-engine float discipline (ratio-of-integer-sums recipe): scale
+    the standard r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² by n² so both
+    sides are exact integers — num_k = n²·C_k − n·S·(P_k+Q_k) + (n−k)·S²,
+    den = n²·SS − n·S², with C_k = Σ x_t·x_{t+k}, P_k/Q_k the lag-trimmed
+    sums, S/SS the full sums. Spark computes them in DECIMAL(38,0) (a
+    non-ANSI LONG product would wrap SILENTLY at scale; the oracle uses
+    HUGEINT), casts to DOUBLE only for the final division — exact-int
+    doubles divide identically on both engines — then ROUND(6) + 0.0
+    (negative-zero guard: ACF is signed).
+
+    Scale shape: one (type, day) count + calendar-spine join
+    (`_daily_dense`), one per-type window pass carrying the 7 lead
+    columns (partitions are calendar-bounded — O(days) rows per type
+    regardless of event volume), one per-type aggregate, then a k-row
+    explode. Nothing data-sized crosses an unpartitioned window.
+    """
+    from pyspark.sql.window import Window as W
+
+    daily = _daily_dense(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lags = range(1, _ACF_MAX_LAG + 1)
+    leads = daily.select(
+        "event_type",
+        "cnt",
+        *[F.lead("cnt", k).over(w).alias(f"lead{k}") for k in lags],
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    ]
+    for k in lags:
+        lead = F.col(f"lead{k}")
+        aggs += [
+            F.sum(F.col("cnt") * lead).alias(f"c{k}"),
+            F.sum(F.when(lead.isNotNull(), F.col("cnt"))).alias(f"p{k}"),
+            F.sum(lead).alias(f"q{k}"),
+        ]
+    per_type = leads.groupBy("event_type").agg(*aggs)
+
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    den = d("n") * d("n") * d("ss") - d("n") * d("s") * d("s")
+    entries = []
+    for k in lags:
+        num = (
+            d("n") * d("n") * d(f"c{k}")
+            - d("n") * d("s") * (d(f"p{k}") + d(f"q{k}"))
+            + (d("n") - F.lit(k)) * d("s") * d("s")
+        )
+        acf = (
+            F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)
+        )
+        entries.append(
+            F.struct(F.lit(k).alias("lag"), acf.alias("acf"))
+        )
+    return per_type.select(
+        "event_type",
+        F.explode(F.array(*entries)).alias("x"),
+        F.col("n").alias("n_days"),
+    ).select("event_type", "x.lag", "x.acf", "n_days")
+
+
+def _acf_oracle() -> str:
+    lags = range(1, _ACF_MAX_LAG + 1)
+    lead_cols = ",\n         ".join(
+        f"LEAD(cnt, {k}) OVER w AS lead{k}" for k in lags
+    )
+    agg_cols = ",\n         ".join(
+        f"SUM(cnt * lead{k}) AS c{k}, "
+        f"SUM(CASE WHEN lead{k} IS NOT NULL THEN cnt END) AS p{k}, "
+        f"SUM(lead{k}) AS q{k}"
+        for k in lags
+    )
+    # HUGEINT before any product: DuckDB BIGINT errors on overflow where
+    # Spark's decimal widens — promote first so both engines stay exact.
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, {k} AS lag, n,
+         CAST(n AS HUGEINT)*n*c{k} - CAST(n AS HUGEINT)*s*(p{k}+q{k})
+           + CAST(n - {k} AS HUGEINT)*s*s AS num,
+         CAST(n AS HUGEINT)*n*ss - CAST(n AS HUGEINT)*s*s AS den
+  FROM per_type"""
+        for k in lags
+    )
+    return f"""
+WITH {_DENSE_DAILY_SQL}, leads AS (
+  SELECT event_type, cnt,
+         {lead_cols}
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt*cnt) AS ss,
+         {agg_cols}
+  FROM leads GROUP BY 1
+)
+SELECT event_type, lag,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf,
+       CAST(n AS BIGINT) AS n_days
+FROM (
+{branches}
+)
+"""
+
+
 QUERIES = {
     "events_sax_similarity": q_sax_similarity,
     "events_cusum_shift": q_cusum_shift,
@@ -940,6 +1056,7 @@ QUERIES = {
     "events_forecast_holt_winters": q_forecast_holt_winters,
     "events_forecast_backtest": q_forecast_backtest,
     "events_trend_robust": q_trend_robust,
+    "ts_autocorrelation": q_ts_autocorrelation,
 }
 
 ORACLES = {
@@ -950,4 +1067,5 @@ ORACLES = {
     "events_forecast_holt_winters": ORACLE_FORECAST_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_trend_robust": ORACLE_TREND_ROBUST,
+    "ts_autocorrelation": _acf_oracle(),
 }

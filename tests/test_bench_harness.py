@@ -1,0 +1,34 @@
+"""Bench-harness unit tests (no Spark session needed).
+
+The bench's noise gate has two triggers: intra-run attempt disagreement
+(best-of-3 escalation, round 3 verdict) and the cross-run SCALING.md
+prior (round 4: a steal window spanning BOTH attempts makes them agree,
+so only an out-of-process reference can catch it). These tests pin the
+prior parser's contract so a SCALING.md format drift fails loudly here
+instead of silently disabling the gate.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_scaling_priors_parse_headline_queries():
+    priors = bench._scaling_priors()
+    # Every headline query that predates the last SCALING.md regen must
+    # have a prior; a near-empty dict means the table format drifted and
+    # the cross-run gate is silently off.
+    covered = [q for q in bench.HEADLINE if q in priors]
+    assert len(covered) >= 150, (len(covered), len(bench.HEADLINE))
+    # Values are seconds at sf0.1: positive, and sane for local[32].
+    for q in covered:
+        assert 0.0 < priors[q] < 120.0, (q, priors[q])
+
+
+def test_scaling_priors_missing_file(tmp_path, monkeypatch):
+    # A missing SCALING.md must degrade to "no priors", not crash the bench.
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._scaling_priors() == {}

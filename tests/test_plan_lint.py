@@ -32,6 +32,8 @@ UNPARTITIONED_WINDOW_OK = {
     "events_quantile_sketch_report": "cum over fixed 128-bucket histogram",
     "order_backlog": "running sum over calendar months (~decades = O(100))",
     "revenue_seasonality": "lag over calendar (year, month) series",
+    "skew_key_profile": "cum over count-of-counts histogram (distinct "
+    "multiplicities, O(100) rows at any scale)",
 }
 
 

@@ -19,6 +19,7 @@ from log_agent_spark.operators import (
     dedup,
     governance,
     graph,
+    linkage,
     multimodal,
     rollup,
     similarity,
@@ -42,7 +43,7 @@ _MODULES = [
     dedup, similarity, multimodal, text, decontaminate, curation, graph,
     timeseries, events, sampling, temporal, skew, rollup, analytics,
     complex_types, agentdemo, tpch_extra, tpch_partsupp, relational,
-    governance,
+    governance, linkage,
 ]
 
 # The driver's correctness gate checks only the FIRST ~50 queries() entries

@@ -195,6 +195,10 @@ HEADLINE = [
     "privacy_kanonymity",
     "dq_benford",
     "gdpr_cascade",
+    "er_blocking_plan",
+    "join_cardinality_estimate",
+    "text_judge_agreement",
+    "ann_ndcg_report",
 ]
 
 

@@ -17,6 +17,8 @@ Two strategies:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1235,9 +1237,70 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# NDCG@k — rank-aware retrieval quality (Järvelin & Kekäläinen 2002), the
+# companion to the set-based recall report above: recall says WHETHER the
+# exact neighbors were recovered, NDCG says whether they were recovered
+# NEAR THE TOP, which is what a reranking or RAG consumer actually sees.
+# Binary relevance (membership in the exact top-k), so
+# DCG = Σ_{hits} 1/log2(rank+1) and ideal DCG is the full-k constant.
+#
+# Cross-engine float discipline: the per-rank discount gains are
+# quantized to integers IN PYTHON (round(1e5/log2(r+1)) for the k
+# possible ranks) and the SAME literals are pasted into both engines'
+# plans — no transcendental is evaluated by either engine, the DCG sum is
+# a pure integer sum, and NDCG is one IEEE division of two exact
+# integers rounded at 4. Scale shape: both searches are the existing
+# scale-shaped queries; the comparison join is n_queries × k rows.
+# ---------------------------------------------------------------------------
+_NDCG_GAINS = {r: round(100000 / math.log2(r + 1)) for r in range(1, TOP_K + 1)}
+_NDCG_IDEAL = sum(_NDCG_GAINS.values())
+
+
+def q_ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+        "rank",
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.a_query)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    )
+    gain = F.lit(0)
+    for r, g in _NDCG_GAINS.items():
+        gain = F.when(F.col("rank") == r, F.lit(g)).otherwise(gain)
+    return joined.groupBy("query_id").agg(
+        F.count("rank").cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(gain).cast("double") / float(_NDCG_IDEAL), 4
+        ).alias("ndcg_at_k"),
+    )
+
+
+_NDCG_GAIN_SQL = "CASE a.rank " + " ".join(
+    f"WHEN {r} THEN {g}" for r, g in _NDCG_GAINS.items()
+) + " ELSE 0 END"
+
+ORACLE_ANN_NDCG_REPORT = f"""
+SELECT e.query_id,
+       CAST(COUNT(a.rank) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM({_NDCG_GAIN_SQL}) AS DOUBLE) / {_NDCG_IDEAL}, 4)
+         AS ndcg_at_k
+FROM ({ORACLE_ANN_COSINE_TOPK}) e
+LEFT JOIN ({ORACLE_ANN_LSH_BUCKETED}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
+    "ann_ndcg_report": q_ann_ndcg_report,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -1257,6 +1320,7 @@ QUERIES = {
 ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
+    "ann_ndcg_report": ORACLE_ANN_NDCG_REPORT,
     "ann_matryoshka_recall": ORACLE_ANN_MATRYOSHKA_RECALL,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,

@@ -204,13 +204,132 @@ ORACLE_SKEW_KEY_PROFILE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation — the other half of join planning (the
+# skew profile above says WHERE the hot keys are; this says HOW BIG the
+# join output will be). Compares the textbook independence estimate
+# |L|·|R| / max(ndv_L, ndv_R) — what an optimizer computes from catalog
+# stats (Selinger et al. 1979) — against the exact histogram join size
+# Σ_k n_L(k)·n_R(k). The error ratio is the evidence for collecting
+# per-key histograms before a 100 TB fact-fact join: a bad estimate is
+# how a plan picks the wrong join strategy or under-provisions a shuffle.
+# Scale shape per join: two map-side-combinable groupBy counts, one
+# key-equi-join of the two count tables (bounded by NDV, not rows), and
+# 1-row aggregates crossJoined broadcast-style. Per-key count products
+# are cast to DECIMAL(38,0) before multiplying — two hot keys of 1e5
+# rows each already put Σ cl·cr near BIGINT range at 100 TB, and Spark's
+# non-ANSI LONG would wrap silently where DuckDB widens to HUGEINT.
+# ---------------------------------------------------------------------------
+_JOIN_CARDS = [
+    # PK-FK joins: independence estimate is provably exact (err_ratio 1.0)
+    # because the unique side's NDV equals its row count — the report is
+    # the regression check that the estimator keeps that property.
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    # m:n join (both sides repeat the key): the case where independence
+    # actually errs and per-key histograms earn their keep.
+    ("customer-supplier-nation", "customer", "c_nationkey", "supplier",
+     "s_nationkey"),
+]
+
+
+def join_cardinality(
+    left: DataFrame, lkey: str, right: DataFrame, rkey: str, label: str
+) -> DataFrame:
+    lc = left.groupBy(F.col(lkey).alias("k")).agg(F.count("*").alias("cl"))
+    rc = right.groupBy(F.col(rkey).alias("k")).agg(F.count("*").alias("cr"))
+    lstats = lc.agg(
+        F.sum("cl").cast("bigint").alias("rows_left"),
+        F.count("*").cast("bigint").alias("ndv_left"),
+    )
+    rstats = rc.agg(
+        F.sum("cr").cast("bigint").alias("rows_right"),
+        F.count("*").cast("bigint").alias("ndv_right"),
+    )
+    actual = (
+        lc.join(rc, "k")
+        .agg(
+            F.sum(
+                F.col("cl").cast("decimal(38,0)") * F.col("cr").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("actual_rows")
+        )
+    )
+    est = F.floor(
+        F.col("rows_left").cast("double")
+        * F.col("rows_right").cast("double")
+        / F.greatest("ndv_left", "ndv_right").cast("double")
+    ).cast("bigint")
+    return (
+        lstats.crossJoin(rstats)
+        .crossJoin(actual)
+        .select(
+            F.lit(label).alias("join_name"),
+            "rows_left",
+            "rows_right",
+            "ndv_left",
+            "ndv_right",
+            "actual_rows",
+            est.alias("est_rows"),
+            F.round(est.cast("double") / F.col("actual_rows").cast("double"), 4).alias(
+                "err_ratio"
+            ),
+        )
+    )
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact join output size for the three relational joins
+    the TPC-H plans shuffle on — the optimizer-stats fidelity report."""
+    out = None
+    for label, lt, lk, rt, rk in _JOIN_CARDS:
+        row = join_cardinality(
+            load_table(spark, sf_dir, lt), lk, load_table(spark, sf_dir, rt), rk, label
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _join_card_sql(label: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+  SELECT '{label}' AS join_name,
+         rows_left, rows_right, ndv_left, ndv_right, actual_rows,
+         CAST(FLOOR(CAST(rows_left AS DOUBLE) * rows_right
+                    / GREATEST(ndv_left, ndv_right)) AS BIGINT) AS est_rows,
+         ROUND(FLOOR(CAST(rows_left AS DOUBLE) * rows_right
+                     / GREATEST(ndv_left, ndv_right))
+               / CAST(actual_rows AS DOUBLE), 4) AS err_ratio
+  FROM (
+    SELECT
+      (SELECT CAST(SUM(cl) AS BIGINT)
+         FROM (SELECT {lk}, COUNT(*) AS cl FROM {lt} GROUP BY 1)) AS rows_left,
+      (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_left,
+      (SELECT CAST(SUM(cr) AS BIGINT)
+         FROM (SELECT {rk}, COUNT(*) AS cr FROM {rt} GROUP BY 1)) AS rows_right,
+      (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_right,
+      (SELECT CAST(SUM(CAST(cl AS HUGEINT) * cr) AS BIGINT)
+         FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) lc
+         JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) rc
+           USING (k)) AS actual_rows
+  )"""
+
+
+ORACLE_JOIN_CARDINALITY_ESTIMATE = "\nUNION ALL\n".join(
+    _join_card_sql(*spec) for spec in _JOIN_CARDS
+)
+
+
 QUERIES = {
     "skew_salted_distinct": q_skew_salted_distinct,
     "skew_salted_join": q_skew_salted_join,
     "skew_key_profile": q_skew_key_profile,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
 }
 ORACLES = {
     "skew_salted_distinct": ORACLE_SKEW_SALTED_DISTINCT,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "skew_key_profile": ORACLE_SKEW_KEY_PROFILE,
+    "join_cardinality_estimate": ORACLE_JOIN_CARDINALITY_ESTIMATE,
 }

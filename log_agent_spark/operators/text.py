@@ -1596,6 +1596,119 @@ FROM ent
 """
 
 
+# ---------------------------------------------------------------------------
+# Judge agreement: Cohen's kappa between two independent quality judges.
+# Every curation pipeline that gates on a cheap heuristic eventually asks
+# whether a SECOND signal agrees with it beyond chance — the same
+# question inter-annotator (or LLM-judge vs heuristic) audits ask. Kappa
+# (Cohen 1960) corrects raw agreement for the agreement two independent
+# judges with these marginals would show by luck.
+#
+# Judge A ("structural"): enough tokens and a majority-alphabetic byte
+# profile. Judge B ("lexical"): enough tokens and type-token ratio ≥ 0.4.
+# Both gates are integer cross-multiplications (alpha·10 ≥ chars·5,
+# distinct·10 ≥ tokens·4) so no float threshold compare exists anywhere;
+# the contingency table is pure counts and kappa is one IEEE division of
+# two exact integers: n·(n11+n00) − pe over n² − pe with
+# pe = a1·b1 + a0·b0 — counts cast to DECIMAL(38,0)/HUGEINT before the
+# marginal products (n² overflows BIGINT past ~3e9 docs/source).
+# Scale shape: one fused scan of documents → per-source k-row aggregate.
+# ---------------------------------------------------------------------------
+def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    alpha_chars = F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z]", "")
+    ).cast("bigint")
+    n_chars_len = F.length("text").cast("bigint")
+    a = (n_tokens >= 10) & (alpha_chars * 10 >= n_chars_len * 5)
+    b = (n_tokens >= 10) & (n_distinct * 10 >= n_tokens * 4)
+    flags = d.select("source", a.alias("a"), b.alias("b"))
+
+    def _n(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    counts = flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        _n(F.col("a") & F.col("b")).alias("n_both_pass"),
+        _n(F.col("a") & ~F.col("b")).alias("n_struct_only"),
+        _n(~F.col("a") & F.col("b")).alias("n_lexical_only"),
+        _n(~F.col("a") & ~F.col("b")).alias("n_both_fail"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a1 = dec("n_both_pass") + dec("n_struct_only")
+    b1 = dec("n_both_pass") + dec("n_lexical_only")
+    a0 = dec("n_lexical_only") + dec("n_both_fail")
+    b0 = dec("n_struct_only") + dec("n_both_fail")
+    pe = a1 * b1 + a0 * b0
+    agree = dec("n_both_pass") + dec("n_both_fail")
+    n = dec("n_docs")
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_both_pass",
+        "n_struct_only",
+        "n_lexical_only",
+        "n_both_fail",
+        F.round(
+            agree.cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("observed_agreement"),
+        F.when(
+            (n * n - pe) == F.lit(0).cast("decimal(38,0)"),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (n * agree - pe).cast("double") / (n * n - pe).cast("double"), 4
+            )
+        )
+        .alias("kappa"),
+    )
+
+
+ORACLE_JUDGE_AGREEMENT = f"""
+WITH f AS (
+  SELECT source,
+         (n_tokens >= 10 AND alpha_chars * 10 >= n_chars_len * 5) AS a,
+         (n_tokens >= 10 AND n_distinct * 10 >= n_tokens * 4) AS b
+  FROM (
+    SELECT source,
+           len({_SQL_TOKS}) AS n_tokens,
+           len(list_distinct({_SQL_TOKS})) AS n_distinct,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+           length(text) AS n_chars_len
+    FROM documents
+  )
+), c AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_struct_only,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical_only,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_fail
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, n_both_pass, n_struct_only, n_lexical_only, n_both_fail,
+       ROUND((n_both_pass + n_both_fail) * 1.0 / n_docs, 4) AS observed_agreement,
+       CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = pe THEN NULL
+            ELSE ROUND(
+              CAST(CAST(n_docs AS HUGEINT) * (n_both_pass + n_both_fail) - pe
+                   AS DOUBLE)
+              / CAST(CAST(n_docs AS HUGEINT) * n_docs - pe AS DOUBLE), 4)
+       END AS kappa
+FROM (
+  SELECT *,
+         CAST(n_both_pass + n_struct_only AS HUGEINT)
+           * (n_both_pass + n_lexical_only)
+         + CAST(n_lexical_only + n_both_fail AS HUGEINT)
+           * (n_struct_only + n_both_fail) AS pe
+  FROM c
+)
+"""
+
+
 QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
@@ -1624,6 +1737,7 @@ QUERIES = {
     "text_langid_fertility": q_langid_fertility,
     "text_quality_calibration": q_quality_calibration,
     "text_char_entropy": q_char_entropy,
+    "text_judge_agreement": q_judge_agreement,
 }
 
 ORACLES = {
@@ -1654,4 +1768,5 @@ ORACLES = {
     "text_langid_fertility": ORACLE_LANGID_FERTILITY,
     "text_quality_calibration": ORACLE_QUALITY_CALIBRATION,
     "text_char_entropy": ORACLE_CHAR_ENTROPY,
+    "text_judge_agreement": ORACLE_JUDGE_AGREEMENT,
 }

@@ -1,0 +1,191 @@
+"""Semantic tests for the third batch of round-4 additions (ER blocking
+plan, join-cardinality estimation, judge-agreement kappa, NDCG@k) — the
+oracle gate proves cross-engine equality; these pin what the numbers MEAN
+against independent recomputation (pandas/numpy/brute force) and the
+closed-form properties each report must satisfy."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ER blocking plan
+# ---------------------------------------------------------------------------
+def test_er_blocking_plan_counts_match_pandas(spark):
+    from log_agent_spark.operators.linkage import q_er_blocking_plan
+
+    got = {r["strategy"]: r.asDict() for r in q_er_blocking_plan(spark, SF).collect()}
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    specs = {
+        "nation": ["c_nationkey"],
+        "mktsegment": ["c_mktsegment"],
+        "nation_x_segment": ["c_nationkey", "c_mktsegment"],
+    }
+    assert set(got) == set(specs)
+    n = len(cust)
+    for label, cols in specs.items():
+        sizes = cust.groupby(cols).size()
+        row = got[label]
+        assert row["n_records"] == n
+        assert row["n_blocks"] == len(sizes)
+        assert row["max_block"] == int(sizes.max())
+        pairs = int((sizes * (sizes - 1)).sum())
+        assert row["candidate_pairs"] == pairs
+        assert row["reduction_ratio"] == round(pairs / (n * (n - 1)), 6)
+
+
+def test_er_blocking_finer_key_never_increases_pairs(spark):
+    from log_agent_spark.operators.linkage import q_er_blocking_plan
+
+    got = {r["strategy"]: r.asDict() for r in q_er_blocking_plan(spark, SF).collect()}
+    # nation×segment refines both single-key strategies: its within-block
+    # pair count can only shrink, its block count only grow.
+    composite = got["nation_x_segment"]
+    for coarse in ("nation", "mktsegment"):
+        assert composite["candidate_pairs"] <= got[coarse]["candidate_pairs"]
+        assert composite["n_blocks"] >= got[coarse]["n_blocks"]
+        assert composite["max_block"] <= got[coarse]["max_block"]
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimation
+# ---------------------------------------------------------------------------
+def test_join_cardinality_pkfk_estimates_exact(spark):
+    from log_agent_spark.operators.skew import q_join_cardinality_estimate
+
+    got = {
+        r["join_name"]: r.asDict()
+        for r in q_join_cardinality_estimate(spark, SF).collect()
+    }
+    # PK side unique → ndv == rows, and the independence estimate
+    # |L|·|R|/max(ndv) collapses to the exact answer.
+    for name in ("customer-orders", "orders-lineitem", "supplier-lineitem"):
+        row = got[name]
+        assert row["ndv_left"] == row["rows_left"]
+        assert row["est_rows"] == row["actual_rows"]
+        assert row["err_ratio"] == 1.0
+    # FK integrity of the fixtures: every child row finds its parent.
+    assert got["orders-lineitem"]["actual_rows"] == got["orders-lineitem"]["rows_right"]
+
+
+def test_join_cardinality_mn_join_matches_pandas(spark):
+    from log_agent_spark.operators.skew import q_join_cardinality_estimate
+
+    got = {
+        r["join_name"]: r.asDict()
+        for r in q_join_cardinality_estimate(spark, SF).collect()
+    }
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    cl = cust.groupby("c_nationkey").size()
+    cr = supp.groupby("s_nationkey").size()
+    actual = int((cl * cr).dropna().sum())
+    row = got["customer-supplier-nation"]
+    assert row["actual_rows"] == actual
+    est = math.floor(
+        len(cust) * len(supp) / max(cl.size, cr.size)
+    )
+    assert row["est_rows"] == est
+    assert row["err_ratio"] == round(est / actual, 4)
+
+
+# ---------------------------------------------------------------------------
+# judge agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+def test_judge_agreement_kappa_replays_from_counts(spark):
+    from log_agent_spark.operators.text import q_judge_agreement
+
+    rows = q_judge_agreement(spark, SF).collect()
+    assert rows, "documents fixture has at least one source"
+    for r in rows:
+        n = r["n_docs"]
+        n11, n10 = r["n_both_pass"], r["n_struct_only"]
+        n01, n00 = r["n_lexical_only"], r["n_both_fail"]
+        assert n == n11 + n10 + n01 + n00
+        assert r["observed_agreement"] == round((n11 + n00) / n, 4)
+        pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        den = n * n - pe
+        if den == 0:
+            assert r["kappa"] is None
+        else:
+            kappa = (n * (n11 + n00) - pe) / den
+            assert r["kappa"] == round(kappa, 4)
+            assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_judge_agreement_kappa_zero_for_independent_judges(spark):
+    # Constructed 2x2 with judges exactly at chance agreement: kappa == 0.
+    from log_agent_spark.operators import text as text_mod
+
+    df = spark.createDataFrame(
+        # A passes half, B passes half, jointly uniform → po == pe
+        [("s", a, b) for a in (True, False) for b in (True, False)] * 5,
+        "source string, a boolean, b boolean",
+    )
+    # replay the kappa arithmetic exactly as the query computes it
+    import pyspark.sql.functions as F
+
+    counts = df.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n00"),
+    ).collect()[0]
+    n, n11, n10, n01, n00 = (
+        counts["n"], counts["n11"], counts["n10"], counts["n01"], counts["n00"]
+    )
+    pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    kappa = (n * (n11 + n00) - pe) / (n * n - pe)
+    assert kappa == 0.0
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k
+# ---------------------------------------------------------------------------
+def test_ndcg_matches_brute_force_replay(spark):
+    from log_agent_spark.operators.similarity import (
+        _NDCG_GAINS,
+        _NDCG_IDEAL,
+        q_ann_cosine_topk,
+        q_ann_lsh_bucketed,
+        q_ann_ndcg_report,
+    )
+
+    exact = {}
+    for r in q_ann_cosine_topk(spark, SF).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_rank = {}
+    for r in q_ann_lsh_bucketed(spark, SF).collect():
+        approx_rank[(r["query_id"], r["neighbor_id"])] = r["rank"]
+
+    got = {r["query_id"]: r.asDict() for r in q_ann_ndcg_report(spark, SF).collect()}
+    assert set(got) == set(exact)
+    for q, rel in exact.items():
+        dcg = sum(
+            _NDCG_GAINS[approx_rank[(q, nb)]]
+            for nb in rel
+            if (q, nb) in approx_rank
+        )
+        hits = sum(1 for nb in rel if (q, nb) in approx_rank)
+        assert got[q]["n_hits"] == hits
+        assert got[q]["ndcg_at_k"] == round(dcg / _NDCG_IDEAL, 4)
+        assert 0.0 <= got[q]["ndcg_at_k"] <= 1.0
+        # binary relevance at equal cut: full recall ⟺ perfect NDCG
+        assert (got[q]["ndcg_at_k"] == 1.0) == (hits == len(rel))
+
+
+def test_ndcg_gains_are_log2_discounts():
+    from log_agent_spark.operators.similarity import _NDCG_GAINS, TOP_K
+
+    assert set(_NDCG_GAINS) == set(range(1, TOP_K + 1))
+    for r, g in _NDCG_GAINS.items():
+        assert g == round(100000 / math.log2(r + 1))
+    # discounts strictly decrease with rank
+    gains = [_NDCG_GAINS[r] for r in range(1, TOP_K + 1)]
+    assert gains == sorted(gains, reverse=True)

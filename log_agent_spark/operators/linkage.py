@@ -75,9 +75,11 @@ def block_profile(df: DataFrame, key_cols: list[str], label: str) -> DataFrame:
         "n_blocks",
         "max_block",
         "candidate_pairs",
-        F.round(F.col("candidate_pairs").cast("double") / naive, 6).alias(
-            "reduction_ratio"
-        ),
+        # try_divide: a 1-record table makes naive = 0; DuckDB yields NULL
+        # on division by zero where Spark's ANSI default would crash.
+        F.round(
+            F.try_divide(F.col("candidate_pairs").cast("double"), naive), 6
+        ).alias("reduction_ratio"),
     )
 
 

@@ -286,11 +286,15 @@ ORACLE_EVENTS_INTERVAL_OVERLAP = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s FROM events
 ), u AS (
-  SELECT user_id, s // 86400 AS day,
+  -- FLOOR(s / 86400.0), not s // 86400: DuckDB's integer // truncates
+  -- toward zero while Spark's F.floor(s / 86400) floors — they disagree
+  -- on pre-1970 (negative-s) timestamps. Both engines now floor the same
+  -- IEEE double quotient.
+  SELECT user_id, CAST(FLOOR(s / 86400.0) AS BIGINT) AS day,
          MIN(s) AS ustart, MAX(s) AS uend
   FROM e GROUP BY 1, 2
 ), t AS (
-  SELECT event_type, s // 86400 AS day,
+  SELECT event_type, CAST(FLOOR(s / 86400.0) AS BIGINT) AS day,
          MIN(s) AS tstart, MAX(s) AS tend
   FROM e GROUP BY 1, 2
 )

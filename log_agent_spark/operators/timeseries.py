@@ -994,8 +994,13 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - d("n") * d("s") * (d(f"p{k}") + d(f"q{k}"))
             + (d("n") - F.lit(k)) * d("s") * d("s")
         )
+        # try_divide: a zero-variance (flat) series makes den = 0; DuckDB
+        # yields NULL for any division by zero while Spark's ANSI default
+        # (on in the driver's vanilla 4.x session) would crash the query —
+        # the crash-vs-answer divergence class. NULL + 0.0 stays NULL.
         acf = (
-            F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)
+            F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
+            + F.lit(0.0)
         )
         entries.append(
             F.struct(F.lit(k).alias("lag"), acf.alias("acf"))

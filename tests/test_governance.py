@@ -12,7 +12,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_kanonymity_histogram_semantics(spark):
-    """Constructed QI partition: sizes {1: 2 groups, 3: 1 group}."""
+    """Fixture invariants: the k histogram partitions the customer table
+    exactly once (Σ n_rows == |customer|, n_rows == k·n_groups per row),
+    the re-identifiable flag is k < 5, and the percentages sum to 100."""
     from log_agent_spark.operators.governance import q_privacy_kanonymity
 
     rows = {r["k"]: r for r in q_privacy_kanonymity(spark, SF).collect()}

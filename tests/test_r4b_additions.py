@@ -88,6 +88,31 @@ def test_ts_autocorrelation_matches_numpy(spark):
             assert abs(acf - ref) < 2e-6, (etype, k, acf, ref)
 
 
+def test_ts_autocorrelation_flat_series_yields_null_not_crash(spark, tmp_path):
+    """A zero-variance (flat) daily series makes the n²-scaled denominator
+    exactly 0. DuckDB yields NULL for division by zero; Spark's ANSI
+    default (on in the driver's vanilla 4.x session) used to crash the
+    whole query with DIVIDE_BY_ZERO — try_divide must return NULL rows."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    rows = [
+        ("flat", dt.datetime(2024, 1, d, h, 0, 0))
+        for d in (1, 2, 3)
+        for h in (9, 17)  # exactly 2 events on each of 3 days
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = entry.queries()["ts_autocorrelation"](spark, str(tmp_path)).collect()
+    assert {r.event_type for r in got} == {"flat"}
+    assert {r.lag for r in got} == set(range(1, 8))
+    for r in got:
+        assert r.acf is None
+        assert r.n_days == 3
+
+
 # ---------------------------------------------------------------------------
 # neighbor-set Jaccard vs brute force
 # ---------------------------------------------------------------------------

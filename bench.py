@@ -199,6 +199,8 @@ HEADLINE = [
     "join_cardinality_estimate",
     "text_judge_agreement",
     "ann_ndcg_report",
+    "label_noise_audit",
+    "al_margin_sample",
 ]
 
 

@@ -1297,10 +1297,179 @@ GROUP BY e.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-quality audits over the (embedding, label) pairs: the cleanlab-style
+# confident-learning question (Northcutt et al. 2021) — "which labels does
+# the geometry disagree with?" — and the active-learning acquisition step
+# that ranks points by nearest-vs-second-centroid margin (classic margin
+# / uncertainty sampling, Lewis & Gale 1994).
+#
+# Both share one plan: per-label class centroids, then every vector scored
+# against all L centroids (n×L pairs, L=|labels| — broadcast centroids,
+# argmax window per vector; the ivf_assign shape with labels as cells).
+#
+# Cross-engine determinism — the argmax is the hard part: a 1-ulp
+# difference in a centroid element could flip which label wins a near-tie
+# and change INTEGER outputs, so float-sum-order noise is not acceptable
+# here (unlike a rounded report column). Fix: centroids are INTEGER SUM
+# vectors — each element is Σ round(val·2^20) summed exactly as BIGINT —
+# and the count division is skipped entirely because cosine is invariant
+# under positive per-vector scaling. Every double that reaches the argmax
+# is then a pure function of exact integers and sequential array folds —
+# bit-identical on both engines. (At ~1e10 rows/label the 2^20-scaled
+# element sums approach 2^53; drop the quantization to 2^10 before the
+# exact-double cast stops holding.)
+# ---------------------------------------------------------------------------
+_CENTROID_Q = 1 << 20
+
+
+def _label_centroid_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, c_label, cos, rn) — every vector scored against every
+    label centroid, rn = 1 for the nearest centroid (ties → lower label)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        as_double(F.col("embedding")).alias("emb"),
+    )
+    elems = emb.select("label", F.posexplode("emb").alias("pos", "val"))
+    sums = elems.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("val") * _CENTROID_Q, 0).cast("bigint")).alias("c")
+    )
+    cent = sums.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("c_emb")
+    )
+    scores = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        cosine(F.col("emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    return scores.withColumn("rn", F.row_number().over(w))
+
+
+def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning confusion matrix: per (assigned label, nearest
+    class centroid), how many vectors — off-diagonal cells are the
+    candidate mislabels a relabeling pass reviews first."""
+    top1 = _label_centroid_ranks(spark, sf_dir).filter(F.col("rn") == 1)
+    conf = top1.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("c_label").alias("nearest_label"),
+    ).agg(F.count("*").cast("bigint").alias("n_vectors"))
+    per_label = W.partitionBy("true_label")
+    return conf.select(
+        "true_label",
+        "nearest_label",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(per_label).cast("double"),
+            4,
+        ).alias("share"),
+        (F.col("true_label") != F.col("nearest_label")).alias("is_suspect"),
+    )
+
+
+def q_al_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based acquisition: the 20 most geometrically ambiguous points
+    (smallest nearest-vs-second-centroid cosine gap) — the batch an
+    active-learning loop sends for annotation next. Top-k via
+    orderBy+limit (TakeOrderedAndProject — per-partition heads, no global
+    sort); the raw double margin orders, the rounded one ships."""
+    rk = _label_centroid_ranks(spark, sf_dir)
+    best = rk.filter(F.col("rn") == 1).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.col("c_label").alias("nearest_label"),
+        F.col("cos").alias("cos1"),
+    )
+    second = rk.filter(F.col("rn") == 2).select(
+        F.col("vec_id").alias("v2"),
+        F.col("c_label").alias("second_label"),
+        F.col("cos").alias("cos2"),
+    )
+    joined = best.join(second, best.vec_id == second.v2)
+    return (
+        joined.select(
+            "vec_id",
+            "own_label",
+            "nearest_label",
+            "second_label",
+            (F.col("cos1") - F.col("cos2")).alias("margin_raw"),
+        )
+        .orderBy(F.asc("margin_raw"), F.asc("vec_id"))
+        .limit(20)
+        .select(
+            "vec_id",
+            "own_label",
+            "nearest_label",
+            "second_label",
+            (F.round(F.col("margin_raw"), 4) + F.lit(0.0)).alias("margin"),
+        )
+    )
+
+
+_LABEL_RANKS_SQL = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           embedding::DOUBLE[] AS emb
+    FROM embeddings
+  ), el AS (
+    SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+    FROM e
+  ), cs AS (
+    SELECT label AS c_label, pos,
+           SUM(CAST(ROUND(val * {_CENTROID_Q}, 0) AS BIGINT)) AS c
+    FROM el GROUP BY 1, 2
+  ), cent AS (
+    SELECT c_label, list(CAST(c AS DOUBLE) ORDER BY pos) AS c_emb
+    FROM cs GROUP BY 1
+  ), sc AS (
+    SELECT vec_id, label, c_label,
+           list_dot_product(emb, c_emb)
+             / (sqrt(list_dot_product(emb, emb))
+                * sqrt(list_dot_product(c_emb, c_emb))) AS cos
+    FROM e CROSS JOIN cent
+  )
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, c_label ASC) AS rn
+  FROM sc"""
+
+ORACLE_LABEL_NOISE_AUDIT = f"""
+WITH rk AS ({_LABEL_RANKS_SQL})
+SELECT label AS true_label, c_label AS nearest_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY label), 4)
+         AS share,
+       (label <> c_label) AS is_suspect
+FROM rk WHERE rn = 1
+GROUP BY label, c_label
+"""
+
+ORACLE_AL_MARGIN_SAMPLE = f"""
+WITH rk AS ({_LABEL_RANKS_SQL})
+SELECT b.vec_id,
+       b.label AS own_label,
+       b.c_label AS nearest_label,
+       s.c_label AS second_label,
+       ROUND(b.cos - s.cos, 4) + 0.0 AS margin
+FROM (SELECT * FROM rk WHERE rn = 1) b
+JOIN (SELECT * FROM rk WHERE rn = 2) s USING (vec_id)
+ORDER BY b.cos - s.cos ASC, b.vec_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
     "ann_ndcg_report": q_ann_ndcg_report,
+    "label_noise_audit": q_label_noise_audit,
+    "al_margin_sample": q_al_margin_sample,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -1321,6 +1490,8 @@ ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "ann_ndcg_report": ORACLE_ANN_NDCG_REPORT,
+    "label_noise_audit": ORACLE_LABEL_NOISE_AUDIT,
+    "al_margin_sample": ORACLE_AL_MARGIN_SAMPLE,
     "ann_matryoshka_recall": ORACLE_ANN_MATRYOSHKA_RECALL,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,

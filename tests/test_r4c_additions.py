@@ -180,6 +180,70 @@ def test_ndcg_matches_brute_force_replay(spark):
         assert (got[q]["ndcg_at_k"] == 1.0) == (hits == len(rel))
 
 
+# ---------------------------------------------------------------------------
+# label-noise audit + margin sampling vs a numpy replay
+# ---------------------------------------------------------------------------
+def _numpy_label_ranks():
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    uniq = np.sort(np.unique(labels))
+    # integer-quantized sum centroids, exactly as the query builds them
+    Q = 1 << 20
+
+    def _round_half_away(v):
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+    C = np.stack(
+        [_round_half_away(X[labels == l] * Q).sum(axis=0) for l in uniq]
+    )
+    cos = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    return ids, labels, uniq, cos
+
+
+def test_label_noise_audit_matches_numpy(spark):
+    from log_agent_spark.operators.similarity import q_label_noise_audit
+
+    ids, labels, uniq, cos = _numpy_label_ranks()
+    nearest = uniq[cos.argmax(axis=1)]  # argmax ties → lower label (argmax
+    # returns first occurrence, and uniq is sorted — same tiebreak)
+    got = {
+        (r["true_label"], r["nearest_label"]): r.asDict()
+        for r in q_label_noise_audit(spark, SF).collect()
+    }
+    assert sum(r["n_vectors"] for r in got.values()) == len(ids)
+    import collections
+
+    ref = collections.Counter(zip(labels.tolist(), nearest.tolist()))
+    assert {k: v["n_vectors"] for k, v in got.items()} == dict(ref)
+    for (t, n), v in got.items():
+        assert v["is_suspect"] == (t != n)
+        total = sum(c for (tt, _), c in ref.items() if tt == t)
+        assert v["share"] == round(v["n_vectors"] / total, 4)
+
+
+def test_al_margin_sample_is_bottom20_of_numpy_margins(spark):
+    import numpy as np
+
+    from log_agent_spark.operators.similarity import q_al_margin_sample
+
+    ids, labels, uniq, cos = _numpy_label_ranks()
+    part = np.sort(cos, axis=1)
+    margins = part[:, -1] - part[:, -2]
+    order = np.lexsort((ids, margins))
+    want = [(int(ids[i]), round(float(margins[i]), 4)) for i in order[:20]]
+    got = [
+        (r["vec_id"], r["margin"]) for r in q_al_margin_sample(spark, SF).collect()
+    ]
+    assert got == want
+    assert all(m >= 0 for _, m in got)
+
+
 def test_ndcg_gains_are_log2_discounts():
     from log_agent_spark.operators.similarity import _NDCG_GAINS, TOP_K
 

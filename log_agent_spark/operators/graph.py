@@ -253,6 +253,11 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
     )
     n = nodes.count()
+    if n == 0:
+        # empty trade graph (degenerate input slice): the oracle's CTE chain
+        # yields zero rows; 1.0/n below would raise a driver-side
+        # ZeroDivisionError instead — return the same empty result.
+        return spark.createDataFrame([], "node bigint, rank double")
 
     # The rank vector and per-iteration contribution table are node-sized.
     # When they fit in memory (n is already on the driver for the teleport

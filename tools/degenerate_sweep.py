@@ -1,0 +1,106 @@
+"""Degenerate-input crash sweep: run every queries() entry against a
+minimal/pathological fixture under Spark's vanilla ANSI defaults.
+
+Why: the fixtures the oracle gate uses are healthy — every group has
+variance, every key joins, every series has more than one level. Real
+100 TB inputs contain degenerate slices (a flat daily series, a 1-row
+partition, an empty join intersection), and Spark 4's ANSI default turns
+the resulting division-by-zero into a QUERY-KILLING crash where DuckDB
+(and the pre-4.x non-ANSI behavior) returns NULL. Round 4's review found
+exactly one such latent crash (ts_autocorrelation on a zero-variance
+series); this sweep hunts the rest of the class mechanically.
+
+The degenerate fixture: the first few rows of every real sf0.001 table —
+small enough that single-group/single-day/zero-variance shapes actually
+occur (events collapses to 1-2 days; most joins lose their matches) while
+every schema stays byte-identical to the real fixtures.
+
+Usage::
+
+    python tools/degenerate_sweep.py          # build fixture + run all
+    python tools/degenerate_sweep.py q1 q2    # subset
+
+Prints one line per query: ok/EMPTY/CRASH (+ the exception class and
+first line). Exit code 1 if any CRASH. EMPTY (0 rows) is fine — a
+degenerate slice may legitimately produce nothing; only crashes fail.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SRC_SF = "/root/testdata/sf0.001"
+# rows kept per table — small enough to create degenerate shapes, large
+# enough that per-table NOT-NULL/FK structure survives for the happy path
+_KEEP = {
+    "region": 5,
+    "nation": 25,
+    "customer": 3,
+    "supplier": 2,
+    "part": 3,
+    "orders": 4,
+    "lineitem": 6,
+    "events": 8,
+    "documents": 3,
+    "embeddings": 12,  # >= N_QUERIES(10) so ANN query/candidate split is non-empty
+}
+
+
+def build_fixture(dst: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for name, k in _KEEP.items():
+        src = os.path.join(SRC_SF, f"{name}.parquet")
+        out = os.path.join(dst, f"{name}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') LIMIT {k}) "
+            f"TO '{out}' (FORMAT parquet)"
+        )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    dst = tempfile.mkdtemp(prefix="degen_sf_")
+    build_fixture(dst)
+
+    # vanilla session on purpose: ANSI stays at the 4.x default (on), the
+    # same environment the driver's correctness harness uses
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("degenerate-sweep")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = sys.argv[1:] or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    crashes: dict[str, str] = {}
+    for name in names:
+        try:
+            n = qs[name](spark, dst).count()
+            print(f"ok     {name}: {n} rows" if n else f"EMPTY  {name}")
+        except Exception as e:  # noqa: BLE001 — triage sweep, report all
+            first = str(e).strip().splitlines()[0][:160] if str(e) else ""
+            crashes[name] = f"{type(e).__name__}: {first}"
+            print(f"CRASH  {name}: {crashes[name]}")
+        finally:
+            spark.catalog.clearCache()
+
+    print(f"\n{len(names) - len(crashes)} ok, {len(crashes)} crash")
+    if crashes:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

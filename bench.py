@@ -201,6 +201,9 @@ HEADLINE = [
     "ann_ndcg_report",
     "label_noise_audit",
     "al_margin_sample",
+    "text_vocab_coverage",
+    "privacy_generalization_ladder",
+    "events_slo_burn_rate",
 ]
 
 

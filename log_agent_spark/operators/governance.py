@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from log_agent_spark.plans.sampling import _hash_bucket, _oracle_bucket
 from log_agent_spark.sources.tables import load_table
@@ -320,11 +321,124 @@ SELECT 'lineitem',
 """
 
 
+# ---------------------------------------------------------------------------
+# Generalization ladder: the anonymization PLAN that follows the risk
+# measurement above. k-anonymity says how many rows sit in small QI
+# groups; the release engineer's next question is "how much do I have to
+# coarsen each row's quasi-identifiers before its group reaches k?"
+# (the Datafly/Mondrian generalization idea, Sweeney 2002 / LeFevre
+# 2006, collapsed to a fixed suppression ladder):
+#   level 0 = (nation, segment, balance band)  — full precision
+#   level 1 = (nation, segment)                — drop the band
+#   level 2 = (nation)                         — drop the segment
+#   level 3 = fully suppressed                 — even nation is too small
+# Each row gets the MINIMAL level whose group reaches k >= _K_ANON; the
+# report histograms rows and distinct released groups per level — the
+# utility-vs-privacy curve of the release.
+# Scale shape: three map-side-combinable groupBy counts (bounded outputs:
+# |QI| combinations), each broadcast-joined back to the row scan; one
+# final k-row aggregate. All counts exact integers; pct is one integer
+# ratio.
+# ---------------------------------------------------------------------------
+_K_ANON = 5
+
+
+def q_privacy_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("bigint").alias(
+            "bal_band"
+        ),
+    )
+    levels = [
+        ["nationkey", "segment", "bal_band"],
+        ["nationkey", "segment"],
+        ["nationkey"],
+    ]
+    rows = c
+    for i, cols in enumerate(levels):
+        sz = c.groupBy(*cols).agg(F.count("*").alias(f"sz{i}"))
+        rows = rows.join(F.broadcast(sz), cols)
+    level = (
+        F.when(F.col("sz0") >= _K_ANON, 0)
+        .when(F.col("sz1") >= _K_ANON, 1)
+        .when(F.col("sz2") >= _K_ANON, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    released_key = (
+        F.when(level == 0, F.concat_ws("|", "nationkey", "segment", "bal_band"))
+        .when(level == 1, F.concat_ws("|", "nationkey", "segment"))
+        .when(level == 2, F.concat_ws("|", "nationkey"))
+        .otherwise(F.lit("*"))
+    )
+    tagged = rows.select(level.alias("level"), released_key.alias("rk"))
+    total_w = W.partitionBy()
+    return (
+        tagged.groupBy("level")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("rk").cast("bigint").alias("n_groups"),
+        )
+        .select(
+            "level",
+            "n_rows",
+            "n_groups",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(total_w).cast("double"),
+                4,
+            ).alias("pct_rows"),
+        )
+    )
+
+
+ORACLE_PRIVACY_GENERALIZATION_LADDER = f"""
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / {_ACCTBAL_BAND}) AS BIGINT) AS bal_band
+  FROM customer
+), s0 AS (
+  SELECT nationkey, segment, bal_band, COUNT(*) AS sz0
+  FROM base GROUP BY 1, 2, 3
+), s1 AS (
+  SELECT nationkey, segment, COUNT(*) AS sz1 FROM base GROUP BY 1, 2
+), s2 AS (
+  SELECT nationkey, COUNT(*) AS sz2 FROM base GROUP BY 1
+), tagged AS (
+  SELECT CASE WHEN sz0 >= {_K_ANON} THEN 0
+              WHEN sz1 >= {_K_ANON} THEN 1
+              WHEN sz2 >= {_K_ANON} THEN 2
+              ELSE 3 END AS level,
+         CASE WHEN sz0 >= {_K_ANON}
+                THEN concat_ws('|', nationkey, segment, bal_band)
+              WHEN sz1 >= {_K_ANON} THEN concat_ws('|', nationkey, segment)
+              WHEN sz2 >= {_K_ANON} THEN concat_ws('|', nationkey)
+              ELSE '*' END AS rk
+  FROM base
+  JOIN s0 USING (nationkey, segment, bal_band)
+  JOIN s1 USING (nationkey, segment)
+  JOIN s2 USING (nationkey)
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT rk) AS BIGINT) AS n_groups,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS pct_rows
+FROM tagged
+GROUP BY level
+"""
+
+
 QUERIES = {
     "privacy_kanonymity": q_privacy_kanonymity,
     "privacy_ldiversity": q_privacy_ldiversity,
     "dq_benford": q_dq_benford,
     "gdpr_cascade": q_gdpr_cascade,
+    "privacy_generalization_ladder": q_privacy_generalization_ladder,
 }
 
 ORACLES = {
@@ -332,4 +446,5 @@ ORACLES = {
     "privacy_ldiversity": ORACLE_PRIVACY_LDIVERSITY,
     "dq_benford": ORACLE_DQ_BENFORD,
     "gdpr_cascade": ORACLE_GDPR_CASCADE,
+    "privacy_generalization_ladder": ORACLE_PRIVACY_GENERALIZATION_LADDER,
 }

@@ -1709,6 +1709,87 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: for candidate vocab sizes V, what share of
+# token OCCURRENCES does the top-V-by-frequency vocabulary cover? The
+# tokenizer-budget decision (how big a vocab before OOV mass is
+# negligible) as one query — the operational companion to the Zipf fit
+# above (which says coverage will be heavy-headed; this measures it).
+# Scale shape: token counting is the corpus-sized part (map-side
+# combinable groupBy); everything after runs on the VOCABULARY (bounded),
+# ranked by the range-partitioned parallel sort in operators/ranking.py —
+# no single-partition window. Coverage is a ratio of exact integer counts.
+# ---------------------------------------------------------------------------
+_VOCAB_SIZES = [256, 1024, 4096]
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = with_global_order(
+        freqs, [F.desc("freq"), F.asc("token")], rank_col="rank"
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "vocab_size bigint"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("vocab_size"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_types"),
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= F.col("vocab_size"), F.col("freq"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("covered_occurrences"),
+            F.sum("freq").cast("bigint").alias("total_occurrences"),
+        )
+        .select(
+            "vocab_size",
+            "n_types",
+            "covered_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("covered_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKS}) AS token FROM documents
+  ) GROUP BY token
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freqs
+), sizes AS (
+  SELECT unnest([{", ".join(str(v) for v in _VOCAB_SIZES)}]) AS vocab_size
+)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types,
+       CAST(COALESCE(SUM(CASE WHEN rank <= vocab_size THEN freq END), 0)
+            AS BIGINT) AS covered_occurrences,
+       CAST(SUM(freq) AS BIGINT) AS total_occurrences,
+       ROUND(COALESCE(SUM(CASE WHEN rank <= vocab_size THEN freq END), 0)
+             * 1.0 / SUM(freq), 6) AS coverage
+FROM ranked CROSS JOIN sizes
+GROUP BY vocab_size
+"""
+
+
 QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
@@ -1738,6 +1819,7 @@ QUERIES = {
     "text_quality_calibration": q_quality_calibration,
     "text_char_entropy": q_char_entropy,
     "text_judge_agreement": q_judge_agreement,
+    "text_vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -1769,4 +1851,5 @@ ORACLES = {
     "text_quality_calibration": ORACLE_QUALITY_CALIBRATION,
     "text_char_entropy": ORACLE_CHAR_ENTROPY,
     "text_judge_agreement": ORACLE_JUDGE_AGREEMENT,
+    "text_vocab_coverage": ORACLE_VOCAB_COVERAGE,
 }

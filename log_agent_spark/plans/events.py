@@ -799,6 +799,112 @@ GROUP BY event_type
 # two shuffles: (window) agg, then a scalar join + filter. Integer counts
 # compared against an exact-ratio threshold — no float ambiguity.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Multi-window burn-rate alert (Google SRE workbook ch.5 shape): the
+# two-window hysteresis upgrade of the single-window burst detector
+# below. Per hour, the error share over the hour itself AND over the
+# trailing 6 hours, compared against the corpus-wide baseline share:
+#   page   — BOTH windows burn > 1.25x baseline (fast + sustained: the
+#            short window gives speed, the long one suppresses blips)
+#   ticket — the 6h window alone burns > 1.10x baseline (slow leak)
+# Cross-engine float discipline: all gates are integer
+# cross-multiplications of exact counts (e_1h·T·100 > t_1h·E·125 — cast
+# to DECIMAL(38,0)/HUGEINT before the 4-factor product, which overflows
+# BIGINT at ~1e5 errors/hour against a 1e14-event corpus); the published
+# burn ratios are single divisions of those exact products, ROUND(4).
+# Scale shape: one map-side-combinable hourly rollup (calendar-bounded
+# output), a RANGE(-5h,0) window over the hourly series — O(hours) rows
+# regardless of event volume — and one broadcast 1-row baseline.
+# ---------------------------------------------------------------------------
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("hour_idx"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    hourly = e.groupBy("hour_idx").agg(
+        F.sum(F.when(F.col("is_err"), 1).otherwise(0)).cast("bigint").alias(
+            "errors_1h"
+        ),
+        F.count("*").cast("bigint").alias("total_1h"),
+    )
+    w6 = W.orderBy("hour_idx").rangeBetween(-5, 0)
+    rolled = hourly.select(
+        "hour_idx",
+        "errors_1h",
+        "total_1h",
+        F.sum("errors_1h").over(w6).cast("bigint").alias("errors_6h"),
+        F.sum("total_1h").over(w6).cast("bigint").alias("total_6h"),
+    )
+    base = hourly.agg(
+        F.sum("errors_1h").cast("bigint").alias("err_all"),
+        F.sum("total_1h").cast("bigint").alias("tot_all"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    burn_1h_num = d("errors_1h") * d("tot_all")
+    burn_1h_den = d("total_1h") * d("err_all")
+    burn_6h_num = d("errors_6h") * d("tot_all")
+    burn_6h_den = d("total_6h") * d("err_all")
+    fast_1h = burn_1h_num * 100 > burn_1h_den * 125
+    fast_6h = burn_6h_num * 100 > burn_6h_den * 125
+    slow_6h = burn_6h_num * 100 > burn_6h_den * 110
+    return rolled.crossJoin(F.broadcast(base)).select(
+        "hour_idx",
+        "errors_1h",
+        "total_1h",
+        "errors_6h",
+        "total_6h",
+        F.round(
+            F.try_divide(burn_1h_num.cast("double"), burn_1h_den.cast("double")),
+            4,
+        ).alias("burn_1h"),
+        F.round(
+            F.try_divide(burn_6h_num.cast("double"), burn_6h_den.cast("double")),
+            4,
+        ).alias("burn_6h"),
+        (fast_1h & fast_6h).alias("page"),
+        slow_6h.alias("ticket"),
+    )
+
+
+ORACLE_SLO_BURN_RATE = """
+WITH hourly AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS hour_idx,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors_1h,
+         CAST(COUNT(*) AS BIGINT) AS total_1h
+  FROM events GROUP BY 1
+), rolled AS (
+  SELECT hour_idx, errors_1h, total_1h,
+         CAST(SUM(errors_1h) OVER w6 AS BIGINT) AS errors_6h,
+         CAST(SUM(total_1h) OVER w6 AS BIGINT) AS total_6h
+  FROM hourly
+  WINDOW w6 AS (ORDER BY hour_idx
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+), base AS (
+  SELECT CAST(SUM(errors_1h) AS BIGINT) AS err_all,
+         CAST(SUM(total_1h) AS BIGINT) AS tot_all
+  FROM hourly
+)
+SELECT hour_idx, errors_1h, total_1h, errors_6h, total_6h,
+       ROUND(CAST(CAST(errors_1h AS HUGEINT) * tot_all AS DOUBLE)
+             / CAST(CAST(total_1h AS HUGEINT) * err_all AS DOUBLE), 4)
+         AS burn_1h,
+       ROUND(CAST(CAST(errors_6h AS HUGEINT) * tot_all AS DOUBLE)
+             / CAST(CAST(total_6h AS HUGEINT) * err_all AS DOUBLE), 4)
+         AS burn_6h,
+       (CAST(errors_1h AS HUGEINT) * tot_all * 100
+          > CAST(total_1h AS HUGEINT) * err_all * 125
+        AND CAST(errors_6h AS HUGEINT) * tot_all * 100
+          > CAST(total_6h AS HUGEINT) * err_all * 125) AS page,
+       (CAST(errors_6h AS HUGEINT) * tot_all * 100
+          > CAST(total_6h AS HUGEINT) * err_all * 110) AS ticket
+FROM rolled CROSS JOIN base
+"""
+
+
 def q_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     windows = (
@@ -1836,6 +1942,7 @@ QUERIES = {
     "events_user_lifecycle": q_user_lifecycle,
     "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
+    "events_slo_burn_rate": q_slo_burn_rate,
     "events_error_bursts": q_error_burst_windows,
     "events_pit_versioned_join": q_pit_versioned_join,
     "events_transition_matrix": q_event_transition_matrix,
@@ -1885,6 +1992,7 @@ ORACLES = {
     "events_user_lifecycle": ORACLE_USER_LIFECYCLE,
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,
+    "events_slo_burn_rate": ORACLE_SLO_BURN_RATE,
     "events_error_bursts": ORACLE_ERROR_BURST_WINDOWS,
     "events_pit_versioned_join": ORACLE_PIT_VERSIONED_JOIN,
     "events_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,

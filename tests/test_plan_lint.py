@@ -34,6 +34,8 @@ UNPARTITIONED_WINDOW_OK = {
     "revenue_seasonality": "lag over calendar (year, month) series",
     "skew_key_profile": "cum over count-of-counts histogram (distinct "
     "multiplicities, O(100) rows at any scale)",
+    "events_slo_burn_rate": "RANGE(-5h,0) over the hourly rollup — "
+    "calendar-bounded (O(hours) rows regardless of event volume)",
 }
 
 

@@ -1,0 +1,153 @@
+"""Semantic tests for the fourth batch of round-4 additions (vocabulary
+coverage curve, generalization ladder, multi-window SLO burn rate) —
+pandas/numpy replays plus the closed-form properties each report must
+satisfy."""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage
+# ---------------------------------------------------------------------------
+def test_vocab_coverage_matches_pandas(spark):
+    from log_agent_spark.operators.text import _VOCAB_SIZES, q_vocab_coverage
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    counts = collections.Counter()
+    for t in docs["text"]:
+        counts.update(tok for tok in t.split(" ") if tok != "")
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    got = {r["vocab_size"]: r.asDict() for r in q_vocab_coverage(spark, SF).collect()}
+    assert set(got) == set(_VOCAB_SIZES)
+    for v in _VOCAB_SIZES:
+        covered = sum(f for _, f in ranked[:v])
+        row = got[v]
+        assert row["n_types"] == min(v, len(ranked))
+        assert row["covered_occurrences"] == covered
+        assert row["total_occurrences"] == total
+        assert row["coverage"] == round(covered / total, 6)
+    # coverage is monotone in vocab size
+    covs = [got[v]["coverage"] for v in sorted(_VOCAB_SIZES)]
+    assert covs == sorted(covs)
+
+
+# ---------------------------------------------------------------------------
+# generalization ladder
+# ---------------------------------------------------------------------------
+def test_generalization_ladder_matches_pandas(spark):
+    import math
+
+    from log_agent_spark.operators.governance import (
+        _ACCTBAL_BAND,
+        _K_ANON,
+        q_privacy_generalization_ladder,
+    )
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    qi = pd.DataFrame(
+        {
+            "n": cust["c_nationkey"].astype("int64"),
+            "s": cust["c_mktsegment"],
+            "b": (cust["c_acctbal"] / _ACCTBAL_BAND).map(math.floor),
+        }
+    )
+    sz0 = qi.groupby(["n", "s", "b"])["n"].transform("size")
+    sz1 = qi.groupby(["n", "s"])["n"].transform("size")
+    sz2 = qi.groupby(["n"])["n"].transform("size")
+    level = pd.Series(3, index=qi.index)
+    level[sz2 >= _K_ANON] = 2
+    level[sz1 >= _K_ANON] = 1
+    level[sz0 >= _K_ANON] = 0
+    ref_rows = level.value_counts().to_dict()
+    got = {
+        r["level"]: r.asDict()
+        for r in q_privacy_generalization_ladder(spark, SF).collect()
+    }
+    assert {k: v["n_rows"] for k, v in got.items()} == ref_rows
+    assert sum(v["n_rows"] for v in got.values()) == len(cust)
+    # distinct released groups per level, replayed
+    keys = pd.Series("*", index=qi.index)
+    asstr = lambda col: qi[col].astype(str)  # noqa: E731
+    keys[level == 2] = asstr("n")
+    keys[level == 1] = asstr("n") + "|" + asstr("s")
+    keys[level == 0] = asstr("n") + "|" + asstr("s") + "|" + asstr("b")
+    for lv, v in got.items():
+        assert v["n_groups"] == keys[level == lv].nunique()
+        assert v["pct_rows"] == round(v["n_rows"] / len(cust), 4)
+
+
+def test_generalization_ladder_released_groups_reach_k(spark):
+    """The whole point: every group actually released at level < 3 has
+    size >= k when re-grouped at its own level."""
+    import math
+
+    from log_agent_spark.operators.governance import (
+        _ACCTBAL_BAND,
+        _K_ANON,
+    )
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    qi = pd.DataFrame(
+        {
+            "n": cust["c_nationkey"].astype("int64"),
+            "s": cust["c_mktsegment"],
+            "b": (cust["c_acctbal"] / _ACCTBAL_BAND).map(math.floor),
+        }
+    )
+    sz0 = qi.groupby(["n", "s", "b"])["n"].transform("size")
+    sz1 = qi.groupby(["n", "s"])["n"].transform("size")
+    sz2 = qi.groupby(["n"])["n"].transform("size")
+    assert (sz0[sz0 >= _K_ANON] >= _K_ANON).all()
+    lvl1 = (sz0 < _K_ANON) & (sz1 >= _K_ANON)
+    assert (sz1[lvl1] >= _K_ANON).all()
+    lvl2 = (sz1 < _K_ANON) & (sz2 >= _K_ANON)
+    assert (sz2[lvl2] >= _K_ANON).all()
+
+
+# ---------------------------------------------------------------------------
+# SLO burn rate
+# ---------------------------------------------------------------------------
+def test_slo_burn_rate_matches_pandas(spark):
+    from log_agent_spark.plans.events import q_slo_burn_rate
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # fixture ts is int64 nanos or datetime — normalize to epoch seconds
+    ts = ev["ts"]
+    if ts.dtype == "int64":  # raw nanos
+        secs = ts // 1_000_000_000
+    else:  # datetime64 of whatever unit — cast to whole seconds directly
+        secs = ts.astype("datetime64[s]").astype("int64")
+    hour = secs // 3600
+    df = pd.DataFrame({"hour": hour, "err": (ev["event_type"] == "error")})
+    hourly = (
+        df.groupby("hour")
+        .agg(errors=("err", "sum"), total=("err", "size"))
+        .sort_index()
+    )
+    err_all, tot_all = int(hourly["errors"].sum()), int(hourly["total"].sum())
+    got = {r["hour_idx"]: r.asDict() for r in q_slo_burn_rate(spark, SF).collect()}
+    assert set(got) == set(hourly.index)
+    for h, row in hourly.iterrows():
+        e6 = int(hourly.loc[(hourly.index >= h - 5) & (hourly.index <= h), "errors"].sum())
+        t6 = int(hourly.loc[(hourly.index >= h - 5) & (hourly.index <= h), "total"].sum())
+        g = got[h]
+        assert g["errors_1h"] == row["errors"] and g["total_1h"] == row["total"]
+        assert g["errors_6h"] == e6 and g["total_6h"] == t6
+        e1, t1 = int(row["errors"]), int(row["total"])
+        assert g["page"] == (
+            e1 * tot_all * 100 > t1 * err_all * 125
+            and e6 * tot_all * 100 > t6 * err_all * 125
+        )
+        assert g["ticket"] == (e6 * tot_all * 100 > t6 * err_all * 110)
+        assert g["burn_1h"] == round((e1 * tot_all) / (t1 * err_all), 4)
+    # two-window hysteresis: a page always implies at least a ticket
+    for g in got.values():
+        if g["page"]:
+            assert g["ticket"]

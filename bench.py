@@ -204,6 +204,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "privacy_generalization_ladder",
     "events_slo_burn_rate",
+    "embedding_drift_audit",
 ]
 
 

@@ -1464,12 +1464,113 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding drift audit — the monitoring query between two embedding
+# snapshots (model-version bump, re-encode job, new data slice): per
+# dimension, did the mean activation shift? A drifted dimension breaks
+# every stored ANN index and centroid built on the old geometry, so this
+# is the gate before an index rebuild is skipped. Snapshots here are the
+# even/odd vec_id halves (the fixture has one epoch; a real deploy points
+# the two sides at two snapshot paths — the split is the only fixture-
+# specific line).
+#
+# Float discipline: per-dimension sums are integer-quantized
+# (Σ round(val·2^20) as exact BIGINT, the label-centroid recipe above),
+# and the drift gate |q_cand·n_ref − q_ref·n_cand| > θ·2^20·n_ref·n_cand
+# is an integer cross-multiplication — no float mean ever feeds a
+# threshold compare. Means/shift are published as single divisions of
+# exact integers, ROUND(6). Scale shape: one posexplode scan →
+# 2·n_dims-row aggregate; everything downstream is dimension-sized.
+# ---------------------------------------------------------------------------
+_DRIFT_THRESHOLD_SCALED = round(0.05 * _CENTROID_Q)  # θ = 0.05 mean shift
+
+
+def q_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2 == 1).alias("cand"),
+        as_double(F.col("embedding")).alias("emb"),
+    )
+    elems = emb.select("cand", F.posexplode("emb").alias("pos", "val"))
+    q = F.round(F.col("val") * _CENTROID_Q, 0).cast("bigint")
+    per_dim = elems.groupBy("pos").agg(
+        F.sum(F.when(~F.col("cand"), q)).cast("bigint").alias("q_ref"),
+        F.sum(F.when(~F.col("cand"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("cand"), q)).cast("bigint").alias("q_cand"),
+        F.sum(F.when(F.col("cand"), 1).otherwise(0)).cast("bigint").alias("n_cand"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    diff = d("q_cand") * d("n_ref") - d("q_ref") * d("n_cand")
+    gate = d("n_ref") * d("n_cand") * F.lit(_DRIFT_THRESHOLD_SCALED)
+    denom = float(_CENTROID_Q)
+    return per_dim.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        "n_ref",
+        "n_cand",
+        F.round(
+            F.try_divide(F.col("q_ref").cast("double"), F.col("n_ref") * denom), 6
+        ).alias("mean_ref"),
+        F.round(
+            F.try_divide(F.col("q_cand").cast("double"), F.col("n_cand") * denom),
+            6,
+        ).alias("mean_cand"),
+        (
+            F.round(
+                F.try_divide(
+                    diff.cast("double"),
+                    (d("n_ref") * d("n_cand")).cast("double") * denom,
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_shift"),
+        (F.abs(diff) > gate).alias("is_drifted"),
+    )
+
+
+ORACLE_EMBEDDING_DRIFT_AUDIT = f"""
+WITH e AS (
+  SELECT (vec_id % 2 = 1) AS cand, embedding::DOUBLE[] AS emb
+  FROM embeddings
+), el AS (
+  SELECT cand, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS val
+  FROM e
+), per_dim AS (
+  SELECT pos,
+         CAST(SUM(CASE WHEN NOT cand
+                       THEN CAST(ROUND(val * {_CENTROID_Q}, 0) AS BIGINT)
+                  END) AS BIGINT) AS q_ref,
+         CAST(SUM(CASE WHEN NOT cand THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN cand
+                       THEN CAST(ROUND(val * {_CENTROID_Q}, 0) AS BIGINT)
+                  END) AS BIGINT) AS q_cand,
+         CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+  FROM el GROUP BY pos
+)
+SELECT CAST(pos AS BIGINT) AS dim, n_ref, n_cand,
+       ROUND(CAST(q_ref AS DOUBLE) / (n_ref * {_CENTROID_Q}.0), 6) AS mean_ref,
+       ROUND(CAST(q_cand AS DOUBLE) / (n_cand * {_CENTROID_Q}.0), 6)
+         AS mean_cand,
+       ROUND(CAST(CAST(q_cand AS HUGEINT) * n_ref
+                  - CAST(q_ref AS HUGEINT) * n_cand AS DOUBLE)
+             / (CAST(CAST(n_ref AS HUGEINT) * n_cand AS DOUBLE)
+                * {_CENTROID_Q}.0), 6) + 0.0 AS mean_shift,
+       (ABS(CAST(q_cand AS HUGEINT) * n_ref - CAST(q_ref AS HUGEINT) * n_cand)
+          > CAST(n_ref AS HUGEINT) * n_cand * {_DRIFT_THRESHOLD_SCALED})
+         AS is_drifted
+FROM per_dim
+"""
+
+
 QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ann_recall_report": q_ann_recall_report,
     "ann_ndcg_report": q_ann_ndcg_report,
     "label_noise_audit": q_label_noise_audit,
     "al_margin_sample": q_al_margin_sample,
+    "embedding_drift_audit": q_embedding_drift_audit,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_kmeans_step": q_kmeans_step,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -1492,6 +1593,7 @@ ORACLES = {
     "ann_ndcg_report": ORACLE_ANN_NDCG_REPORT,
     "label_noise_audit": ORACLE_LABEL_NOISE_AUDIT,
     "al_margin_sample": ORACLE_AL_MARGIN_SAMPLE,
+    "embedding_drift_audit": ORACLE_EMBEDDING_DRIFT_AUDIT,
     "ann_matryoshka_recall": ORACLE_ANN_MATRYOSHKA_RECALL,
     "ann_kmeans_step": ORACLE_KMEANS_STEP,
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,

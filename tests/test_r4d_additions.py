@@ -112,6 +112,40 @@ def test_generalization_ladder_released_groups_reach_k(spark):
 
 
 # ---------------------------------------------------------------------------
+# embedding drift audit
+# ---------------------------------------------------------------------------
+def test_embedding_drift_audit_matches_numpy(spark):
+    import numpy as np
+
+    from log_agent_spark.operators.similarity import (
+        _CENTROID_Q,
+        _DRIFT_THRESHOLD_SCALED,
+        q_embedding_drift_audit,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    cand = (emb["vec_id"].to_numpy() % 2 == 1)
+
+    def _qsum(rows):
+        v = rows * _CENTROID_Q
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).sum(axis=0).astype("int64")
+
+    q_ref, q_cand = _qsum(X[~cand]), _qsum(X[cand])
+    n_ref, n_cand = int((~cand).sum()), int(cand.sum())
+    got = {r["dim"]: r.asDict() for r in q_embedding_drift_audit(spark, SF).collect()}
+    assert set(got) == set(range(X.shape[1]))
+    for dim, row in got.items():
+        assert row["n_ref"] == n_ref and row["n_cand"] == n_cand
+        diff = int(q_cand[dim]) * n_ref - int(q_ref[dim]) * n_cand
+        assert row["is_drifted"] == (
+            abs(diff) > n_ref * n_cand * _DRIFT_THRESHOLD_SCALED
+        )
+        assert row["mean_ref"] == round(int(q_ref[dim]) / (n_ref * _CENTROID_Q), 6)
+        assert row["mean_shift"] == round(diff / (n_ref * n_cand * _CENTROID_Q), 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
 # SLO burn rate
 # ---------------------------------------------------------------------------
 def test_slo_burn_rate_matches_pandas(spark):

@@ -332,9 +332,10 @@ SELECT 'lineitem',
 #   level 1 = (nation, segment)                — drop the band
 #   level 2 = (nation)                         — drop the segment
 #   level 3 = fully suppressed                 — even nation is too small
-# Each row gets the MINIMAL level whose group reaches k >= _K_ANON; the
-# report histograms rows and distinct released groups per level — the
-# utility-vs-privacy curve of the release.
+# Each row gets the minimal level whose RESIDUAL group (see the function
+# docstring) reaches k >= _K_ANON; the report histograms rows and
+# distinct released groups per level — the utility-vs-privacy curve of
+# the release.
 # Scale shape: three map-side-combinable groupBy counts (bounded outputs:
 # |QI| combinations), each broadcast-joined back to the row scan; one
 # final k-row aggregate. All counts exact integers; pct is one integer
@@ -346,36 +347,57 @@ _K_ANON = 5
 def q_privacy_generalization_ladder(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
+    """RESIDUAL-group semantics: the k-check at each coarser level counts
+    only the rows still needing generalization (the residue of the finer
+    levels), not the whole coarser group. That is what makes every
+    RELEASED group provably >= k — checking the full coarser-group size
+    would release sub-k residues (a 6-row (nation, segment) group with 5
+    of its rows already released at level 0 would publish a 1-row
+    level-1 residue, re-identifiable by subtraction)."""
+    base = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nationkey"),
         F.col("c_mktsegment").alias("segment"),
         F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("bigint").alias(
             "bal_band"
         ),
     )
-    levels = [
-        ["nationkey", "segment", "bal_band"],
-        ["nationkey", "segment"],
-        ["nationkey"],
-    ]
-    rows = c
-    for i, cols in enumerate(levels):
-        sz = c.groupBy(*cols).agg(F.count("*").alias(f"sz{i}"))
-        rows = rows.join(F.broadcast(sz), cols)
-    level = (
-        F.when(F.col("sz0") >= _K_ANON, 0)
-        .when(F.col("sz1") >= _K_ANON, 1)
-        .when(F.col("sz2") >= _K_ANON, 2)
-        .otherwise(3)
-        .cast("bigint")
+    cols0 = ["nationkey", "segment", "bal_band"]
+    s0 = base.groupBy(*cols0).agg(F.count("*").alias("sz0"))
+    c0 = base.join(F.broadcast(s0), cols0)
+    r1 = c0.filter(F.col("sz0") < _K_ANON)
+    s1r = r1.groupBy("nationkey", "segment").agg(F.count("*").alias("sz1r"))
+    c1 = r1.join(F.broadcast(s1r), ["nationkey", "segment"])
+    r2 = c1.filter(F.col("sz1r") < _K_ANON)
+    s2r = r2.groupBy("nationkey").agg(F.count("*").alias("sz2r"))
+    c2 = r2.join(F.broadcast(s2r), ["nationkey"])
+
+    def _tag(df: DataFrame, level: int, key) -> DataFrame:
+        return df.select(
+            F.lit(level).cast("bigint").alias("level"), key.alias("rk")
+        )
+
+    tagged = (
+        _tag(
+            c0.filter(F.col("sz0") >= _K_ANON),
+            0,
+            F.concat_ws("|", "nationkey", "segment", "bal_band"),
+        )
+        .unionByName(
+            _tag(
+                c1.filter(F.col("sz1r") >= _K_ANON),
+                1,
+                F.concat_ws("|", "nationkey", "segment"),
+            )
+        )
+        .unionByName(
+            _tag(
+                c2.filter(F.col("sz2r") >= _K_ANON),
+                2,
+                F.concat_ws("|", "nationkey"),
+            )
+        )
+        .unionByName(_tag(c2.filter(F.col("sz2r") < _K_ANON), 3, F.lit("*")))
     )
-    released_key = (
-        F.when(level == 0, F.concat_ws("|", "nationkey", "segment", "bal_band"))
-        .when(level == 1, F.concat_ws("|", "nationkey", "segment"))
-        .when(level == 2, F.concat_ws("|", "nationkey"))
-        .otherwise(F.lit("*"))
-    )
-    tagged = rows.select(level.alias("level"), released_key.alias("rk"))
     total_w = W.partitionBy()
     return (
         tagged.groupBy("level")
@@ -405,24 +427,30 @@ WITH base AS (
 ), s0 AS (
   SELECT nationkey, segment, bal_band, COUNT(*) AS sz0
   FROM base GROUP BY 1, 2, 3
-), s1 AS (
-  SELECT nationkey, segment, COUNT(*) AS sz1 FROM base GROUP BY 1, 2
-), s2 AS (
-  SELECT nationkey, COUNT(*) AS sz2 FROM base GROUP BY 1
+), c0 AS (
+  SELECT base.*, sz0 FROM base JOIN s0 USING (nationkey, segment, bal_band)
+), r1 AS (
+  SELECT * FROM c0 WHERE sz0 < {_K_ANON}
+), s1r AS (
+  SELECT nationkey, segment, COUNT(*) AS sz1r FROM r1 GROUP BY 1, 2
+), c1 AS (
+  SELECT r1.*, sz1r FROM r1 JOIN s1r USING (nationkey, segment)
+), r2 AS (
+  SELECT * FROM c1 WHERE sz1r < {_K_ANON}
+), s2r AS (
+  SELECT nationkey, COUNT(*) AS sz2r FROM r2 GROUP BY 1
+), c2 AS (
+  SELECT r2.*, sz2r FROM r2 JOIN s2r USING (nationkey)
 ), tagged AS (
-  SELECT CASE WHEN sz0 >= {_K_ANON} THEN 0
-              WHEN sz1 >= {_K_ANON} THEN 1
-              WHEN sz2 >= {_K_ANON} THEN 2
-              ELSE 3 END AS level,
-         CASE WHEN sz0 >= {_K_ANON}
-                THEN concat_ws('|', nationkey, segment, bal_band)
-              WHEN sz1 >= {_K_ANON} THEN concat_ws('|', nationkey, segment)
-              WHEN sz2 >= {_K_ANON} THEN concat_ws('|', nationkey)
-              ELSE '*' END AS rk
-  FROM base
-  JOIN s0 USING (nationkey, segment, bal_band)
-  JOIN s1 USING (nationkey, segment)
-  JOIN s2 USING (nationkey)
+  SELECT 0 AS level, concat_ws('|', nationkey, segment, bal_band) AS rk
+  FROM c0 WHERE sz0 >= {_K_ANON}
+  UNION ALL
+  SELECT 1, concat_ws('|', nationkey, segment)
+  FROM c1 WHERE sz1r >= {_K_ANON}
+  UNION ALL
+  SELECT 2, concat_ws('|', nationkey) FROM c2 WHERE sz2r >= {_K_ANON}
+  UNION ALL
+  SELECT 3, '*' FROM c2 WHERE sz2r < {_K_ANON}
 )
 SELECT CAST(level AS BIGINT) AS level,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

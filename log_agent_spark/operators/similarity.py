@@ -1335,12 +1335,23 @@ def _label_centroid_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = elems.groupBy("label", "pos").agg(
         F.sum(F.round(F.col("val") * _CENTROID_Q, 0).cast("bigint")).alias("c")
     )
-    cent = sums.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s["c"].cast("double"),
-        ).alias("c_emb")
+    cent = (
+        sums.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("c_emb")
+        )
+        # zero-norm guards (integer-exact conditions, so no NULL-ordering
+        # ambiguity downstream): an all-zero quantized centroid — or an
+        # all-zero input vector below — would make cosine's denominator 0,
+        # which CRASHES under Spark's ANSI default while DuckDB yields
+        # NULL. Cosine against the zero vector is undefined anyway; both
+        # engines drop such rows identically.
+        .filter(F.exists("c_emb", lambda x: x != 0))
     )
+    emb = emb.filter(F.exists("emb", lambda x: x != 0))
     scores = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
@@ -1426,14 +1437,18 @@ _LABEL_RANKS_SQL = f"""
            SUM(CAST(ROUND(val * {_CENTROID_Q}, 0) AS BIGINT)) AS c
     FROM el GROUP BY 1, 2
   ), cent AS (
-    SELECT c_label, list(CAST(c AS DOUBLE) ORDER BY pos) AS c_emb
-    FROM cs GROUP BY 1
+    SELECT c_label, c_emb
+    FROM (SELECT c_label, list(CAST(c AS DOUBLE) ORDER BY pos) AS c_emb
+          FROM cs GROUP BY 1)
+    WHERE len(list_filter(c_emb, x -> x <> 0)) > 0
   ), sc AS (
     SELECT vec_id, label, c_label,
            list_dot_product(emb, c_emb)
              / (sqrt(list_dot_product(emb, emb))
                 * sqrt(list_dot_product(c_emb, c_emb))) AS cos
-    FROM e CROSS JOIN cent
+    FROM (SELECT * FROM e
+          WHERE len(list_filter(emb, x -> x <> 0)) > 0) e
+    CROSS JOIN cent
   )
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY cos DESC, c_label ASC) AS rn
@@ -1509,12 +1524,21 @@ def q_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("dim"),
         "n_ref",
         "n_cand",
-        F.round(
-            F.try_divide(F.col("q_ref").cast("double"), F.col("n_ref") * denom), 6
+        (
+            F.round(
+                F.try_divide(F.col("q_ref").cast("double"), F.col("n_ref") * denom),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mean_ref"),
-        F.round(
-            F.try_divide(F.col("q_cand").cast("double"), F.col("n_cand") * denom),
-            6,
+        (
+            F.round(
+                F.try_divide(
+                    F.col("q_cand").cast("double"), F.col("n_cand") * denom
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mean_cand"),
         (
             F.round(
@@ -1550,8 +1574,9 @@ WITH e AS (
   FROM el GROUP BY pos
 )
 SELECT CAST(pos AS BIGINT) AS dim, n_ref, n_cand,
-       ROUND(CAST(q_ref AS DOUBLE) / (n_ref * {_CENTROID_Q}.0), 6) AS mean_ref,
-       ROUND(CAST(q_cand AS DOUBLE) / (n_cand * {_CENTROID_Q}.0), 6)
+       ROUND(CAST(q_ref AS DOUBLE) / (n_ref * {_CENTROID_Q}.0), 6) + 0.0
+         AS mean_ref,
+       ROUND(CAST(q_cand AS DOUBLE) / (n_cand * {_CENTROID_Q}.0), 6) + 0.0
          AS mean_cand,
        ROUND(CAST(CAST(q_cand AS HUGEINT) * n_ref
                   - CAST(q_ref AS HUGEINT) * n_cand AS DOUBLE)

@@ -200,9 +200,19 @@ def _numpy_label_ranks():
     C = np.stack(
         [_round_half_away(X[labels == l] * Q).sum(axis=0) for l in uniq]
     )
-    cos = (X @ C.T) / (
-        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
-    )
+    # sequential (left-to-right) dot products and norms, matching the
+    # query's per-element array fold exactly — BLAS matmul / np.sum use a
+    # different summation order and could flip a sub-ulp near-tie in the
+    # argmax or the top-20 margin cutoff
+    n, dims = X.shape
+    dot = np.zeros((n, len(uniq)))
+    xsq = np.zeros(n)
+    csq = np.zeros(len(uniq))
+    for d in range(dims):
+        dot += X[:, d, None] * C[None, :, d]
+        xsq += X[:, d] * X[:, d]
+        csq += C[:, d] * C[:, d]
+    cos = dot / (np.sqrt(xsq)[:, None] * np.sqrt(csq)[None, :])
     return ids, labels, uniq, cos
 
 

@@ -41,14 +41,12 @@ def test_vocab_coverage_matches_pandas(spark):
 # ---------------------------------------------------------------------------
 # generalization ladder
 # ---------------------------------------------------------------------------
-def test_generalization_ladder_matches_pandas(spark):
+def _ladder_replay():
+    """pandas replay of the query's RESIDUAL-group cascade: the k-check at
+    each coarser level counts only the rows still needing generalization."""
     import math
 
-    from log_agent_spark.operators.governance import (
-        _ACCTBAL_BAND,
-        _K_ANON,
-        q_privacy_generalization_ladder,
-    )
+    from log_agent_spark.operators.governance import _ACCTBAL_BAND, _K_ANON
 
     cust = pd.read_parquet(f"{SF}/customer.parquet")
     qi = pd.DataFrame(
@@ -59,56 +57,53 @@ def test_generalization_ladder_matches_pandas(spark):
         }
     )
     sz0 = qi.groupby(["n", "s", "b"])["n"].transform("size")
-    sz1 = qi.groupby(["n", "s"])["n"].transform("size")
-    sz2 = qi.groupby(["n"])["n"].transform("size")
-    level = pd.Series(3, index=qi.index)
-    level[sz2 >= _K_ANON] = 2
-    level[sz1 >= _K_ANON] = 1
+    level = pd.Series(-1, index=qi.index)
     level[sz0 >= _K_ANON] = 0
+    r1 = level < 0
+    sz1r = qi[r1].groupby(["n", "s"])["n"].transform("size")
+    level[sz1r[sz1r >= _K_ANON].index] = 1
+    r2 = level < 0
+    sz2r = qi[r2].groupby(["n"])["n"].transform("size")
+    level[sz2r[sz2r >= _K_ANON].index] = 2
+    level[level < 0] = 3
+    keys = pd.Series("*", index=qi.index)
+    asstr = lambda col: qi[col].astype(str)  # noqa: E731
+    keys[level == 2] = asstr("n")
+    keys[level == 1] = asstr("n") + "|" + asstr("s")
+    keys[level == 0] = asstr("n") + "|" + asstr("s") + "|" + asstr("b")
+    return qi, level, keys
+
+
+def test_generalization_ladder_matches_pandas(spark):
+    from log_agent_spark.operators.governance import (
+        q_privacy_generalization_ladder,
+    )
+
+    qi, level, keys = _ladder_replay()
     ref_rows = level.value_counts().to_dict()
     got = {
         r["level"]: r.asDict()
         for r in q_privacy_generalization_ladder(spark, SF).collect()
     }
     assert {k: v["n_rows"] for k, v in got.items()} == ref_rows
-    assert sum(v["n_rows"] for v in got.values()) == len(cust)
-    # distinct released groups per level, replayed
-    keys = pd.Series("*", index=qi.index)
-    asstr = lambda col: qi[col].astype(str)  # noqa: E731
-    keys[level == 2] = asstr("n")
-    keys[level == 1] = asstr("n") + "|" + asstr("s")
-    keys[level == 0] = asstr("n") + "|" + asstr("s") + "|" + asstr("b")
+    assert sum(v["n_rows"] for v in got.values()) == len(qi)
     for lv, v in got.items():
         assert v["n_groups"] == keys[level == lv].nunique()
-        assert v["pct_rows"] == round(v["n_rows"] / len(cust), 4)
+        assert v["pct_rows"] == round(v["n_rows"] / len(qi), 4)
 
 
 def test_generalization_ladder_released_groups_reach_k(spark):
-    """The whole point: every group actually released at level < 3 has
-    size >= k when re-grouped at its own level."""
-    import math
+    """The whole point of the residual cascade: every group actually
+    RELEASED at level < 3 — i.e. the set of rows sharing a released key —
+    has at least k members. (The naive full-group k-check fails this: a
+    coarse group whose finer subgroups were already released can leave a
+    sub-k residue.)"""
+    from log_agent_spark.operators.governance import _K_ANON
 
-    from log_agent_spark.operators.governance import (
-        _ACCTBAL_BAND,
-        _K_ANON,
-    )
-
-    cust = pd.read_parquet(f"{SF}/customer.parquet")
-    qi = pd.DataFrame(
-        {
-            "n": cust["c_nationkey"].astype("int64"),
-            "s": cust["c_mktsegment"],
-            "b": (cust["c_acctbal"] / _ACCTBAL_BAND).map(math.floor),
-        }
-    )
-    sz0 = qi.groupby(["n", "s", "b"])["n"].transform("size")
-    sz1 = qi.groupby(["n", "s"])["n"].transform("size")
-    sz2 = qi.groupby(["n"])["n"].transform("size")
-    assert (sz0[sz0 >= _K_ANON] >= _K_ANON).all()
-    lvl1 = (sz0 < _K_ANON) & (sz1 >= _K_ANON)
-    assert (sz1[lvl1] >= _K_ANON).all()
-    lvl2 = (sz1 < _K_ANON) & (sz2 >= _K_ANON)
-    assert (sz2[lvl2] >= _K_ANON).all()
+    _qi, level, keys = _ladder_replay()
+    released = level < 3
+    group_sizes = keys[released].groupby(keys[released]).size()
+    assert (group_sizes >= _K_ANON).all(), group_sizes[group_sizes < _K_ANON]
 
 
 # ---------------------------------------------------------------------------

@@ -91,7 +91,7 @@ def main() -> None:
             n = qs[name](spark, dst).count()
             print(f"ok     {name}: {n} rows" if n else f"EMPTY  {name}")
         except Exception as e:  # noqa: BLE001 — triage sweep, report all
-            first = str(e).strip().splitlines()[0][:160] if str(e) else ""
+            first = (str(e).strip().splitlines() or [""])[0][:160]
             crashes[name] = f"{type(e).__name__}: {first}"
             print(f"CRASH  {name}: {crashes[name]}")
         finally:

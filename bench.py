@@ -205,6 +205,7 @@ HEADLINE = [
     "privacy_generalization_ladder",
     "events_slo_burn_rate",
     "embedding_drift_audit",
+    "graph_cc_incremental",
 ]
 
 

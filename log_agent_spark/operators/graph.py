@@ -212,6 +212,148 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# Incremental connected-components maintenance (the IVM pattern of
+# operators/rollup.py applied to the north-star dup-group resolution): at
+# 100 TB you never re-run CC over the full edge history when a batch of
+# new near-dup edges lands — the stored (node → component) labels ARE a
+# spanning contraction of everything seen so far, so merging the delta is
+# CC over (label edges ∪ delta edges), a graph whose size is O(nodes +
+# |Δ|) instead of O(all edges ever). Identity: CC(CC(old) ∪ Δ) = CC(old ∪
+# Δ) — the proof query computes both paths and publishes the
+# component-size histograms side by side with a per-row match flag; a
+# regression in either engine's CC or in the contraction shows up as
+# match = false rows, not a silently wrong corpus.
+#
+# The delta split is a deterministic arithmetic predicate on the
+# CANONICAL (least, greatest) pair — symmetric under edge direction and
+# identical on both engines (no hash functions, no floats anywhere).
+# ---------------------------------------------------------------------------
+_CC_IVM_DELTA_MOD = 5
+
+
+@pinned_query("graph_cc_ivm_")
+def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("prefix"))
+    )
+    a = d.select(F.col("doc_id").alias("src"), "lang", F.col("prefix").alias("ap"))
+    b = d.select(F.col("doc_id").alias("dst"), "lang", F.col("prefix").alias("bp"))
+    edges = (
+        a.join(b, "lang")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("ap", "bp") <= 24)
+        .select("src", "dst")
+    )
+    is_delta = (F.col("src") * 131 + F.col("dst")) % _CC_IVM_DELTA_MOD == 0
+    nodes = d.select("doc_id")
+    labels_old = connected_components(
+        nodes, edges.filter(~is_delta), id_col="doc_id", max_iter=25
+    )
+    # the stored labels as edges: node—comp is a spanning contraction
+    label_edges = labels_old.select(
+        F.col("node").alias("src"), F.col("comp").alias("dst")
+    )
+    merged = connected_components(
+        nodes,
+        label_edges.unionByName(edges.filter(is_delta)),
+        id_col="doc_id",
+        max_iter=25,
+    )
+    one_shot = connected_components(nodes, edges, id_col="doc_id", max_iter=25)
+
+    def _histogram(labels: DataFrame, col: str) -> DataFrame:
+        return (
+            labels.groupBy("comp")
+            .agg(F.count("*").alias("sz"))
+            .groupBy(F.col("sz").cast("bigint").alias("comp_size"))
+            .agg(F.count("*").cast("bigint").alias(col))
+        )
+    hi = _histogram(merged, "n_components_incremental")
+    ho = _histogram(one_shot, "n_components_oneshot")
+    return (
+        hi.join(ho, "comp_size", "full_outer")
+        .select(
+            "comp_size",
+            F.coalesce("n_components_incremental", F.lit(0))
+            .cast("bigint")
+            .alias("n_components_incremental"),
+            F.coalesce("n_components_oneshot", F.lit(0))
+            .cast("bigint")
+            .alias("n_components_oneshot"),
+        )
+        .withColumn(
+            "match",
+            F.col("n_components_incremental") == F.col("n_components_oneshot"),
+        )
+    )
+
+
+ORACLE_GRAPH_CC_INCREMENTAL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, substring(text, 1, 40) AS prefix
+  FROM documents WHERE doc_id < 120
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= 24
+), old_e AS (
+  SELECT * FROM edges
+  WHERE (LEAST(src, dst) * 131 + GREATEST(src, dst)) % {_CC_IVM_DELTA_MOD} <> 0
+), delta_e AS (
+  SELECT * FROM edges
+  WHERE (LEAST(src, dst) * 131 + GREATEST(src, dst)) % {_CC_IVM_DELTA_MOD} = 0
+), reach_old(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach_old.node, old_e.dst FROM reach_old JOIN old_e
+    ON reach_old.r = old_e.src
+), labels_old AS (
+  SELECT node, MIN(r) AS comp FROM reach_old GROUP BY node
+), merged_e AS (
+  SELECT node AS src, comp AS dst FROM labels_old
+  UNION
+  SELECT comp, node FROM labels_old
+  UNION
+  SELECT src, dst FROM delta_e
+), reach_m(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach_m.node, merged_e.dst FROM reach_m JOIN merged_e
+    ON reach_m.r = merged_e.src
+), labels_m AS (
+  SELECT node, MIN(r) AS comp FROM reach_m GROUP BY node
+), reach_all(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach_all.node, edges.dst FROM reach_all JOIN edges
+    ON reach_all.r = edges.src
+), labels_all AS (
+  SELECT node, MIN(r) AS comp FROM reach_all GROUP BY node
+), hi AS (
+  SELECT CAST(sz AS BIGINT) AS comp_size,
+         CAST(COUNT(*) AS BIGINT) AS n_components_incremental
+  FROM (SELECT comp, COUNT(*) AS sz FROM labels_m GROUP BY comp)
+  GROUP BY sz
+), ho AS (
+  SELECT CAST(sz AS BIGINT) AS comp_size,
+         CAST(COUNT(*) AS BIGINT) AS n_components_oneshot
+  FROM (SELECT comp, COUNT(*) AS sz FROM labels_all GROUP BY comp)
+  GROUP BY sz
+)
+SELECT comp_size,
+       CAST(COALESCE(n_components_incremental, 0) AS BIGINT)
+         AS n_components_incremental,
+       CAST(COALESCE(n_components_oneshot, 0) AS BIGINT)
+         AS n_components_oneshot,
+       (COALESCE(n_components_incremental, 0)
+          = COALESCE(n_components_oneshot, 0)) AS match
+FROM hi FULL OUTER JOIN ho USING (comp_size)
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank (fixed 3 iterations, damping 0.85) over the customer→supplier
 # trade graph (distinct (o_custkey, l_suppkey) pairs; supplier ids offset
 # so the two key spaces don't collide). The representative *iterative*
@@ -994,6 +1136,7 @@ LIMIT {_JACCARD_TOP_K}
 QUERIES = {
     "graph_bfs_hops": q_graph_bfs_hops,
     "dedup_connected_components": q_dedup_connected_components,
+    "graph_cc_incremental": q_graph_cc_incremental,
     "graph_pagerank": q_pagerank_trade_graph,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_label_propagation": q_graph_label_propagation,
@@ -1006,6 +1149,7 @@ QUERIES = {
 ORACLES = {
     "graph_bfs_hops": ORACLE_BFS_HOPS,
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
+    "graph_cc_incremental": ORACLE_GRAPH_CC_INCREMENTAL,
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
     "graph_label_propagation": ORACLE_LABEL_PROPAGATION,

@@ -141,6 +141,76 @@ def test_embedding_drift_audit_matches_numpy(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental connected components
+# ---------------------------------------------------------------------------
+def test_cc_incremental_matches_union_find(spark):
+    """Replay both paths with an independent union-find and assert the
+    query's histograms AND its own match flags."""
+    from log_agent_spark.operators.graph import (
+        _CC_IVM_DELTA_MOD,
+        q_graph_cc_incremental,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["doc_id"] < 120][["doc_id", "lang", "text"]]
+    docs["prefix"] = docs["text"].str[:40]
+
+    def _lev(a, b):
+        # classic DP; strings are 40 chars so this is fine at test scale
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    edges = []
+    rows = list(docs.itertuples(index=False))
+    for i, x in enumerate(rows):
+        for y in rows[i + 1 :]:
+            if x.lang == y.lang and _lev(x.prefix, y.prefix) <= 24:
+                s, t = sorted((int(x.doc_id), int(y.doc_id)))
+                edges.append((s, t))
+
+    def _components(edge_list):
+        parent = {int(d): int(d) for d in docs["doc_id"]}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for s, t in edge_list:
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[max(rs, rt)] = min(rs, rt)
+        sizes = collections.Counter(find(u) for u in parent)
+        return collections.Counter(sizes.values())  # size -> n_components
+
+    delta = [(s, t) for s, t in edges if (s * 131 + t) % _CC_IVM_DELTA_MOD == 0]
+    old = [(s, t) for s, t in edges if (s * 131 + t) % _CC_IVM_DELTA_MOD != 0]
+    assert delta and old, "split must exercise both paths"
+    hist_all = _components(edges)
+    # incremental path: contract old, then merge delta (union-find's
+    # find() IS the contraction, so components(old then delta) == all)
+    hist_inc = _components(old + delta)
+    assert hist_inc == hist_all
+
+    got = {r["comp_size"]: r.asDict() for r in q_graph_cc_incremental(spark, SF).collect()}
+    assert {k: v["n_components_oneshot"] for k, v in got.items()} == dict(hist_all)
+    for v in got.values():
+        assert v["match"] is True
+        assert v["n_components_incremental"] == v["n_components_oneshot"]
+
+
+# ---------------------------------------------------------------------------
 # SLO burn rate
 # ---------------------------------------------------------------------------
 def test_slo_burn_rate_matches_pandas(spark):

@@ -173,8 +173,12 @@ def connected_components_star(
 # are already oracle-verified) resolved to components. Output is per-doc:
 # (doc_id, component = min doc_id of its cluster).
 # ---------------------------------------------------------------------------
-@pinned_query("graph_cc_")
-def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, canonical src<dst edges) of the dup-candidate graph shared
+    by q_dedup_connected_components and q_graph_cc_incremental — one
+    definition so the two halves of the dup-group pipeline cannot drift."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
@@ -188,21 +192,31 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("ap", "bp") <= 24)
         .select("src", "dst")
     )
-    comp = connected_components(
-        d.select("doc_id"), edges, id_col="doc_id", max_iter=25
-    )
-    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    return d.select("doc_id"), edges
 
 
-ORACLE_DEDUP_CONNECTED_COMPONENTS = """
-WITH RECURSIVE d AS (
+# shared oracle CTE prefix: the same candidate graph in SQL, used by both
+# dup-group oracles below (kept textually single-sourced for the same
+# anti-drift reason as _dedup_candidate_pairs)
+_DEDUP_GRAPH_SQL = """d AS (
   SELECT doc_id, lang, substring(text, 1, 40) AS prefix
   FROM documents WHERE doc_id < 120
 ), edges AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
   WHERE levenshtein(a.prefix, b.prefix) <= 24
-), reach(node, r) AS (
+)"""
+
+
+@pinned_query("graph_cc_")
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _dedup_candidate_pairs(spark, sf_dir)
+    comp = connected_components(nodes, edges, id_col="doc_id", max_iter=25)
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+ORACLE_DEDUP_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_DEDUP_GRAPH_SQL}, reach(node, r) AS (
   SELECT doc_id, doc_id FROM d
   UNION
   SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
@@ -233,21 +247,16 @@ _CC_IVM_DELTA_MOD = 5
 
 @pinned_query("graph_cc_ivm_")
 def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id", "lang", F.substring("text", 1, 40).alias("prefix"))
-    )
-    a = d.select(F.col("doc_id").alias("src"), "lang", F.col("prefix").alias("ap"))
-    b = d.select(F.col("doc_id").alias("dst"), "lang", F.col("prefix").alias("bp"))
-    edges = (
-        a.join(b, "lang")
-        .filter(F.col("src") < F.col("dst"))
-        .filter(F.levenshtein("ap", "bp") <= 24)
-        .select("src", "dst")
-    )
+    """IVM maintenance proof for dup-group resolution: merge a delta edge
+    batch into the stored CC labels (a spanning contraction) and verify —
+    per component size AND per node — that the result equals one-shot CC
+    over all edges: CC(CC(old) ∪ Δ) = CC(old ∪ Δ)."""
+    nodes, edges = _dedup_candidate_pairs(spark, sf_dir)
+    # pin: all three CC runs below rebuild their edge input every
+    # propagation round; without this the quadratic levenshtein pair join
+    # would re-execute O(rounds × 3) times
+    edges = pin(edges)
     is_delta = (F.col("src") * 131 + F.col("dst")) % _CC_IVM_DELTA_MOD == 0
-    nodes = d.select("doc_id")
     labels_old = connected_components(
         nodes, edges.filter(~is_delta), id_col="doc_id", max_iter=25
     )
@@ -262,6 +271,19 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=25,
     )
     one_shot = connected_components(nodes, edges, id_col="doc_id", max_iter=25)
+
+    # assignment-exact check, not just the size multiset: a contraction
+    # bug that permutes node→component assignments while preserving sizes
+    # must surface too
+    mismatches = (
+        merged.select("node", F.col("comp").alias("mc"))
+        .join(one_shot.select("node", F.col("comp").alias("oc")), "node")
+        .agg(
+            F.sum(F.when(F.col("mc") != F.col("oc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_label_mismatches")
+        )
+    )
 
     def _histogram(labels: DataFrame, col: str) -> DataFrame:
         return (
@@ -283,22 +305,17 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_components_oneshot"),
         )
+        .crossJoin(F.broadcast(mismatches))
         .withColumn(
             "match",
-            F.col("n_components_incremental") == F.col("n_components_oneshot"),
+            (F.col("n_components_incremental") == F.col("n_components_oneshot"))
+            & (F.col("n_label_mismatches") == 0),
         )
     )
 
 
 ORACLE_GRAPH_CC_INCREMENTAL = f"""
-WITH RECURSIVE d AS (
-  SELECT doc_id, lang, substring(text, 1, 40) AS prefix
-  FROM documents WHERE doc_id < 120
-), edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-  WHERE levenshtein(a.prefix, b.prefix) <= 24
-), old_e AS (
+WITH RECURSIVE {_DEDUP_GRAPH_SQL}, old_e AS (
   SELECT * FROM edges
   WHERE (LEAST(src, dst) * 131 + GREATEST(src, dst)) % {_CC_IVM_DELTA_MOD} <> 0
 ), delta_e AS (
@@ -341,15 +358,22 @@ WITH RECURSIVE d AS (
          CAST(COUNT(*) AS BIGINT) AS n_components_oneshot
   FROM (SELECT comp, COUNT(*) AS sz FROM labels_all GROUP BY comp)
   GROUP BY sz
+), mism AS (
+  SELECT CAST(SUM(CASE WHEN m.comp <> a.comp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_label_mismatches
+  FROM labels_m m JOIN labels_all a USING (node)
 )
 SELECT comp_size,
        CAST(COALESCE(n_components_incremental, 0) AS BIGINT)
          AS n_components_incremental,
        CAST(COALESCE(n_components_oneshot, 0) AS BIGINT)
          AS n_components_oneshot,
+       n_label_mismatches,
        (COALESCE(n_components_incremental, 0)
-          = COALESCE(n_components_oneshot, 0)) AS match
+          = COALESCE(n_components_oneshot, 0)
+        AND n_label_mismatches = 0) AS match
 FROM hi FULL OUTER JOIN ho USING (comp_size)
+CROSS JOIN mism
 """
 
 

@@ -198,15 +198,41 @@ def test_cc_incremental_matches_union_find(spark):
     old = [(s, t) for s, t in edges if (s * 131 + t) % _CC_IVM_DELTA_MOD != 0]
     assert delta and old, "split must exercise both paths"
     hist_all = _components(edges)
-    # incremental path: contract old, then merge delta (union-find's
-    # find() IS the contraction, so components(old then delta) == all)
-    hist_inc = _components(old + delta)
+    # TRUE contract-then-merge replay of the incremental path: run CC on
+    # old edges only, materialize its (node -> comp) labels, then build a
+    # FRESH union-find seeded with ONLY those label edges plus the delta —
+    # the old edges themselves are never consulted again, exactly like the
+    # query's stored-labels contraction
+    def _labels(edge_list):
+        parent = {int(d): int(d) for d in docs["doc_id"]}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for s, t in edge_list:
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[max(rs, rt)] = min(rs, rt)
+        return {u: find(u) for u in parent}
+
+    labels_old = _labels(old)
+    label_edges = [tuple(sorted((u, c))) for u, c in labels_old.items() if u != c]
+    labels_inc = _labels(label_edges + delta)
+    labels_all = _labels(edges)
+    assert labels_inc == labels_all  # assignment-exact, not just sizes
+    hist_inc = collections.Counter(
+        collections.Counter(labels_inc.values()).values()
+    )
     assert hist_inc == hist_all
 
     got = {r["comp_size"]: r.asDict() for r in q_graph_cc_incremental(spark, SF).collect()}
     assert {k: v["n_components_oneshot"] for k, v in got.items()} == dict(hist_all)
     for v in got.values():
         assert v["match"] is True
+        assert v["n_label_mismatches"] == 0
         assert v["n_components_incremental"] == v["n_components_oneshot"]
 
 

@@ -1076,6 +1076,29 @@ FROM ranked
 
 
 _JACCARD_TOP_K = 20
+# Per-center adjacency cap applied BEFORE the wedge self-join: each shared
+# neighbor c contributes at most CAP·(CAP-1)/2 wedges, so total wedge count
+# is ≤ |sym| · CAP — linear in edges regardless of hub degree (without it a
+# single hub of degree d contributes d² wedges). 128 is far above every
+# fixture degree (no behavior change at test scale) yet bounds the worst
+# 100×-scale hub at 128²/2 wedges per center.
+_JACCARD_DEG_CAP = 128
+
+
+def _capped_adjacency(sym: DataFrame, cap: int) -> DataFrame:
+    """Deterministic hub mitigation for wedge enumeration: keep only the
+    ``cap`` smallest-id neighbors of each center node ``v``. (v, u) pairs
+    are distinct in a symmetrized edge list, so ORDER BY u is a total
+    order and both engines select the identical sublist. The per-key
+    row_number window is a shuffle-by-v + per-partition sort — linear,
+    never quadratic, and the partition key is the center node so no
+    SinglePartition window appears in the plan."""
+    w = W.partitionBy("v").orderBy("u")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
 
 
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,23 +1108,27 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket neighborhoods coincide are interchangeable).
 
     Shape: wedge enumeration — symmetrize the (pruned, `_lpa_edges`)
-    adjacency, self-join on the shared neighbor, count per pair — then
-    one degree join; |wedges| = Σ_c deg(c)², kept tractable by the same
-    min-support prune every query on this graph relies on. At 100 TB the
-    standard hub mitigation applies unchanged: cap or sample neighbor
-    lists above a degree threshold before the wedge join (documented, not
-    needed at fixture scale). Jaccard = common/(da+db-common) is a ratio
-    of small exact ints — identical IEEE division on both engines, so the
-    ORDER BY on the raw ratio (ties → (a, b)) picks the same 20 rows;
-    output rounds to 6 places (strictly positive, no -0 risk).
+    adjacency, cap each center's neighbor list at `_JACCARD_DEG_CAP`
+    (deterministic smallest-id sample, mirrored verbatim in the oracle),
+    self-join on the shared neighbor, count per pair — then one degree
+    join; |wedges| ≤ |sym|·CAP by construction (the hub mitigation is
+    executable, not advisory — see `_capped_adjacency` and the
+    planted-hub regression in tests/test_r4b_additions.py). Degrees in
+    the Jaccard denominator stay UNCAPPED (true set sizes); the cap only
+    bounds which wedges are enumerated, the standard sampling semantics.
+    Jaccard = common/(da+db-common) is a ratio of small exact ints —
+    identical IEEE division on both engines, so the ORDER BY on the raw
+    ratio (ties → (a, b)) picks the same 20 rows; output rounds to 6
+    places (strictly positive, no -0 risk).
     """
     edges = _lpa_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    a = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    b = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    capped = _capped_adjacency(sym, _JACCARD_DEG_CAP)
+    a = capped.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    b = capped.select(F.col("u").alias("b"), F.col("v").alias("c"))
     common = (
         a.join(b, "c")
         .filter(F.col("a") < F.col("b"))
@@ -1139,9 +1166,14 @@ WITH pp AS (
   SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
 ), deg AS (
   SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1
+), capped AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) AS rn
+    FROM sym
+  ) WHERE rn <= {_JACCARD_DEG_CAP}
 ), common AS (
   SELECT x.u AS a, y.u AS b, COUNT(*) AS common_nbrs
-  FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u
+  FROM capped x JOIN capped y ON x.v = y.v AND x.u < y.u
   GROUP BY 1, 2
 )
 SELECT a, b,

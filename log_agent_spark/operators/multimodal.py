@@ -702,5 +702,6 @@ ORACLES = {
     "media_decode_meta": ORACLE_MEDIA_DECODE_META,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
-    "media_kind_stats": ORACLE_MEDIA_KIND_STATS,    "media_phash_neardup": ORACLE_MEDIA_PHASH_NEARDUP,
+    "media_kind_stats": ORACLE_MEDIA_KIND_STATS,
+    "media_phash_neardup": ORACLE_MEDIA_PHASH_NEARDUP,
 }

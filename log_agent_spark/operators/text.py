@@ -1422,7 +1422,12 @@ def q_langid_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias("chars_per_token"),
+        # try_divide: a predicted_lang group whose docs are all token-free
+        # (whitespace-only text → 'und', n_tokens=0) must yield NULL like
+        # DuckDB, not crash under the driver's ANSI-on default.
+        F.round(F.try_divide(F.sum("n_chars"), F.sum("n_tokens")), 4).alias(
+            "chars_per_token"
+        ),
         F.round(F.sum("n_tokens") / F.count("*"), 4).alias("tokens_per_doc"),
     )
 
@@ -1540,7 +1545,15 @@ _ENTROPY_FLAG_HIGH = 5.2
 
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Empty docs are filtered identically on both engines: Spark's
+    # sequence(1, 0) yields [1, 0] (step defaults to -1 when start > stop)
+    # while DuckDB's generate_series(1, 0) is empty — without the filter an
+    # empty-text doc would emit a phantom entropy row on Spark only.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
     chars = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
@@ -1553,12 +1566,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.join(tot, "doc_id")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                -F.sum(
-                    (F.col("c") / F.col("n"))
-                    * F.log2(F.col("c") / F.col("n"))
-                ),
-                4,
+            # + 0.0 normalizes IEEE -0.0 → 0.0: a single-distinct-char doc
+            # has entropy exactly -(1·log2(1)) = -0.0 on DuckDB, and the
+            # driver hash distinguishes -0.0 from 0.0 (repo convention)
+            (
+                F.round(
+                    -F.sum(
+                        (F.col("c") / F.col("n"))
+                        * F.log2(F.col("c") / F.col("n"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("entropy_bits"),
             F.count("*").alias("n_distinct_chars"),
         )
@@ -1578,13 +1597,14 @@ ORACLE_CHAR_ENTROPY = f"""
 WITH chars AS (
   SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
   FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) > 0
 ), counts AS (
   SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
 ), tot AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
 ), ent AS (
   SELECT counts.doc_id,
-         ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy_bits,
+         ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 4) + 0.0 AS entropy_bits,
          COUNT(*) AS n_distinct_chars
   FROM counts JOIN tot ON counts.doc_id = tot.doc_id
   GROUP BY counts.doc_id

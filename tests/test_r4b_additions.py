@@ -142,6 +142,41 @@ def test_graph_jaccard_matches_bruteforce(spark):
         prev = raw
 
 
+def test_jaccard_hub_cap_bounds_wedges(spark):
+    """Planted hub: a star of degree 3×CAP must contribute at most
+    CAP·(CAP-1)/2 wedges through its center, not deg²/2 — the executable
+    hub mitigation behind graph_jaccard_neighbors' scale contract."""
+    from log_agent_spark.operators.graph import _capped_adjacency
+
+    cap = 8
+    hub_deg = 3 * cap
+    # star: center node 0 connected to 1..hub_deg, symmetrized
+    edges = [(0, i) for i in range(1, hub_deg + 1)]
+    sym = spark.createDataFrame(
+        edges + [(v, u) for (u, v) in edges], "u long, v long"
+    )
+    capped = _capped_adjacency(sym, cap)
+    # deterministic smallest-id selection: center 0's list is exactly 1..cap
+    kept = sorted(
+        r.u for r in capped.filter(F.col("v") == 0).collect()
+    )
+    assert kept == list(range(1, cap + 1))
+    # wedge count through any center is bounded by C(cap, 2)
+    a = capped.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    b = capped.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = (
+        a.join(b, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    bound = cap * (cap - 1) // 2
+    assert all(r["count"] <= bound for r in wedges)
+    # the hub center hits the bound exactly (cap kept of hub_deg leaves)
+    assert {r.c: r["count"] for r in wedges}[0] == bound
+
+
 # ---------------------------------------------------------------------------
 # key-skew profile on a constructed distribution
 # ---------------------------------------------------------------------------

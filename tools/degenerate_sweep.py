@@ -57,10 +57,18 @@ def build_fixture(dst: str) -> None:
     for name, k in _KEEP.items():
         src = os.path.join(SRC_SF, f"{name}.parquet")
         out = os.path.join(dst, f"{name}.parquet")
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{src}') LIMIT {k}) "
-            f"TO '{out}' (FORMAT parquet)"
-        )
+        base = f"SELECT * FROM read_parquet('{src}') LIMIT {k}"
+        if name == "documents":
+            # plant the degenerate-text class the healthy fixtures never
+            # contain: an empty doc (Spark sequence(1,0) → [1,0] phantom
+            # rows without a guard) and a whitespace-only doc (0 tokens →
+            # ANSI DIVIDE_BY_ZERO in any unguarded per-token ratio)
+            base = (
+                f"SELECT * FROM ({base}) UNION ALL "
+                f"SELECT 9000001, '', 'en', 'srcX', 0 UNION ALL "
+                f"SELECT 9000002, '   ', 'en', 'srcX', 3"
+            )
+        con.execute(f"COPY ({base}) TO '{out}' (FORMAT parquet)")
 
 
 def main() -> None:

@@ -77,7 +77,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc_total = (
         d.filter(F.col("source") != EVAL_SOURCE)
-        .select("doc_id", F.size(F.array_distinct(token_ngrams(F.col("text")))).alias("train_ngrams"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(token_ngrams(F.col("text")))).cast("long").alias("train_ngrams"),
+        )
     )
     hits = (
         train.join(F.broadcast(eval_ngrams), "ngram", "left_semi")

@@ -625,7 +625,9 @@ def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
-    return pairs.select("media_a", "media_b", "hamming")
+    return pairs.select(
+        "media_a", "media_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @pinned_query("media_phash_")

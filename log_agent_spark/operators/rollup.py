@@ -247,7 +247,12 @@ def q_events_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             [],
             "one",
         )
-    return spark.read.parquet(path).select("bin", "n_events")
+    # bin is the parquet PARTITION column: read-back infers it from the
+    # directory names as int32 regardless of the written type — cast back
+    # to long so the output matches the oracle's BIGINT
+    return spark.read.parquet(path).select(
+        F.col("bin").cast("long").alias("bin"), "n_events"
+    )
 
 
 ORACLE_EVENTS_HISTOGRAM_INCREMENTAL = f"""

@@ -79,7 +79,7 @@ def brute_force_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -180,7 +180,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -279,7 +279,7 @@ def _cell_topk(probes: DataFrame, candidates: DataFrame, k: int = TOP_K) -> Data
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -466,7 +466,7 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -623,7 +623,7 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("anchor_id", "anchor_label", "negative_id", "negative_label", "rank")
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -694,7 +694,9 @@ def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     norm = v.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
     return v.crossJoin(F.broadcast(norm)).select(
-        "pos", F.round(F.col("v") / F.col("n"), 6).alias("component")
+        # long at the boundary: posexplode yields int32, oracle emits BIGINT
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v") / F.col("n"), 6).alias("component"),
     )
 
 
@@ -956,7 +958,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parts.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rank").cast("long").alias("rank"))
     )
 
 

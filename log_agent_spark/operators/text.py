@@ -36,9 +36,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_computed"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
     )
 
 
@@ -65,7 +65,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
@@ -129,7 +129,9 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterating in reverse so 'en' (first profile) has highest precedence.
     for lang in reversed(list(LANG_PROFILES)):
         pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    cols = [hits[lang].alias(f"hits_{lang}") for lang in LANG_PROFILES]
+    cols = [
+        hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_PROFILES
+    ]
     return d.select("doc_id", "lang", *cols, pred.alias("predicted_lang"))
 
 
@@ -258,8 +260,8 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.size(tokens(F.col("text")))
     return d.select(
         "doc_id",
-        bpe.alias("n_bpe_tokens"),
-        ws.alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
         F.round(bpe / ws, 4).alias("bpe_per_word"),
     )
 
@@ -303,7 +305,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_N)
-        .select("doc_id", "term", "tfidf", "rank")
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -351,7 +353,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.size(bigrams)
     return d.select(
         "doc_id",
-        n.alias("n_words"),
+        n.cast("long").alias("n_words"),
         (F.size(F.array_distinct(words)).cast("double") / n).alias(
             "distinct_word_ratio"
         ),
@@ -407,7 +409,7 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             ((F.col("s") - 1) / _CHUNK_STEP).cast("long").alias("chunk_idx"),
-            F.size(F.slice(F.col("w"), F.col("s"), CHUNK_WORDS)).alias("n_chunk_words"),
+            F.size(F.slice(F.col("w"), F.col("s"), CHUNK_WORDS)).cast("long").alias("n_chunk_words"),
             F.md5(
                 F.concat_ws(" ", F.slice(F.col("w"), F.col("s"), CHUNK_WORDS))
             ).alias("chunk_hash"),
@@ -516,9 +518,9 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.regexp_count(planted, F.lit(_PII_EMAIL)).alias("n_email"),
-        F.regexp_count(planted, F.lit(_PII_PHONE)).alias("n_phone"),
-        F.regexp_count(planted, F.lit(_PII_IP)).alias("n_ip"),
+        F.regexp_count(planted, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(planted, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(planted, F.lit(_PII_IP)).cast("long").alias("n_ip"),
         F.md5(redacted).alias("redacted_hash"),
     )
 
@@ -1310,7 +1312,7 @@ def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = scored.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("term")).limit(_PMI_TOP)
     w = W.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("term"))  # k rows only
-    return topk.withColumn("rank", F.row_number().over(w))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _pmi_oracle() -> str:

@@ -113,8 +113,8 @@ def q_window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.dense_rank().over(w).alias("balance_dense_rank"),
-        F.ntile(4).over(w).alias("balance_quartile"),
+        F.dense_rank().over(w).cast("long").alias("balance_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
     )
@@ -156,7 +156,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("edit_dist", F.levenshtein("a_prefix", "b_prefix"))
         .filter(F.col("edit_dist") <= 24)
-        .select("a_id", "b_id", "lang", "edit_dist")
+        .select("a_id", "b_id", "lang", F.col("edit_dist").cast("long").alias("edit_dist"))
     )
 
 
@@ -451,8 +451,8 @@ def q_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev", 12).over(w).alias("rev12_raw"),
     )
     return series.select(
-        "y",
-        "m",
+        F.col("y").cast("long").alias("y"),
+        F.col("m").cast("long").alias("m"),
         F.round("rev_raw", 2).alias("rev"),
         F.round(F.col("rev_raw") / F.col("prev_raw") - 1, 4).alias("mom_growth"),
         F.when(
@@ -501,8 +501,8 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", month_idx.alias("midx"), "o_totalprice")
         .join(F.broadcast(firsts), "o_custkey")
         .groupBy(
-            "cohort_idx",
-            (F.col("midx") - F.col("cohort_idx")).alias("months_since"),
+            F.col("cohort_idx").cast("long").alias("cohort_idx"),
+            (F.col("midx") - F.col("cohort_idx")).cast("long").alias("months_since"),
         )
         .agg(
             F.countDistinct("o_custkey").alias("n_active"),
@@ -668,7 +668,7 @@ def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shipments"),
         F.round(F.expr("percentile(lead_days, 0.5)"), 1).alias("p50_days"),
         F.round(F.expr("percentile(lead_days, 0.95)"), 1).alias("p95_days"),
-        F.max("lead_days").alias("max_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
     )
 
 

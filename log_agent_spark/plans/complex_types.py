@@ -31,8 +31,8 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
     )
@@ -170,7 +170,7 @@ def q_text_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.lang, COUNT(*) AS n_words,
                COUNT(DISTINCT s.word) AS n_distinct_words,
-               MAX(s.pos) AS max_pos
+               CAST(MAX(s.pos) AS BIGINT) AS max_pos
         FROM udtf_docs d, LATERAL split_words(d.text) s
         GROUP BY d.lang
         """

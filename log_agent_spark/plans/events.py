@@ -562,7 +562,7 @@ def q_scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.unix_millis("ts").alias("valid_from_ms"),
         F.unix_millis(F.lead("ts").over(wc)).alias("valid_to_ms"),
-        F.row_number().over(wc).alias("version"),
+        F.row_number().over(wc).cast("long").alias("version"),
         F.lead("ts").over(wc).isNull().alias("is_current"),
     )
 
@@ -711,7 +711,7 @@ def q_pit_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.max("version").alias("n_versions"),
+        F.max("version").cast("long").alias("n_versions"),
         F.sum("version").alias("version_digest"),
         F.countDistinct("state").alias("n_states_seen"),
     )
@@ -953,7 +953,8 @@ WHERE n_errors * n_w > 3 * total
 def q_weekly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     cells = e.groupBy(
-        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count("*").alias("n"))
     totals = cells.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_cells")
@@ -1491,7 +1492,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
     return topk.withColumn("rank", F.row_number().over(wr)).select(
-        "path", "n_sessions", "rank"
+        "path", "n_sessions", F.col("rank").cast("long").alias("rank")
     )
 
 

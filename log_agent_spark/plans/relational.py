@@ -238,7 +238,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
     )
 
 

@@ -715,7 +715,8 @@ WITH spend AS (
   FROM spend
 )
 SELECT n.n_name, r.c_name, r.total_spend,
-       ROUND(r.total_spend / r.nation_spend, 6) AS nation_share, r.rk
+       ROUND(r.total_spend / r.nation_spend, 6) AS nation_share,
+       CAST(r.rk AS BIGINT) AS rk
 FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
 WHERE r.rk <= 2
 """
@@ -875,7 +876,7 @@ def q_sample_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
         F.min("key").alias("first_key"),
-        F.max("pos").alias("max_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
         # permutation digest: order-weighted sum of doc_ids pins the exact
         # (doc → position) assignment without shipping every row.
         F.sum(F.col("doc_id") * F.col("pos")).alias("perm_digest"),
@@ -951,8 +952,8 @@ def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min("o_custkey").alias("min_cust"),
             F.max("o_custkey").alias("max_cust"),
-            F.min("order_day").alias("min_day"),
-            F.max("order_day").alias("max_day"),
+            F.min("order_day").cast("long").alias("min_day"),
+            F.max("order_day").cast("long").alias("max_day"),
         )
     )
 
@@ -1096,7 +1097,7 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.size(
             F.filter("bs", lambda b: F.col("o_totalprice") > b)
-        ).alias("bin"),
+        ).cast("long").alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -1160,7 +1161,7 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = ranked.orderBy(F.asc("k"), F.asc("o_orderkey")).limit(_WRS_K)
     w = W.orderBy(F.asc("k"), F.asc("o_orderkey"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
-        "o_orderkey", "weight", "rank"
+        "o_orderkey", "weight", F.col("rank").cast("long").alias("rank")
     )
 
 

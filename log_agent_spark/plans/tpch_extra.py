@@ -65,7 +65,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), s.s_nationkey == n1.supp_nationkey)
         .join(F.broadcast(n2), c.c_nationkey == n2.cust_nationkey)
         .filter(pair | rpair)
-        .withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
@@ -119,7 +119,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n1.cust_regionkey == r.r_regionkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == n2.supp_nationkey)
-        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
             F.round(
@@ -168,7 +168,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
         .agg(
             F.round(

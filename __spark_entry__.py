@@ -51,83 +51,79 @@ _MODULES = [
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
 # map; round 1 verified relational/TPC-H + complex_types, round 2 dedup/
 # similarity/multimodal/text, round 3 decontaminate/graph/timeseries/
-# rollup/temporal/skew/events-head — 141/217 cumulative green after r3).
-# Round-4 window, per VERDICT r3's ranked list: 1 canary (q01) + 49
-# first-time queries —
-#   - all 24 sampling queries (incl. the three new mixture/curriculum
-#     planners, the newest float-discipline code → highest residual risk);
-#   - the four new ANN queries, graph_modularity/graph_degree_powerlaw,
-#     curation (2), rollup tail (events_histogram_incremental);
-#   - analytics' never-verified 11;
-#   - dedup_savings, decontam_ngram_sweep, and the three riskiest events
-#     remainders (variant/json extraction + epoch projections).
-# Still queued for round 5 (27): rest of events (13), text tail (9),
-# agentdemo (5) — all strict-mirror-verified today (see COVERAGE.json).
-_R4_WINDOW = [
-    # relational canary (driver-green r1, re-proved r3)
+# rollup/temporal/skew/events-head, round 4 sampling/ANN/analytics/
+# curation — 190/241 cumulative green after r4).
+# Round-5 window, per VERDICT r4's ranked list: 1 canary (q01) + 49 of the
+# final 51 never-driver-verified queries — the events tail (13), the text
+# tail (14, incl. the round-5-hardened char_entropy/langid_fertility),
+# privacy/governance (5), ingest/kafka (3), and every r4 late addition.
+# Deferred to round 6 (2, lowest-risk byte-golden-backed ingest entries):
+#   ingest_text_files, kafka_envelope
+# — after r5 those two are the ONLY queries without driver-hard signal.
+_R5_WINDOW = [
+    # relational canary (driver-green r1, re-proved r3/r4)
     "q01_pricing_summary",
-    # sampling (24) — mixture/curriculum trio leads: newest float recipes
-    "mixture_doremi_step",
-    "mixture_token_budget",
-    "curriculum_quality_bins",
-    "sample_weighted_reservoir",
-    "sample_shuffle_shard",
-    "sample_importance_weighted",
-    "sample_source_mixture",
-    "sample_temperature_mixture",
-    "sample_hash_split",
-    "sample_split_balance",
-    "sample_stratified_cap",
-    "sample_bootstrap_ci",
-    "anomaly_mad",
-    "anomaly_zscore",
-    "histogram_equidepth",
-    "histogram_totalprice",
-    "layout_zorder_stats",
-    "unpivot_measures",
-    "gapfill_locf",
-    "events_ewma_daily",
-    "time_weighted_avg",
-    "winsorized_stats",
-    "training_manifest",
-    "sql_interface",
-    # similarity: the four new ANN queries (r3 additions, mirror-only)
-    "ann_ivf_multiprobe",
-    "ann_nprobe_recall",
-    "ann_ivf_health",
-    "embedding_dim_audit",
-    # graph tail (2)
-    "graph_modularity",
-    "graph_degree_powerlaw",
-    # curation (2)
-    "pipeline_corpus_build",
-    "corpus_datasheet",
-    # rollup tail (1)
-    "events_histogram_incremental",
-    # analytics — never-verified 11
-    "pareto_revenue_concentration",
-    "revenue_seasonality",
-    "cohort_ltv",
-    "part_supplier_hhi",
-    "basket_part_pairs_lift",
-    "customer_rfm",
-    "stats_regression_by_brand",
-    "events_gaps_islands",
-    "events_retention_cohort",
-    "window_rank_variants",
-    "dedup_levenshtein",
-    # dedup/decontaminate tails (2)
-    "dedup_savings",
-    "decontam_ngram_sweep",
-    # events remainder that fits (3): the riskiest extraction shapes
-    "events_json_extract",
-    "events_variant_extract",
-    "epoch_projections",
+    # events tail (13) — incl. the streaming-semantics batch twins
+    "events_error_bursts",
+    "events_pit_versioned_join",
+    "events_transition_matrix",
+    "events_scd2_dimension",
+    "events_rolling_7d_users",
+    "events_cdc_apply",
+    "events_session_paths",
+    "events_pivot",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "debounce_keep_last",
+    "dedup_keep_latest",
+    # text tail (14)
+    "text_token_bpe",
+    "text_tfidf_topterms",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_doc_fingerprint",
+    "text_lang_profile",
+    "text_token_frequency",
+    "text_pmi_top_pairs",
+    "logs_template_mining",
+    "text_langid_fertility",
+    "text_quality_calibration",
+    "text_char_entropy",
+    "text_judge_agreement",
+    "text_vocab_coverage",
+    # privacy / governance (5)
+    "privacy_kanonymity",
+    "privacy_ldiversity",
+    "privacy_generalization_ladder",
+    "gdpr_cascade",
+    "dq_benford",
+    # ingest / kafka (3) — tree walker, wire roundtrips
+    "ingest_logfile_tree",
+    "kafka_wire_roundtrip",
+    "ingest_avro_roundtrip",
+    # similarity / label audits (5)
+    "ann_ndcg_report",
+    "label_noise_audit",
+    "al_margin_sample",
+    "embedding_drift_audit",
+    "media_phash_neardup",
+    # graph (2) — incl. the now-executable jaccard hub cap
+    "graph_cc_incremental",
+    "graph_jaccard_neighbors",
+    # linkage / stats tail (7)
+    "er_blocking_plan",
+    "join_cardinality_estimate",
+    "skew_key_profile",
+    "ts_autocorrelation",
+    "events_slo_burn_rate",
+    "events_interval_overlap",
+    "dedup_cluster_sizes",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R4_WINDOW
+DRIVER_WINDOW = _R5_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -138,13 +134,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R4_WINDOW if name not in full]
+    missing = [name for name in _R5_WINDOW if name not in full]
     if missing:
         # a typo in the window list must fail loudly, not silently shrink
         # the driver's 50-slot verification window (and must survive -O,
         # so no assert)
         raise ValueError(f"window names not in queries(): {missing}")
-    out = {name: full[name] for name in _R4_WINDOW}
+    out = {name: full[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

@@ -741,7 +741,10 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def q_sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    srcnum = F.substring("source", 4, 10).cast("int")  # 'src12' → 12
+    # try_cast: a malformed source id ('srcX') must yield a NULL rate
+    # group, not an ANSI CAST_INVALID_INPUT crash (degenerate-sweep find);
+    # TRY_CAST in the oracle has identical NULL semantics
+    srcnum = F.substring("source", 4, 10).try_cast("int")  # 'src12' → 12
     rate = 10 + 4 * srcnum  # keep-% in [10, 86] across src0..src19
     keep = _hash_bucket(F.col("doc_id")) < rate
     return (
@@ -760,8 +763,8 @@ def q_sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_SOURCE_MIXTURE = f"""
 WITH d AS (
   SELECT source,
-         10 + 4 * CAST(substr(source, 4) AS INT) AS rate_pct,
-         {_oracle_bucket('doc_id')} < (10 + 4 * CAST(substr(source, 4) AS INT)) AS keep,
+         10 + 4 * TRY_CAST(substr(source, 4) AS INT) AS rate_pct,
+         {_oracle_bucket('doc_id')} < (10 + 4 * TRY_CAST(substr(source, 4) AS INT)) AS keep,
          n_chars
   FROM documents
 )

@@ -80,6 +80,19 @@ FLOAT_RECIPE_QUERIES = [
     "curriculum_quality_bins",  # distributed exact NTILE
     "sample_bootstrap_ci",  # hand-rolled (a+b)/2 percentile interpolation
     "events_ewma_daily",  # dyadic alpha=0.5 fold (bit-identical recurrence)
+    # round-5 window pre-verification (VERDICT r4 item 4): the newest hash
+    # recipes, frozen bit-identically BEFORE the driver window rotation
+    "privacy_generalization_ladder",  # residual-group cascade, int k-checks
+    "ts_autocorrelation",  # try_divide, n²-scaled integer denominator
+    "label_noise_audit",  # integer-quantized SUM centroids → exact argmax
+    "al_margin_sample",  # same centroid recipe, margin ordering
+    "text_judge_agreement",  # Cohen kappa from integer contingency
+    "events_slo_burn_rate",  # ratio-of-integer-counts burn windows
+    "text_char_entropy",  # float log2 fold, -0.0 normalized, empty-doc gate
+    "text_langid_fertility",  # try_divide ratio-of-integer-sums
+    "embedding_drift_audit",  # per-dim decimal sums, +0.0 on means
+    "ann_ndcg_report",  # Python-literal integer log2-discount gains
+    "dq_benford",  # leading-digit integer histogram + chi² under round
 ]
 
 

@@ -57,9 +57,11 @@ _MODULES = [
 # final 51 never-driver-verified queries — the events tail (13), the text
 # tail (14, incl. the round-5-hardened char_entropy/langid_fertility),
 # privacy/governance (5), ingest/kafka (3), and every r4 late addition.
-# Deferred to round 6 (2, lowest-risk byte-golden-backed ingest entries):
-#   ingest_text_files, kafka_envelope
-# — after r5 those two are the ONLY queries without driver-hard signal.
+# Deferred to round 6 (2 lowest-risk ingest entries): ingest_text_files
+# (simple whole-file read with a live read_blob oracle) and kafka_envelope
+# (byte-golden frozen-parquet oracle, envelope bytes also pinned in
+# tests/). After r5 those two are the ONLY queries without driver-hard
+# signal.
 _R5_WINDOW = [
     # relational canary (driver-green r1, re-proved r3/r4)
     "q01_pricing_summary",

@@ -65,14 +65,22 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
     return d.select(
         "doc_id",
+        # try_divide throughout: token-free / empty docs must yield NULL
+        # ratios like DuckDB, not an ANSI DIVIDE_BY_ZERO crash; the
+        # passes_quality conjunction then matches SQL three-valued logic
+        # (false AND NULL = false) on both engines
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
-        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
-        F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+        F.round(F.try_divide(F.length("text"), n_tokens), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.try_divide(n_stop, n_tokens), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(alpha_chars, F.length("text")), 4).alias(
+            "alpha_ratio"
+        ),
         (
             (n_tokens >= 10)
-            & (n_stop / n_tokens < 0.5)
-            & (alpha_chars / F.length("text") > 0.5)
+            & (F.try_divide(n_stop, n_tokens) < 0.5)
+            & (F.try_divide(alpha_chars, F.length("text")) > 0.5)
         ).alias("passes_quality"),
     )
 
@@ -262,7 +270,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bpe.cast("long").alias("n_bpe_tokens"),
         ws.cast("long").alias("n_ws_tokens"),
-        F.round(bpe / ws, 4).alias("bpe_per_word"),
+        F.round(F.try_divide(bpe, ws), 4).alias("bpe_per_word"),
     )
 
 

@@ -112,8 +112,10 @@ def q_sample_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_total = F.sum("chars").over(W.partitionBy("split"))
     source_total = F.sum("chars").over(W.partitionBy("source"))
     grand_total = F.sum("chars").over(W.partitionBy())
-    share = F.col("chars") / split_total
-    gshare = source_total / grand_total
+    # try_divide: an all-zero-chars split (or corpus) must yield NULL
+    # shares like DuckDB, not an ANSI crash
+    share = F.try_divide(F.col("chars"), split_total)
+    gshare = F.try_divide(source_total, grand_total)
     return cells.select(
         "source",
         "split",
@@ -1299,20 +1301,26 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target_i = round(B · p_i / Z) with B = budget-multiple × corpus —
     # computed in one float expression from exact integers, then fixed to
     # an integer so the epoch ceil-division is engine-exact
+    # try_divide: z = 0 when every source is token-free (DuckDB → NULL)
     target = F.round(
         F.lit(float(_TB_BUDGET_X))
         * F.col("corpus_tokens")
-        * (F.col("p") / F.col("z"))
+        * F.try_divide(F.col("p"), F.col("z"))
     ).cast("long")
     return j.withColumn("target_tokens", target).select(
         "source",
         "tokens",
-        F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+        F.round(F.try_divide(F.col("p"), F.col("z")), 6).alias("weight"),
         "target_tokens",
+        # tokens = 0 → NULL epochs (DuckDB integer DIV 0 is NULL; ANSI
+        # Spark would crash) — keep the DIV itself integer-exact
         F.expr(
-            "CAST((target_tokens + tokens - 1) DIV tokens AS INT)"
+            "CASE WHEN tokens = 0 THEN CAST(NULL AS INT) "
+            "ELSE CAST((target_tokens + tokens - 1) DIV tokens AS INT) END"
         ).alias("epochs"),
-        F.round(F.col("target_tokens") / F.col("tokens"), 4).alias("oversample_x"),
+        F.round(F.try_divide(F.col("target_tokens"), F.col("tokens")), 4).alias(
+            "oversample_x"
+        ),
     )
 
 

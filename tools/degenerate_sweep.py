@@ -96,7 +96,11 @@ def main() -> None:
     crashes: dict[str, str] = {}
     for name in names:
         try:
-            n = qs[name](spark, dst).count()
+            # collect(), NOT count(): count() lets Catalyst prune the final
+            # projection, so ANSI crashes in output expressions (ratios,
+            # rounds) are silently skipped — the exact class this sweep
+            # exists to catch (round-5 review finding: 4 masked crashes)
+            n = len(qs[name](spark, dst).collect())
             print(f"ok     {name}: {n} rows" if n else f"EMPTY  {name}")
         except Exception as e:  # noqa: BLE001 — triage sweep, report all
             first = (str(e).strip().splitlines() or [""])[0][:160]

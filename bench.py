@@ -196,6 +196,11 @@ HEADLINE = [
     "dq_benford",
     "gdpr_cascade",
     "er_blocking_plan",
+    "er_match_pairs",
+    "er_golden_record",
+    "privacy_tcloseness",
+    "governance_license_taint",
+    "dq_schema_drift",
     "join_cardinality_estimate",
     "text_judge_agreement",
     "ann_ndcg_report",

@@ -461,12 +461,298 @@ GROUP BY level
 """
 
 
+# ---------------------------------------------------------------------------
+# t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): the third leg of
+# the release-audit triad. k-anonymity bounds group SIZE, l-diversity
+# bounds the COUNT of sensitive values, but a group can satisfy both and
+# still leak by skew (90% of one group is status 'F' while the corpus is
+# 30% 'F'). t = the distance between each QI group's sensitive-value
+# distribution and the global one; for categorical attributes the metric
+# is total variation distance TVD = ½·Σ_v |p_g(v) − p(v)|.
+#
+# Cross-engine exactness: TVD is computed over a COMMON DENOMINATOR —
+# ½·Σ_v |cnt_gv·N − cnt_v·n_g| / (n_g·N) — so the summed numerator is an
+# exact BIGINT on both engines and only ONE IEEE division happens per
+# group, then round(6). Missing (group, value) cells contribute
+# |0·N − cnt_v·n_g|, so the group×value frame is completed by a
+# broadcast cross join of two BOUNDED aggregates (|QI groups| ×
+# |distinct statuses| — priorities×years×statuses ≈ 35×3 at any scale).
+# Scale: the only data-scaled shuffle is the first (QI, value) groupBy;
+# everything after is k-row. QI here = (o_orderpriority, order year),
+# sensitive = o_orderstatus.
+# ---------------------------------------------------------------------------
+_T_CLOSE_THRESHOLD = 0.2
+
+
+def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cells = o.groupBy("priority", "yr", "status").agg(
+        F.count("*").alias("cnt_gv")
+    )
+    grp = cells.groupBy("priority", "yr").agg(F.sum("cnt_gv").alias("n_g"))
+    glob = cells.groupBy("status").agg(F.sum("cnt_gv").alias("cnt_v"))
+    tot = glob.agg(F.sum("cnt_v").alias("n_total"))
+    # complete the bounded group×value grid so absent cells still count
+    full = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cells, ["priority", "yr", "status"], "left")
+        .select(
+            "priority",
+            "yr",
+            "n_g",
+            "cnt_v",
+            F.coalesce(F.col("cnt_gv"), F.lit(0)).alias("cnt_gv"),
+        )
+    )
+    per_group = (
+        full.crossJoin(F.broadcast(tot))
+        .groupBy("priority", "yr", "n_g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_gv") * F.col("n_total")
+                    - F.col("cnt_v") * F.col("n_g")
+                )
+            ).alias("tvd_num"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    t = F.col("tvd_num") / (F.lit(2.0) * F.col("n_g") * F.col("n_total"))
+    return per_group.select(
+        "priority",
+        "yr",
+        F.col("n_g").alias("n_rows"),
+        F.round(t, 6).alias("t_distance"),
+        (t > _T_CLOSE_THRESHOLD).alias("breaches_t"),
+    ).orderBy("priority", "yr")
+
+
+ORACLE_PRIVACY_TCLOSENESS = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderstatus AS status
+  FROM orders
+), cells AS (
+  SELECT priority, yr, status, COUNT(*) AS cnt_gv
+  FROM o GROUP BY 1, 2, 3
+), grp AS (
+  SELECT priority, yr, CAST(SUM(cnt_gv) AS BIGINT) AS n_g
+  FROM cells GROUP BY 1, 2
+), gvals AS (
+  SELECT status, CAST(SUM(cnt_gv) AS BIGINT) AS cnt_v FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt_v) AS BIGINT) AS n_total FROM gvals
+), full_grid AS (
+  SELECT g.priority, g.yr, g.n_g, v.status, v.cnt_v,
+         COALESCE(c.cnt_gv, 0) AS cnt_gv
+  FROM grp g CROSS JOIN gvals v
+  LEFT JOIN cells c
+    ON c.priority = g.priority AND c.yr = g.yr AND c.status = v.status
+), per_group AS (
+  SELECT priority, yr, n_g,
+         CAST(SUM(ABS(cnt_gv * n_total - cnt_v * n_g)) AS BIGINT) AS tvd_num,
+         MAX(n_total) AS n_total
+  FROM full_grid CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT priority, yr, n_g AS n_rows,
+       ROUND(tvd_num / (2.0 * n_g * n_total), 6) AS t_distance,
+       tvd_num / (2.0 * n_g * n_total) > {_T_CLOSE_THRESHOLD} AS breaches_t
+FROM per_group
+ORDER BY priority, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# License-taint propagation through duplicate clusters — the compliance
+# twin of exact dedup. If a document from a restricted-license source has
+# byte-identical copies under permissive sources, every copy carries the
+# restriction: "my source is clean" is not a defense when the CONTENT is
+# restricted. Cluster = md5(text) (the dedup_exact partition); a cluster
+# is tainted iff ANY member's source is restricted; the audit reports,
+# per source, how many of its docs sit in tainted clusters and how many
+# of those are contamination-by-duplication (the doc's own source is
+# permissive but a dup copy is restricted).
+#
+# Scale: groupBy(md5) taint bit + broadcast-back join on md5 + one
+# source aggregate — two content-hash shuffles, the exact-dedup shape;
+# no pairs, no graph needed (exact clusters are equivalence classes by
+# construction). Restricted set is a Python literal pasted into both
+# engines. All outputs are exact integer counts + one division.
+# ---------------------------------------------------------------------------
+_RESTRICTED_SOURCES = ("src3", "src7", "src13")
+
+
+def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("chash")
+    )
+    restricted = F.col("source").isin(*_RESTRICTED_SOURCES)
+    clusters = d.groupBy("chash").agg(
+        F.max(restricted.cast("int")).alias("tainted")
+    )
+    tagged = d.join(clusters, "chash").select(
+        "source",
+        restricted.cast("long").alias("own_restricted"),
+        F.col("tainted").cast("long").alias("tainted"),
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tainted").alias("n_tainted"),
+            F.sum(
+                F.when(
+                    (F.col("tainted") == 1) & (F.col("own_restricted") == 0), 1
+                ).otherwise(0)
+            ).alias("n_contaminated_by_dup"),
+            F.round(
+                F.sum("tainted") * 100.0 / F.count("*"), 4
+            ).alias("pct_tainted"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_RESTRICTED = "('" + "','".join(_RESTRICTED_SOURCES) + "')"
+
+ORACLE_GOVERNANCE_LICENSE_TAINT = f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS chash,
+         CASE WHEN source IN {_SQL_RESTRICTED} THEN 1 ELSE 0 END AS own_restricted
+  FROM documents
+), clusters AS (
+  SELECT chash, MAX(own_restricted) AS tainted FROM d GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tainted) AS BIGINT) AS n_tainted,
+       CAST(SUM(CASE WHEN tainted = 1 AND own_restricted = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated_by_dup,
+       ROUND(SUM(tainted) * 100.0 / COUNT(*), 4) AS pct_tainted
+FROM d JOIN clusters USING (chash)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema/contract drift audit: the data-contract check a pipeline runs
+# when a NEW batch lands next to the accepted corpus — per column-level
+# metric and per event_type, do the two slices agree on volume, entity
+# reach, null discipline, and value mass? (corpus_drift_psi answers the
+# distribution question for documents; this is the column-stats contract
+# for the events feed — the thing that catches "the producer silently
+# started sending value in cents" or "user_id went nullable".)
+#
+# The two slices are deterministic halves (event_id parity — a stand-in
+# for yesterday/today). Float discipline: value mass is per-element
+# half-up integer quantization (floor(v·100 + .5) as BIGINT) summed
+# exactly; every ratio is ONE try_divide of exact integers (a half can
+# be empty in a degenerate slice → NULL, DuckDB-identical), round 6.
+# Scale: one groupBy (type, half) over the scan, then a 2-way pivot of a
+# bounded per-type frame — nothing else touches the data.
+# ---------------------------------------------------------------------------
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("event_id"), F.lit(2)).alias("half"),
+        "user_id",
+        "props",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vcents"),
+    )
+    per = e.groupBy("event_type", "half").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.sum("vcents").alias("vmass"),
+    )
+    a = F.when(F.col("half") == 0, F.col("n"))
+    b = F.when(F.col("half") == 1, F.col("n"))
+    pivoted = per.groupBy("event_type").agg(
+        F.sum(a).alias("n_a"),
+        F.sum(b).alias("n_b"),
+        F.sum(F.when(F.col("half") == 0, F.col("n_users"))).alias("users_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("n_users"))).alias("users_b"),
+        F.sum(F.when(F.col("half") == 0, F.col("n_null_props"))).alias(
+            "null_props_a"
+        ),
+        F.sum(F.when(F.col("half") == 1, F.col("n_null_props"))).alias(
+            "null_props_b"
+        ),
+        F.sum(F.when(F.col("half") == 0, F.col("vmass"))).alias("vmass_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("vmass"))).alias("vmass_b"),
+    )
+    return pivoted.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.try_divide(F.col("n_b"), F.col("n_a")), 6).alias(
+            "count_ratio"
+        ),
+        "users_a",
+        "users_b",
+        "null_props_a",
+        "null_props_b",
+        "vmass_a",
+        "vmass_b",
+        F.round(F.try_divide(F.col("vmass_b"), F.col("vmass_a")), 6).alias(
+            "vmass_ratio"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE_DQ_SCHEMA_DRIFT = """
+WITH e AS (
+  SELECT event_type,
+         ((event_id % 2) + 2) % 2 AS half,
+         user_id, props,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vcents
+  FROM events
+), per AS (
+  SELECT event_type, half,
+         COUNT(*) AS n,
+         COUNT(DISTINCT user_id) AS n_users,
+         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
+         SUM(vcents) AS vmass
+  FROM e GROUP BY 1, 2
+), p AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN half = 0 THEN n_users END) AS BIGINT) AS users_a,
+         CAST(SUM(CASE WHEN half = 1 THEN n_users END) AS BIGINT) AS users_b,
+         CAST(SUM(CASE WHEN half = 0 THEN n_null_props END) AS BIGINT)
+           AS null_props_a,
+         CAST(SUM(CASE WHEN half = 1 THEN n_null_props END) AS BIGINT)
+           AS null_props_b,
+         CAST(SUM(CASE WHEN half = 0 THEN vmass END) AS BIGINT) AS vmass_a,
+         CAST(SUM(CASE WHEN half = 1 THEN vmass END) AS BIGINT) AS vmass_b
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       ROUND(n_b / (n_a * 1.0), 6) AS count_ratio,
+       users_a, users_b, null_props_a, null_props_b, vmass_a, vmass_b,
+       ROUND(vmass_b / (vmass_a * 1.0), 6) AS vmass_ratio
+FROM p
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "privacy_kanonymity": q_privacy_kanonymity,
     "privacy_ldiversity": q_privacy_ldiversity,
     "dq_benford": q_dq_benford,
     "gdpr_cascade": q_gdpr_cascade,
     "privacy_generalization_ladder": q_privacy_generalization_ladder,
+    "privacy_tcloseness": q_privacy_tcloseness,
+    "governance_license_taint": q_governance_license_taint,
+    "dq_schema_drift": q_dq_schema_drift,
 }
 
 ORACLES = {
@@ -475,4 +761,7 @@ ORACLES = {
     "dq_benford": ORACLE_DQ_BENFORD,
     "gdpr_cascade": ORACLE_GDPR_CASCADE,
     "privacy_generalization_ladder": ORACLE_PRIVACY_GENERALIZATION_LADDER,
+    "privacy_tcloseness": ORACLE_PRIVACY_TCLOSENESS,
+    "governance_license_taint": ORACLE_GOVERNANCE_LICENSE_TAINT,
+    "dq_schema_drift": ORACLE_DQ_SCHEMA_DRIFT,
 }

@@ -114,9 +114,235 @@ ORACLE_ER_BLOCKING_PLAN = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood matching (Hernández & Stolfo, SIGMOD'95) — the
+# scale-safe comparison stage that consumes the blocking plan above.
+# Within each (nation, segment) block, records are sorted by a cheap
+# similarity-ordering key (balance band, then custkey as the unique
+# tiebreak) and each record is compared ONLY to its next W neighbors in
+# that order: total comparisons = n·W, linear at any scale — the
+# alternative to within-block all-pairs, whose n·(n−1) blowup on a
+# fixed-cardinality key is exactly what er_blocking_plan's max_block
+# column warns about.
+#
+# Scoring is Fellegi-Sunter-shaped with INTEGER log-odds weights (agree /
+# disagree per field, Python literals pasted into both engines): every
+# pair's score is an exact integer, so match decisions are bit-free of
+# float risk. The fields are the customer record's stand-ins for the
+# usual ER evidence (id-suffix ≈ SSN tail, phone exchange, address
+# initial, comment-length band, balance band).
+#
+# Scale shape: one shuffle on the block key for the sort window (lead()
+# per-row state, W columns), then a narrow map — no join at all until
+# the golden-record stage. At 100 TB: multi-pass SNM re-runs the same
+# plan with a different ordering key; the window never exceeds per-row
+# lead state regardless of block size.
+# ---------------------------------------------------------------------------
+_SNM_WINDOW = 3  # compare each record to its next W sort neighbors
+_ER_THRESHOLD = 40  # integer score gate for a match
+
+# (field, agree weight, disagree weight) — integer F-S log-odds stand-ins,
+# sized roughly as round(log2(1/u)) of each field's chance-agreement rate u
+# (the fixture customer record carries key/name/balance/segment only, so
+# the evidence fields derive from name digits and exact balance cents)
+_ER_WEIGHTS = {
+    "name_tail": (35, -1),  # numeric id suffix mod 97 (SSN-tail stand-in)
+    "cents_tail": (25, -2),  # last 3 digits of the balance in cents
+    "bal_band": (15, -5),  # coarse balance band (also the sort key)
+    "bal_parity": (5, -5),  # cent parity (weak 1-bit evidence)
+}
+
+
+def _er_features(c: DataFrame) -> DataFrame:
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.substring("c_name", 10, 9).cast("bigint") % 97).alias("name_tail"),
+        F.pmod(cents, F.lit(1000)).alias("cents_tail"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.pmod(cents, F.lit(2)).alias("bal_parity"),
+    )
+
+
+# pmod twin: DuckDB % keeps the dividend sign (cents can be negative), so
+# the oracle uses ((x % m) + m) % m to match Spark's pmod exactly
+_ER_FEATURES_SQL = """
+  SELECT c_custkey AS custkey,
+         CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS segment,
+         CAST(substr(c_name, 10, 9) AS BIGINT) % 97 AS name_tail,
+         ((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 1000) + 1000) % 1000
+           AS cents_tail,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         ((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 2) + 2) % 2
+           AS bal_parity
+  FROM customer"""
+
+
+def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs with integer F-S scores: each
+    record vs its next W=3 (bal_band, custkey)-order neighbors inside the
+    (nation, segment) block; agree/disagree weights sum to an exact
+    integer score, match iff score >= threshold."""
+    from pyspark.sql.window import Window as W_
+
+    feats = _er_features(load_table(spark, sf_dir, "customer"))
+    w = W_.partitionBy("nationkey", "segment").orderBy("bal_band", "custkey")
+    fields = list(_ER_WEIGHTS)
+    parts = []
+    for k in range(1, _SNM_WINDOW + 1):
+        lead_cols = [
+            F.lead(f, k).over(w).alias(f"b_{f}") for f in fields
+        ] + [F.lead("custkey", k).over(w).alias("b_custkey")]
+        parts.append(
+            feats.select("nationkey", "segment", "custkey", *fields, *lead_cols)
+            .filter(F.col("b_custkey").isNotNull())
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    score = F.lit(0)
+    agree_cols = []
+    for f, (wa, wd) in _ER_WEIGHTS.items():
+        agree = F.col(f) == F.col(f"b_{f}")
+        agree_cols.append(agree.alias(f"agree_{f}"))
+        score = score + F.when(agree, wa).otherwise(wd)
+    return (
+        pairs.select(
+            F.least("custkey", "b_custkey").alias("rec_a"),
+            F.greatest("custkey", "b_custkey").alias("rec_b"),
+            *agree_cols,
+            score.cast("long").alias("score"),
+            (score >= _ER_THRESHOLD).alias("is_match"),
+        )
+        .orderBy("rec_a", "rec_b")
+    )
+
+
+def _er_pairs_sql() -> str:
+    field_list = ", ".join(_ER_WEIGHTS)
+    lead_sets = []
+    for k in range(1, _SNM_WINDOW + 1):
+        leads = ", ".join(
+            f"LEAD({f}, {k}) OVER w{k} AS b_{f}" for f in _ER_WEIGHTS
+        )
+        lead_sets.append(f"""
+  SELECT nationkey, segment, custkey, {field_list},
+         {leads}, LEAD(custkey, {k}) OVER w{k} AS b_custkey
+  FROM feats
+  WINDOW w{k} AS (PARTITION BY nationkey, segment ORDER BY bal_band, custkey)""")
+    score = " + ".join(
+        f"CASE WHEN {f} = b_{f} THEN {wa} ELSE {wd} END"
+        for f, (wa, wd) in _ER_WEIGHTS.items()
+    )
+    agrees = ", ".join(f"{f} = b_{f} AS agree_{f}" for f in _ER_WEIGHTS)
+    return f"""WITH feats AS ({_ER_FEATURES_SQL}
+), pairs AS ({" UNION ALL ".join(lead_sets)}
+)
+SELECT LEAST(custkey, b_custkey) AS rec_a,
+       GREATEST(custkey, b_custkey) AS rec_b,
+       {agrees},
+       CAST({score} AS BIGINT) AS score,
+       ({score}) >= {_ER_THRESHOLD} AS is_match
+FROM pairs WHERE b_custkey IS NOT NULL
+ORDER BY rec_a, rec_b"""
+
+
+ORACLE_ER_MATCH_PAIRS = _er_pairs_sql()
+
+
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: resolve er_match_pairs' matches into
+    entities via connected components (small clusters by construction —
+    SNM emits ≤ W edges per record) and publish, per multi-record
+    entity, the surviving key (min custkey), member count, nation spread,
+    and the merged balance (sum, round 2).
+
+    Scale: the match-edge graph is linear in records (n·W candidate
+    edges, few survive the score gate), so CC converges in a handful of
+    rounds; survivorship is one keyed aggregate over cluster labels.
+    """
+    from log_agent_spark.operators.graph import connected_components
+
+    feats = _er_features(load_table(spark, sf_dir, "customer"))
+    matches = q_er_match_pairs(spark, sf_dir).filter("is_match")
+    edges = matches.select(
+        F.col("rec_a").alias("src"), F.col("rec_b").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("custkey"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, edges, id_col="custkey", max_iter=25
+    ).select(F.col("node").alias("custkey"), "comp")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        # integer cents: SUM(double) is accumulation-order-sensitive
+        # across engines for 3+-member clusters; per-element half-up
+        # quantization then an exact BIGINT sum is order-free
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias(
+            "bal_cents"
+        ),
+    )
+    return (
+        comp.join(c, "custkey")
+        .groupBy("comp")
+        .agg(
+            F.min("custkey").alias("golden_custkey"),
+            F.count("*").alias("n_members"),
+            F.countDistinct("nationkey").alias("n_nations"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("merged_acctbal"),
+        )
+        .select(
+            F.col("comp").alias("entity_id"),
+            "golden_custkey",
+            "n_members",
+            "n_nations",
+            "merged_acctbal",
+        )
+        .orderBy("entity_id")
+    )
+
+
+ORACLE_ER_GOLDEN_RECORD = f"""
+WITH RECURSIVE pairs_all AS ({ORACLE_ER_MATCH_PAIRS.replace("ORDER BY rec_a, rec_b", "")}
+), medges AS (
+  SELECT rec_a AS src, rec_b AS dst FROM pairs_all WHERE is_match
+  UNION
+  SELECT rec_b, rec_a FROM pairs_all WHERE is_match
+), mnodes AS (
+  SELECT DISTINCT src AS custkey FROM medges
+), reach(node, r) AS (
+  SELECT custkey, custkey FROM mnodes
+  UNION
+  SELECT reach.node, medges.dst FROM reach JOIN medges ON reach.r = medges.src
+), comp AS (
+  SELECT node AS custkey, MIN(r) AS comp FROM reach GROUP BY node
+)
+SELECT comp AS entity_id,
+       CAST(MIN(custkey) AS BIGINT) AS golden_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS merged_acctbal
+FROM comp JOIN customer ON custkey = c_custkey
+GROUP BY comp
+ORDER BY entity_id
+"""
+
+
 QUERIES = {
     "er_blocking_plan": q_er_blocking_plan,
+    "er_match_pairs": q_er_match_pairs,
+    "er_golden_record": q_er_golden_record,
 }
 ORACLES = {
     "er_blocking_plan": ORACLE_ER_BLOCKING_PLAN,
+    "er_match_pairs": ORACLE_ER_MATCH_PAIRS,
+    "er_golden_record": ORACLE_ER_GOLDEN_RECORD,
 }

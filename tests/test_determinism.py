@@ -38,6 +38,10 @@ CASES = [
     # round-4 additions
     "text_char_entropy",          # per-doc float log2 fold under round(4)
     "media_phash_neardup",        # integer aHash + banded join
+    # round-5 additions
+    "er_golden_record",           # SNM window pairs -> CC -> survivorship
+    "privacy_tcloseness",         # common-denominator integer TVD
+    "dq_schema_drift",            # per-element cents quantization sums
 ]
 
 
@@ -93,6 +97,11 @@ FLOAT_RECIPE_QUERIES = [
     "embedding_drift_audit",  # per-dim decimal sums, +0.0 on means
     "ann_ndcg_report",  # Python-literal integer log2-discount gains
     "dq_benford",  # leading-digit integer histogram + chi² under round
+    "privacy_tcloseness",  # integer TVD numerator, one division per group
+    "governance_license_taint",  # pure integer counts over md5 clusters
+    "er_match_pairs",  # integer F-S scores over SNM windows
+    "er_golden_record",  # CC labels + integer-cents survivorship
+    "dq_schema_drift",  # integer-cents mass ratios via try_divide
 ]
 
 

@@ -1,0 +1,200 @@
+"""Semantic tests for the round-5 additions (t-closeness, license taint,
+schema drift, sorted-neighborhood ER matching + golden records) — the
+oracle gate proves cross-engine equality; these pin what the operators
+MEAN against constructed micro-data or an independent Python
+implementation (exact TVD, union-find, brute-force rescoring)."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# t-closeness vs exact Python TVD
+# ---------------------------------------------------------------------------
+def test_tcloseness_matches_exact_tvd(spark):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = {
+        (r.priority, r.yr): (r.n_rows, r.t_distance, r.breaches_t)
+        for r in entry.queries()["privacy_tcloseness"](spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""SELECT o_orderpriority AS p, EXTRACT(year FROM o_orderdate) AS y,
+                   o_orderstatus AS s, COUNT(*) AS n
+            FROM '{SF}/orders.parquet' GROUP BY 1, 2, 3"""
+    ).df()
+    total = df["n"].sum()
+    glob = df.groupby("s")["n"].sum()
+    for (p, y), g in df.groupby(["p", "y"]):
+        n_g = g["n"].sum()
+        cnt = dict(zip(g["s"], g["n"]))
+        tvd = 0.5 * sum(
+            abs(cnt.get(s, 0) / n_g - glob[s] / total) for s in glob.index
+        )
+        n_rows, t, breach = got[(p, int(y))]
+        assert n_rows == n_g
+        assert abs(t - tvd) < 2e-6, ((p, y), t, tvd)
+        assert breach == (tvd > 0.2) or abs(tvd - 0.2) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# license taint on a planted dup-cluster fixture
+# ---------------------------------------------------------------------------
+def test_license_taint_propagates_through_dup_cluster(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    rows = [
+        # cluster A: identical text in restricted src3 and clean src0 —
+        # the src0 copy must be counted as contaminated-by-duplication
+        (1, "shared restricted content", "src3"),
+        (2, "shared restricted content", "src0"),
+        # cluster B: clean dup pair, no taint
+        (3, "harmless duplicate", "src0"),
+        (4, "harmless duplicate", "src1"),
+        # singletons: one restricted, one clean
+        (5, "unique restricted", "src7"),
+        (6, "unique clean", "src1"),
+    ]
+    spark.createDataFrame(
+        [(i, t, s, "en", len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in entry.queries()["governance_license_taint"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # src0: 2 docs; doc 2 is tainted via the src3 copy, doc 3 is clean
+    assert got["src0"].n_docs == 2
+    assert got["src0"].n_tainted == 1
+    assert got["src0"].n_contaminated_by_dup == 1
+    # src3: its own doc is restricted (tainted but NOT by duplication)
+    assert got["src3"].n_tainted == 1
+    assert got["src3"].n_contaminated_by_dup == 0
+    # src1: both docs clean
+    assert got["src1"].n_tainted == 0
+
+
+# ---------------------------------------------------------------------------
+# schema drift: planted halves with known contract violations
+# ---------------------------------------------------------------------------
+def test_schema_drift_flags_planted_contract_break(spark, tmp_path):
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # half 0 (even ids): value in units; half 1 (odd ids): producer breaks
+    # the contract and sends cents (x100) and null props
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, ts, 100 + i, "click", 2.0, "p"))
+        else:
+            rows.append((i, ts, 100 + i, "click", 200.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = entry.queries()["dq_schema_drift"](spark, str(tmp_path)).collect()
+    assert r.n_a == 20 and r.n_b == 20 and r.count_ratio == 1.0
+    assert r.null_props_a == 0 and r.null_props_b == 20
+    assert r.vmass_ratio == 100.0  # the cents-vs-units break, exactly
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood ER: structural properties + Python rescoring
+# ---------------------------------------------------------------------------
+def test_er_match_pairs_neighborhood_and_scores(spark):
+    import __spark_entry__ as entry
+    from log_agent_spark.operators.linkage import (
+        _ER_THRESHOLD,
+        _ER_WEIGHTS,
+        _SNM_WINDOW,
+        _er_features,
+    )
+    from log_agent_spark.sources.tables import load_table
+
+    feats = {
+        r.custkey: r
+        for r in _er_features(load_table(spark, SF, "customer")).collect()
+    }
+    pairs = entry.queries()["er_match_pairs"](spark, SF).collect()
+    assert pairs, "SNM must emit candidate pairs"
+
+    # expected pair count: per block, sum over k=1..W of max(0, n-k)
+    blocks = collections.Counter(
+        (f.nationkey, f.segment) for f in feats.values()
+    )
+    expect = sum(
+        max(0, n - k) for n in blocks.values() for k in range(1, _SNM_WINDOW + 1)
+    )
+    assert len(pairs) == expect
+
+    order = sorted(
+        feats.values(), key=lambda f: (f.nationkey, f.segment, f.bal_band, f.custkey)
+    )
+    pos = {f.custkey: i for i, f in enumerate(order)}
+    for r in pairs:
+        a, b = feats[r.rec_a], feats[r.rec_b]
+        # same block, within W sort positions
+        assert (a.nationkey, a.segment) == (b.nationkey, b.segment)
+        assert 0 < abs(pos[r.rec_a] - pos[r.rec_b]) <= _SNM_WINDOW
+        # integer F-S score recomputed independently
+        score = sum(
+            wa if getattr(a, f) == getattr(b, f) else wd
+            for f, (wa, wd) in _ER_WEIGHTS.items()
+        )
+        assert r.score == score
+        assert r.is_match == (score >= _ER_THRESHOLD)
+
+
+def test_er_golden_record_matches_union_find(spark):
+    import __spark_entry__ as entry
+
+    matches = [
+        (r.rec_a, r.rec_b)
+        for r in entry.queries()["er_match_pairs"](spark, SF).collect()
+        if r.is_match
+    ]
+    entities = entry.queries()["er_golden_record"](spark, SF).collect()
+    if not matches:
+        assert not entities
+        return
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in matches:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = collections.defaultdict(set)
+    for x in parent:
+        clusters[find(x)].add(x)
+
+    got = {}
+    for e in entities:
+        got[e.golden_custkey] = e
+    assert len(entities) == len(clusters)
+    for root, members in clusters.items():
+        e = got[min(members)]
+        assert e.n_members == len(members)
+        assert e.golden_custkey == min(members)

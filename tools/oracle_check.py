@@ -28,7 +28,12 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+# default mirrors the driver's correctness SF; override for the sf0.001
+# edge-case sweep (tiny groups, empty join slices):
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 python tools/oracle_check.py
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -35,6 +35,13 @@ SF_DIR = "/root/testdata/sf0.01"
 GOLDEN_QUERIES = ["ingest_logfile_tree", "kafka_envelope", "events_approx_sketches"]
 
 
+# SF-dependent goldens additionally get a per-SF snapshot (suffix =
+# basename of the SF dir) so tools/oracle_check.py's sf0.001 edge sweep
+# compares against the right frozen output; ingest/kafka goldens
+# synthesize their own fixture tree and are SF-independent.
+SF_DEPENDENT = {"events_approx_sketches": ["/root/testdata/sf0.001"]}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from log_agent_spark.session import get_spark
@@ -47,6 +54,12 @@ def main() -> None:
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         pdf.to_parquet(path, index=False)
         print(f"wrote {path}: {len(pdf)} rows, cols={list(pdf.columns)}")
+        for alt_sf in SF_DEPENDENT.get(name, []):
+            pdf = qs[name](spark, alt_sf).toPandas()
+            suffix = os.path.basename(alt_sf.rstrip("/"))
+            path = os.path.join(GOLDEN_DIR, f"{name}.{suffix}.parquet")
+            pdf.to_parquet(path, index=False)
+            print(f"wrote {path}: {len(pdf)} rows")
 
 
 if __name__ == "__main__":

@@ -157,7 +157,23 @@ def main() -> int:
                 print("     WARNING: zero rows")
             continue
         try:
-            dpdf = con.sql(oracles[name]).df()
+            osql = oracles[name]
+            # SF-dependent frozen goldens: when sweeping a non-default SF,
+            # redirect golden-parquet reads to the per-SF snapshot if one
+            # exists (tools/make_goldens.py SF_DEPENDENT)
+            if SF_DIR != "/root/testdata/sf0.01" and "goldens" in osql:
+                import re as _re
+
+                sfx = os.path.basename(SF_DIR.rstrip("/"))
+
+                def _alt(m):
+                    alt = f"{m.group(1)}.{sfx}.parquet"
+                    return alt if os.path.exists(alt) else m.group(0)
+
+                # [\w/.-]+ (not \S+): must NOT swallow the SQL quote char,
+                # or the existence probe sees a path starting with '
+                osql = _re.sub(r"([\w/.-]+goldens/\w+)\.parquet", _alt, osql)
+            dpdf = con.sql(osql).df()
             dn, dh, ddt = frame_hash(dpdf)
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")

@@ -60,8 +60,12 @@ _MODULES = [
 # Deferred to round 6 (2 lowest-risk ingest entries): ingest_text_files
 # (simple whole-file read with a live read_blob oracle) and kafka_envelope
 # (byte-golden frozen-parquet oracle, envelope bytes also pinned in
-# tests/). After r5 those two are the ONLY queries without driver-hard
-# signal.
+# tests/). Queries ADDED after this rotation froze (the round-5 ER/privacy/
+# governance batch: er_match_pairs, er_golden_record, privacy_tcloseness,
+# governance_license_taint, dq_schema_drift, + any later additions) also
+# lack driver-hard signal until the r6 window picks them up — plan r6 as
+# those two + every COVERAGE.json row still marked unverified, then
+# re-proofs.
 _R5_WINDOW = [
     # relational canary (driver-green r1, re-proved r3/r4)
     "q01_pricing_summary",

@@ -496,10 +496,23 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = cells.groupBy("priority", "yr").agg(F.sum("cnt_gv").alias("n_g"))
     glob = cells.groupBy("status").agg(F.sum("cnt_gv").alias("cnt_v"))
     tot = glob.agg(F.sum("cnt_v").alias("n_total"))
-    # complete the bounded group×value grid so absent cells still count
+    # complete the bounded group×value grid so absent cells still count.
+    # eqNullSafe: a NULL-orderdate QI group must match ITS OWN cells (a
+    # null-unsafe join would orphan it and report a constant bogus t).
+    grid = grp.crossJoin(F.broadcast(glob))
     full = (
-        grp.crossJoin(F.broadcast(glob))
-        .join(cells, ["priority", "yr", "status"], "left")
+        grid.join(
+            cells.select(
+                F.col("priority").alias("c_priority"),
+                F.col("yr").alias("c_yr"),
+                F.col("status").alias("c_status"),
+                "cnt_gv",
+            ),
+            F.col("priority").eqNullSafe(F.col("c_priority"))
+            & F.col("yr").eqNullSafe(F.col("c_yr"))
+            & F.col("status").eqNullSafe(F.col("c_status")),
+            "left",
+        )
         .select(
             "priority",
             "yr",
@@ -552,7 +565,9 @@ WITH o AS (
          COALESCE(c.cnt_gv, 0) AS cnt_gv
   FROM grp g CROSS JOIN gvals v
   LEFT JOIN cells c
-    ON c.priority = g.priority AND c.yr = g.yr AND c.status = v.status
+    ON c.priority IS NOT DISTINCT FROM g.priority
+   AND c.yr IS NOT DISTINCT FROM g.yr
+   AND c.status IS NOT DISTINCT FROM v.status
 ), per_group AS (
   SELECT priority, yr, n_g,
          CAST(SUM(ABS(cnt_gv * n_total - cnt_v * n_g)) AS BIGINT) AS tvd_num,
@@ -589,8 +604,18 @@ _RESTRICTED_SOURCES = ("src3", "src7", "src13")
 
 
 def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL text gives md5 = NULL, and a null-unsafe cluster join would drop
+    # exactly the malformed rows a compliance audit must still count.
+    # Absent content is no evidence of duplication, so each NULL-text doc
+    # is its own singleton cluster ('##null##'||doc_id can never collide
+    # with a 32-hex-char real md5).
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5("text").alias("chash")
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.md5("text"),
+            F.concat(F.lit("##null##"), F.col("doc_id").cast("string")),
+        ).alias("chash"),
     )
     restricted = F.col("source").isin(*_RESTRICTED_SOURCES)
     clusters = d.groupBy("chash").agg(
@@ -623,7 +648,8 @@ _SQL_RESTRICTED = "('" + "','".join(_RESTRICTED_SOURCES) + "')"
 
 ORACLE_GOVERNANCE_LICENSE_TAINT = f"""
 WITH d AS (
-  SELECT doc_id, source, md5(text) AS chash,
+  SELECT doc_id, source,
+         COALESCE(md5(text), '##null##' || CAST(doc_id AS VARCHAR)) AS chash,
          CASE WHEN source IN {_SQL_RESTRICTED} THEN 1 ELSE 0 END AS own_restricted
   FROM documents
 ), clusters AS (

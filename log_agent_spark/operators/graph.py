@@ -58,6 +58,7 @@ def connected_components(
     ).transform(pin_checkpoint)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
@@ -73,8 +74,19 @@ def connected_components(
         # witness; one scalar to the driver per round, no row comparison.
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; exhausting the
+        # budget means a component wider than max_iter hops would get a
+        # silently-split labeling. Fail loudly — callers on unbounded-
+        # diameter graphs should use connected_components_star instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the iteration budget); use "
+            "connected_components_star for diameter-independent convergence"
+        )
     return labels
 
 

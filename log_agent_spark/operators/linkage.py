@@ -159,7 +159,9 @@ def _er_features(c: DataFrame) -> DataFrame:
         F.col("c_custkey").alias("custkey"),
         F.col("c_nationkey").cast("bigint").alias("nationkey"),
         F.col("c_mktsegment").alias("segment"),
-        (F.substring("c_name", 10, 9).cast("bigint") % 97).alias("name_tail"),
+        # try_cast: a name not shaped 'Customer#%09d' must yield NULL
+        # evidence (→ disagree weight), not an ANSI CAST_INVALID_INPUT crash
+        (F.substring("c_name", 10, 9).try_cast("bigint") % 97).alias("name_tail"),
         F.pmod(cents, F.lit(1000)).alias("cents_tail"),
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
         F.pmod(cents, F.lit(2)).alias("bal_parity"),
@@ -172,7 +174,7 @@ _ER_FEATURES_SQL = """
   SELECT c_custkey AS custkey,
          CAST(c_nationkey AS BIGINT) AS nationkey,
          c_mktsegment AS segment,
-         CAST(substr(c_name, 10, 9) AS BIGINT) % 97 AS name_tail,
+         TRY_CAST(substr(c_name, 10, 9) AS BIGINT) % 97 AS name_tail,
          ((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 1000) + 1000) % 1000
            AS cents_tail,
          CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
@@ -191,18 +193,26 @@ def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _er_features(load_table(spark, sf_dir, "customer"))
     w = W_.partitionBy("nationkey", "segment").orderBy("bal_band", "custkey")
     fields = list(_ER_WEIGHTS)
-    parts = []
+    # Every lead(·, k) shares ONE window spec inside one projection, so
+    # Catalyst plans a single WindowExec — one shuffle+sort of the table —
+    # where a per-k select+union would re-sort the table W times. stack()
+    # then unpivots the W neighbor sets row-wise with no extra shuffle.
+    lead_cols = [
+        F.lead(f, k).over(w).alias(f"b{k}_{f}")
+        for k in range(1, _SNM_WINDOW + 1)
+        for f in [*fields, "custkey"]
+    ]
+    wide = feats.select("custkey", *fields, *lead_cols)
+    stack_args: list = []
     for k in range(1, _SNM_WINDOW + 1):
-        lead_cols = [
-            F.lead(f, k).over(w).alias(f"b_{f}") for f in fields
-        ] + [F.lead("custkey", k).over(w).alias("b_custkey")]
-        parts.append(
-            feats.select("nationkey", "segment", "custkey", *fields, *lead_cols)
-            .filter(F.col("b_custkey").isNotNull())
-        )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
+        stack_args += [F.col(f"b{k}_{f}") for f in [*fields, "custkey"]]
+    pairs = wide.select(
+        "custkey",
+        *fields,
+        F.stack(F.lit(_SNM_WINDOW), *stack_args).alias(
+            *[f"b_{f}" for f in fields], "b_custkey"
+        ),
+    ).filter(F.col("b_custkey").isNotNull())
     score = F.lit(0)
     agree_cols = []
     for f, (wa, wd) in _ER_WEIGHTS.items():
@@ -261,12 +271,14 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the merged balance (sum, round 2).
 
     Scale: the match-edge graph is linear in records (n·W candidate
-    edges, few survive the score gate), so CC converges in a handful of
-    rounds; survivorship is one keyed aggregate over cluster labels.
+    edges, few survive the score gate), but a dup-heavy load can chain
+    matches into a component whose DIAMETER is unbounded — so resolution
+    uses the large-star/small-star CC (O(log n) rounds regardless of
+    diameter), not min-label propagation; survivorship is one keyed
+    aggregate over cluster labels.
     """
-    from log_agent_spark.operators.graph import connected_components
+    from log_agent_spark.operators.graph import connected_components_star
 
-    feats = _er_features(load_table(spark, sf_dir, "customer"))
     matches = q_er_match_pairs(spark, sf_dir).filter("is_match")
     edges = matches.select(
         F.col("rec_a").alias("src"), F.col("rec_b").alias("dst")
@@ -276,8 +288,8 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select("dst"))
         .distinct()
     )
-    comp = connected_components(
-        nodes, edges, id_col="custkey", max_iter=25
+    comp = connected_components_star(
+        nodes, edges, id_col="custkey"
     ).select(F.col("node").alias("custkey"), "comp")
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),

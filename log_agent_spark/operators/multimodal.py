@@ -63,6 +63,10 @@ def media_corpus(docs: DataFrame) -> DataFrame:
     # spread codec stages across all cores — the fixture parquet is a couple
     # of splits; real media tables get this from their own input splits
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # a NULL blob is no media: without this contract the decode UDFs see
+    # content=None and bytes(None) kills the Python worker (a failed-fetch
+    # row at 100 TB must not crash the whole stage)
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.repartition(par, "doc_id").select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -77,6 +81,7 @@ MEDIA_CORPUS_SQL = """
          text,
          CASE WHEN doc_id % 3 <> 0 THEN 1000 + (doc_id % 60) * 500 END AS duration_ms
   FROM documents
+  WHERE text IS NOT NULL
 """
 
 

@@ -198,3 +198,132 @@ def test_er_golden_record_matches_union_find(spark):
         e = got[min(members)]
         assert e.n_members == len(members)
         assert e.golden_custkey == min(members)
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions: NULL-QI groups, NULL text, malformed names,
+# CC iteration-budget honesty, single-sort SNM plan shape
+# ---------------------------------------------------------------------------
+def test_tcloseness_null_orderdate_group_gets_real_tvd(spark, tmp_path):
+    """A NULL-orderdate QI group must match its own cells (null-safe join):
+    a group distributed exactly like the corpus has t = 0, not the bogus
+    constant 0.5 an orphaned group would report."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    d = dt.date(2024, 1, 15)
+    rows = []
+    # global distribution: half 'F', half 'O' — in both the dated group
+    # and the NULL-date group, so every group's true TVD is exactly 0
+    for i in range(10):
+        rows.append((i, d, "F" if i % 2 else "O", "1-URGENT"))
+    for i in range(10, 20):
+        rows.append((i, None, "F" if i % 2 else "O", "1-URGENT"))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderstatus string, "
+        "o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.yr: r
+        for r in entry.queries()["privacy_tcloseness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {2024, None}
+    for r in out.values():
+        assert r.n_rows == 10
+        assert r.t_distance == 0.0, r
+        assert not r.breaches_t
+
+
+def test_license_taint_counts_null_text_docs(spark, tmp_path):
+    """NULL-text docs must stay in the audit (singleton clusters), not be
+    silently dropped by a null-unsafe md5 cluster join."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, None, "src3"),   # restricted, no content
+        (2, None, "src0"),   # clean, no content — NOT tainted by doc 1
+        (3, "dup text", "src3"),
+        (4, "dup text", "src0"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, 0) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in entry.queries()["governance_license_taint"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # every doc counted, including the NULL-text ones
+    assert got["src0"].n_docs == 2 and got["src3"].n_docs == 2
+    # absent content is no duplication evidence: doc 2 stays clean
+    assert got["src0"].n_tainted == 1  # only the 'dup text' copy
+    assert got["src0"].n_contaminated_by_dup == 1
+
+
+def test_er_features_tolerate_malformed_name(spark, tmp_path):
+    """A c_name without the 'Customer#%09d' digit tail must yield NULL
+    evidence (disagree weight), not an ANSI CAST_INVALID_INPUT crash."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "Anon", 0, 10.0, "BUILDING"),
+        (2, "X", 0, 10.0, "BUILDING"),
+        (3, "Customer#000000003", 0, 10.0, "BUILDING"),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    pairs = entry.queries()["er_match_pairs"](spark, str(tmp_path)).collect()
+    assert len(pairs) == 3  # 3 records, W=3 → (n-1)+(n-2) = 3 pairs
+    for r in pairs:
+        # NULL name_tail on at least one side → never an agree on that field
+        assert r.agree_name_tail is None or r.rec_a == 3 or r.rec_b == 3
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """Min-label CC must fail loudly when the graph diameter exceeds the
+    iteration budget instead of returning silently-split labels."""
+    import pytest
+
+    from log_agent_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 12  # a 12-node path has diameter 11 > max_iter=3
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3).collect()
+    # the star variant collapses the same chain in O(log n) rounds
+    out = connected_components_star(nodes, edges, max_iter=6).collect()
+    assert {r.comp for r in out} == {0}
+
+
+def test_er_match_pairs_single_window_sort(spark):
+    """All W lead() projections share one window spec → exactly one
+    WindowExec (one shuffle+sort), not one per neighbor rank."""
+    import __spark_entry__ as entry
+
+    plan = (
+        entry.queries()["er_match_pairs"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_window = sum(
+        1 for line in plan.splitlines() if " Window " in f" {line.strip()} "
+        or line.strip().startswith("Window ")
+        or "+- Window" in line or "Window [" in line
+    )
+    assert n_window == 1, f"expected 1 WindowExec, plan:\n{plan[:2000]}"

@@ -66,7 +66,18 @@ def build_fixture(dst: str) -> None:
             base = (
                 f"SELECT * FROM ({base}) UNION ALL "
                 f"SELECT 9000001, '', 'en', 'srcX', 0 UNION ALL "
-                f"SELECT 9000002, '   ', 'en', 'srcX', 3"
+                f"SELECT 9000002, '   ', 'en', 'srcX', 3 UNION ALL "
+                # NULL text from a restricted source: md5(NULL) is NULL, so
+                # any null-unsafe cluster join silently drops the row (the
+                # round-5 license-taint review finding)
+                f"SELECT 9000003, NULL, 'en', 'src3', 5"
+            )
+        if name == "customer":
+            # a name not shaped 'Customer#%09d': any ANSI cast of its digit
+            # tail must be a try_cast (round-5 ER review finding)
+            base = (
+                f"SELECT * FROM ({base}) UNION ALL "
+                f"SELECT 9000001, 'Anon', 0, -0.01, 'BUILDING'"
             )
         con.execute(f"COPY ({base}) TO '{out}' (FORMAT parquet)")
 

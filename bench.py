@@ -211,6 +211,10 @@ HEADLINE = [
     "events_slo_burn_rate",
     "embedding_drift_audit",
     "graph_cc_incremental",
+    "split_leakage_audit",
+    "dp_contribution_bounds",
+    "text_repetition_gates",
+    "events_ooo_depth",
 ]
 
 

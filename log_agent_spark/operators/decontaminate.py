@@ -828,6 +828,106 @@ FROM (
 ORACLE_DECONTAM_NGRAM_SWEEP = _ngram_sweep_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Train/test split leakage through duplicate clusters (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL'22 §6:
+# near-dups of eval examples inside train inflate benchmark scores). A
+# deterministic doc-id split looks leak-free at the DOCUMENT level while
+# byte-identical content sits on both sides — the audit joins the split
+# assignment against exact-dup clusters (md5 equivalence classes, the
+# dedup_exact partition) and counts, per source, the test docs whose
+# cluster also contains a train doc.
+#
+# Scale shape: identical to governance_license_taint — one content-hash
+# groupBy for the cluster bits, one hash join back, one source aggregate;
+# no pairs, no graph. All counts exact integers; one division round 4.
+# NULL-text docs form singleton clusters (no content = no dup evidence),
+# the same contract as the license-taint audit.
+# ---------------------------------------------------------------------------
+_SPLIT_MOD = 10
+_SPLIT_TEST_MIN = 8  # pmod(doc_id, 10) in {8, 9} → test (80/20 split)
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage via exact-dup clusters: per source, how many
+    test docs share content with a train doc (Lee et al. ACL'22 — the
+    benchmark-inflation audit a hash split alone cannot see).
+
+    Complements dedup.q_dedup_split_leakage: that one counts LSH
+    NEAR-dup PAIRS straddling the split cells; this one attributes
+    EXACT-dup cluster leakage to sources (whose feed pollutes the test
+    set) — the per-source report drives which ingest to fix."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.md5("text"),
+            F.concat(F.lit("##null##"), F.col("doc_id").cast("string")),
+        ).alias("chash"),
+        (F.pmod(F.col("doc_id"), F.lit(_SPLIT_MOD)) >= _SPLIT_TEST_MIN).alias(
+            "is_test"
+        ),
+    )
+    clusters = d.groupBy("chash").agg(
+        F.max((~F.col("is_test")).cast("int")).alias("has_train"),
+        F.max(F.col("is_test").cast("int")).alias("has_test"),
+    )
+    leaked = (F.col("has_train") == 1) & (F.col("has_test") == 1)
+    tagged = d.join(clusters, "chash").select(
+        "source", "is_test", leaked.alias("leaked")
+    )
+    n_test = F.sum(F.col("is_test").cast("long"))
+    n_leaked_test = F.sum(
+        (F.col("is_test") & F.col("leaked")).cast("long")
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_test.alias("n_test"),
+            n_leaked_test.alias("n_leaked_test"),
+            F.sum((~F.col("is_test") & F.col("leaked")).cast("long")).alias(
+                "n_leaking_train"
+            ),
+            # try_divide: a source can have zero test docs
+            F.round(
+                F.try_divide(n_leaked_test * 100.0, n_test), 4
+            ).alias("pct_test_leaked"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE_AUDIT = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         COALESCE(md5(text), '##null##' || CAST(doc_id AS VARCHAR)) AS chash,
+         ((doc_id % {_SPLIT_MOD}) + {_SPLIT_MOD}) % {_SPLIT_MOD}
+           >= {_SPLIT_TEST_MIN} AS is_test
+  FROM documents
+), clusters AS (
+  SELECT chash,
+         MAX(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS has_train,
+         MAX(CASE WHEN is_test THEN 1 ELSE 0 END) AS has_test
+  FROM d GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN is_test AND has_train = 1 AND has_test = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_test,
+       CAST(SUM(CASE WHEN NOT is_test AND has_train = 1 AND has_test = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_train,
+       ROUND(SUM(CASE WHEN is_test AND has_train = 1 AND has_test = 1
+                      THEN 1 ELSE 0 END) * 100.0
+             / NULLIF(SUM(CASE WHEN is_test THEN 1 ELSE 0 END), 0), 4)
+         AS pct_test_leaked
+FROM d JOIN clusters USING (chash)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_decontaminate": q_decontaminate,
     "decontam_ngram_sweep": q_decontam_ngram_sweep,
@@ -837,6 +937,7 @@ QUERIES = {
     "corpus_drift_psi": q_corpus_drift_psi,
     "dedup_repeated_spans": q_repeated_spans,
     "pipeline_corpus_funnel": q_corpus_funnel,
+    "split_leakage_audit": q_split_leakage_audit,
 }
 
 ORACLES = {
@@ -848,4 +949,5 @@ ORACLES = {
     "corpus_drift_psi": ORACLE_CORPUS_DRIFT_PSI,
     "dedup_repeated_spans": ORACLE_REPEATED_SPANS,
     "pipeline_corpus_funnel": ORACLE_CORPUS_FUNNEL,
+    "split_leakage_audit": ORACLE_SPLIT_LEAKAGE_AUDIT,
 }

@@ -770,6 +770,141 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Differential-privacy contribution bounds: the report a DP release
+# computes BEFORE adding noise. User-level DP (DP-SGD data prep, private
+# aggregation) requires clipping each user's contribution count to a
+# bound C; the bound is chosen from the exact contribution histogram —
+# too low destroys signal, too high inflates sensitivity (and thus the
+# noise). Per event_type: user count, max/median/p99 contribution
+# (EXACT order statistics via cumulative counts — no percentile_approx,
+# no interpolation), and what fraction of total event mass clipping at
+# C = p99 would discard.
+#
+# Everything is integer arithmetic until the single final division:
+# p50/p99 are "smallest contribution c with 2·cum ≥ total" /
+# "100·cum ≥ 99·total" — identical comparisons on both engines.
+# Scale shape: one data-scaled groupBy (type, user), then a count-of-
+# counts histogram (O(distinct contribution levels) rows — hundreds at
+# any corpus size); the cumulative window runs over that bounded
+# histogram, partitioned by event_type.
+# ---------------------------------------------------------------------------
+def q_dp_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP clipping-bound report per event_type: exact contribution
+    order statistics (max/p50/p99 via integer cumulative counts) and
+    the event mass a clip at C = p99 would discard."""
+    from pyspark.sql.window import Window as W_
+
+    e = load_table(spark, sf_dir, "events")
+    contrib = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    hist = contrib.groupBy("event_type", "c").agg(
+        F.count("*").alias("n_users_c")
+    )
+    wcum = (
+        W_.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    )
+    wall = W_.partitionBy("event_type")
+    h = hist.select(
+        "event_type",
+        "c",
+        "n_users_c",
+        F.sum("n_users_c").over(wcum).alias("cum_users"),
+        F.sum("n_users_c").over(wall).alias("tot_users"),
+    )
+    per_type = h.groupBy("event_type").agg(
+        F.max("tot_users").alias("n_users"),
+        F.max("c").alias("max_contrib"),
+        F.min(
+            F.when(F.col("cum_users") * 2 >= F.col("tot_users"), F.col("c"))
+        ).alias("p50_contrib"),
+        F.min(
+            F.when(
+                F.col("cum_users") * 100 >= F.col("tot_users") * 99, F.col("c")
+            )
+        ).alias("p99_contrib"),
+        F.sum(F.col("c") * F.col("n_users_c")).alias("total_mass"),
+    )
+    # mass lost to clipping at C = p99: Σ_{c > C} (c − C)·n_users_c
+    lost = (
+        h.join(
+            per_type.select("event_type", "p99_contrib"), "event_type"
+        )
+        .filter(F.col("c") > F.col("p99_contrib"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("c") - F.col("p99_contrib")) * F.col("n_users_c")
+            ).alias("clipped_mass")
+        )
+    )
+    return (
+        per_type.join(lost, "event_type", "left")
+        .select(
+            "event_type",
+            "n_users",
+            "max_contrib",
+            "p50_contrib",
+            "p99_contrib",
+            "total_mass",
+            F.coalesce(F.col("clipped_mass"), F.lit(0)).alias("clipped_mass"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("clipped_mass"), F.lit(0)) * 100.0,
+                    F.col("total_mass"),
+                ),
+                4,
+            ).alias("pct_mass_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DP_CONTRIBUTION_BOUNDS = """
+WITH contrib AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), hist AS (
+  SELECT event_type, c, COUNT(*) AS n_users_c
+  FROM contrib GROUP BY 1, 2
+), h AS (
+  SELECT event_type, c, n_users_c,
+         SUM(n_users_c) OVER (PARTITION BY event_type ORDER BY c
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_users,
+         SUM(n_users_c) OVER (PARTITION BY event_type) AS tot_users
+  FROM hist
+), per_type AS (
+  SELECT event_type,
+         CAST(MAX(tot_users) AS BIGINT) AS n_users,
+         CAST(MAX(c) AS BIGINT) AS max_contrib,
+         CAST(MIN(CASE WHEN cum_users * 2 >= tot_users THEN c END) AS BIGINT)
+           AS p50_contrib,
+         CAST(MIN(CASE WHEN cum_users * 100 >= tot_users * 99 THEN c END)
+              AS BIGINT) AS p99_contrib,
+         CAST(SUM(c * n_users_c) AS BIGINT) AS total_mass
+  FROM h GROUP BY 1
+), lost AS (
+  SELECT h.event_type,
+         CAST(SUM((h.c - p.p99_contrib) * h.n_users_c) AS BIGINT)
+           AS clipped_mass
+  FROM h JOIN per_type p ON h.event_type = p.event_type
+  WHERE h.c > p.p99_contrib
+  GROUP BY 1
+)
+SELECT p.event_type, p.n_users, p.max_contrib, p.p50_contrib, p.p99_contrib,
+       p.total_mass,
+       COALESCE(l.clipped_mass, 0) AS clipped_mass,
+       ROUND(COALESCE(l.clipped_mass, 0) * 100.0 / NULLIF(p.total_mass, 0), 4)
+         AS pct_mass_clipped
+FROM per_type p LEFT JOIN lost l ON p.event_type = l.event_type
+ORDER BY p.event_type
+"""
+
+
 QUERIES = {
     "privacy_kanonymity": q_privacy_kanonymity,
     "privacy_ldiversity": q_privacy_ldiversity,
@@ -779,6 +914,7 @@ QUERIES = {
     "privacy_tcloseness": q_privacy_tcloseness,
     "governance_license_taint": q_governance_license_taint,
     "dq_schema_drift": q_dq_schema_drift,
+    "dp_contribution_bounds": q_dp_contribution_bounds,
 }
 
 ORACLES = {
@@ -790,4 +926,5 @@ ORACLES = {
     "privacy_tcloseness": ORACLE_PRIVACY_TCLOSENESS,
     "governance_license_taint": ORACLE_GOVERNANCE_LICENSE_TAINT,
     "dq_schema_drift": ORACLE_DQ_SCHEMA_DRIFT,
+    "dp_contribution_bounds": ORACLE_DP_CONTRIBUTION_BOUNDS,
 }

@@ -1820,6 +1820,132 @@ GROUP BY vocab_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition GATES (Rae et al. 2021, "Scaling Language
+# Models", table A1): a doc fails when its single most frequent n-gram
+# covers too large a share of the doc — the "most of this page is one
+# repeated phrase" SEO/boilerplate signature that distinct-ratio metrics
+# (text_repetition_metrics) miss, because a doc can have a healthy
+# distinct ratio overall while one 3-gram covers a third of it. Token-
+# count share stands in for Gopher's character share (fixture docs are
+# single-space tokenized).
+#
+# Float discipline: each gate is a PURE INTEGER comparison —
+# top_cnt·n·100 > threshold_pct·n_tokens — so pass/fail is exact on both
+# engines; the only division is the final per-source percentage.
+# Scale shape: per n, one explode + (doc_id, gram) count + per-doc max —
+# linear in corpus token count, partial-aggregated map-side; the join
+# back to docs is on doc_id. Nothing all-pairs, no windows.
+# ---------------------------------------------------------------------------
+_REP_GATES = {2: 20, 3: 18, 4: 16}  # n-gram size -> max top-share, percent
+# Dominance share is meaningless on tiny docs (ANY 2-gram of a 6-token doc
+# covers 33%); Gopher pairs these gates with a minimum-length gate, so the
+# repetition gates only judge docs of at least this many tokens.
+_REP_MIN_TOKENS = 16
+
+
+def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram dominance gates (n = 2, 3, 4): per source, docs
+    whose single most repeated n-gram covers more than the Rae et al.
+    thresholds — pure integer pass/fail on both engines."""
+    from log_agent_spark.operators.decontaminate import token_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    for n in _REP_GATES:
+        tops = (
+            d.select(
+                "doc_id", F.explode(token_ngrams(F.col("text"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(f"top{n}_cnt"))
+        )
+        out = out.join(tops, "doc_id", "left")
+    long_enough = F.col("n_tok") >= _REP_MIN_TOKENS
+    fails = {
+        # a gram seen ONCE is not repetition, whatever share it covers —
+        # without the >= 2 floor every short-ish all-distinct doc fails
+        # the n=4 gate arithmetically (4/18 = 22% > 16%)
+        n: long_enough
+        & (F.col(f"top{n}_cnt") >= 2)
+        & (F.col(f"top{n}_cnt") * n * 100 > F.lit(pct) * F.col("n_tok"))
+        for n, pct in _REP_GATES.items()
+    }
+    fail_any = None
+    for cond in fails.values():
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    n_fail_any = F.sum(F.when(fail_any, 1).otherwise(0))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(F.when(fails[n], 1).otherwise(0)).alias(f"n_fail_top{n}")
+                for n in _REP_GATES
+            ],
+            n_fail_any.alias("n_fail_any"),
+            F.round(n_fail_any * 100.0 / F.count("*"), 4).alias(
+                "pct_fail_any"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _repetition_gates_oracle() -> str:
+    from log_agent_spark.operators.decontaminate import _sql_ngrams_n
+
+    top_ctes = []
+    joins = []
+    for n in _REP_GATES:
+        grams = _sql_ngrams_n(n).format(where="")
+        top_ctes.append(
+            f"""top{n} AS (
+  SELECT doc_id, MAX(c) AS top{n}_cnt FROM (
+    SELECT doc_id, ngram, COUNT(*) AS c FROM ({grams}) GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+        )
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+    gates = {
+        n: f"(n_tok >= {_REP_MIN_TOKENS} AND top{n}_cnt >= 2"
+        f" AND top{n}_cnt * {n} * 100 > {pct} * n_tok)"
+        for n, pct in _REP_GATES.items()
+    }
+    fail_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN {g} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_fail_top{n}"
+        for n, g in gates.items()
+    )
+    any_gate = " OR ".join(gates.values())
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+), {", ".join(top_ctes)}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {fail_cols},
+       CAST(SUM(CASE WHEN {any_gate} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_any,
+       ROUND(SUM(CASE WHEN {any_gate} THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+         AS pct_fail_any
+FROM base {" ".join(joins)}
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_REPETITION_GATES = _repetition_gates_oracle()
+
+
 QUERIES = {
     "text_quality_classifier": q_quality_classifier,
     "text_bpe_merge_step": q_bpe_merge_step,
@@ -1850,6 +1976,7 @@ QUERIES = {
     "text_char_entropy": q_char_entropy,
     "text_judge_agreement": q_judge_agreement,
     "text_vocab_coverage": q_vocab_coverage,
+    "text_repetition_gates": q_repetition_gates,
 }
 
 ORACLES = {
@@ -1882,4 +2009,5 @@ ORACLES = {
     "text_char_entropy": ORACLE_CHAR_ENTROPY,
     "text_judge_agreement": ORACLE_JUDGE_AGREEMENT,
     "text_vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "text_repetition_gates": ORACLE_REPETITION_GATES,
 }

@@ -1936,6 +1936,86 @@ ORDER BY est.q
 """
 
 
+# ---------------------------------------------------------------------------
+# Out-of-order depth audit — the measurement that SIZES A WATERMARK.
+# Structured Streaming's withWatermark(delay) silently drops events later
+# than the delay; picking it blind either drops data (too tight) or
+# bloats state (too loose). This audit replays the batch feed in arrival
+# order (event_id — the fixture's ingestion sequence; a real feed would
+# use the Kafka offset, exactly the reference's arrival proxy) and, per
+# event_type, measures how far behind the per-user running max event-time
+# each arrival is: lateness = max(ts over earlier arrivals of that user)
+# − ts. The report (late share, max and mean depth) is the empirical
+# bound withWatermark needs — streaming/windows.py consumes such delays.
+#
+# Scale shape: ONE window over (user_id) partitions ordered by arrival —
+# per-user streams are the natural unit (watermarks act per key) and
+# user_id is high-cardinality, so no partition is data-scaled; then one
+# bounded groupBy(event_type). Integer ms everywhere; the two divisions
+# (pct, mean) are single try_divides of exact BIGINTs, round 4.
+# ---------------------------------------------------------------------------
+def q_ooo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order depth per event_type: arrival-order replay measures
+    how far behind each user's running max event-time arrivals land —
+    the empirical lateness bound that sizes withWatermark()."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = (F.max("ts_ms").over(w) - F.col("ts_ms")).alias("late_ms")
+    d = e.select("event_type", late)
+    n_late = F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            n_late.alias("n_late"),
+            F.round(n_late * 100.0 / F.count("*"), 4).alias("pct_late"),
+            F.max("late_ms").alias("max_late_ms"),
+            F.sum("late_ms").alias("late_mass_ms"),
+            # mean depth among late arrivals; a fully-ordered type has
+            # n_late = 0 → NULL (DuckDB-identical via try_divide)
+            F.round(
+                F.try_divide(F.sum("late_ms") * 1.0, n_late), 4
+            ).alias("mean_late_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_OOO_DEPTH = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), lat AS (
+  SELECT event_type,
+         MAX(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ts_ms AS late_ms
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+         AS pct_late,
+       CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
+       CAST(SUM(late_ms) AS BIGINT) AS late_mass_ms,
+       ROUND(SUM(late_ms) * 1.0
+             / NULLIF(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END), 0), 4)
+         AS mean_late_ms
+FROM lat
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_quantile_sketch_report": q_quantile_sketch_report,
     "events_hll_incremental": q_hll_incremental,
@@ -1944,6 +2024,7 @@ QUERIES = {
     "events_weekly_load_profile": q_weekly_load_profile,
     "events_dwell_percentiles": q_dwell_time_percentiles,
     "events_slo_burn_rate": q_slo_burn_rate,
+    "events_ooo_depth": q_ooo_depth,
     "events_error_bursts": q_error_burst_windows,
     "events_pit_versioned_join": q_pit_versioned_join,
     "events_transition_matrix": q_event_transition_matrix,
@@ -1994,6 +2075,7 @@ ORACLES = {
     "events_weekly_load_profile": ORACLE_WEEKLY_LOAD_PROFILE,
     "events_dwell_percentiles": ORACLE_DWELL_TIME_PERCENTILES,
     "events_slo_burn_rate": ORACLE_SLO_BURN_RATE,
+    "events_ooo_depth": ORACLE_OOO_DEPTH,
     "events_error_bursts": ORACLE_ERROR_BURST_WINDOWS,
     "events_pit_versioned_join": ORACLE_PIT_VERSIONED_JOIN,
     "events_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,

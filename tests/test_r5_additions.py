@@ -327,3 +327,131 @@ def test_er_match_pairs_single_window_sort(spark):
         or "+- Window" in line or "Window [" in line
     )
     assert n_window == 1, f"expected 1 WindowExec, plan:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# round-5 second batch: split leakage, DP bounds, repetition gates, OOO depth
+# ---------------------------------------------------------------------------
+def test_split_leakage_flags_cross_split_dup(spark, tmp_path):
+    """A dup cluster spanning the train/test hash split is a leak; dups
+    confined to one side are not."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "leaky shared text", "srcA"),    # pmod 1 -> train
+        (18, "leaky shared text", "srcB"),   # pmod 8 -> test  => leak
+        (2, "train only dup", "srcA"),
+        (3, "train only dup", "srcA"),       # train-side dup, no leak
+        (9, "unique test doc", "srcB"),      # pmod 9 -> test, unique
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in entry.queries()["split_leakage_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["srcB"].n_test == 2
+    assert got["srcB"].n_leaked_test == 1     # doc 18 only
+    assert got["srcB"].pct_test_leaked == 50.0
+    assert got["srcA"].n_leaking_train == 1   # doc 1 leaks into test
+    assert got["srcA"].n_leaked_test == 0
+
+
+def test_dp_contribution_bounds_exact_order_stats(spark, tmp_path):
+    """Hand-computed histogram: 100 users x 1 event + 1 user x 50 events →
+    p50 = p99 = 1, clipping at 1 discards 49/150 of the mass."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    ts = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [(i, ts, i, "click", 1.0, "p") for i in range(100)]
+    rows += [(1000 + j, ts, 999, "click", 1.0, "p") for j in range(50)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = entry.queries()["dp_contribution_bounds"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r.n_users == 101 and r.max_contrib == 50
+    assert r.p50_contrib == 1
+    # cum(c=1) = 100; 100*100 = 10000 >= 99*101 = 9999 → p99 = 1
+    assert r.p99_contrib == 1
+    assert r.total_mass == 150 and r.clipped_mass == 49
+    assert abs(r.pct_mass_clipped - round(4900.0 / 150, 4)) < 1e-9
+
+
+def test_repetition_gates_catch_dominant_ngram(spark, tmp_path):
+    """'a b' covering 8/8 tokens fails the top-2-gram gate; varied text
+    passes all gates."""
+    import __spark_entry__ as entry
+
+    rows = [
+        # 20 tokens, top 2-gram 'a b' x10: 10*2*100 > 20*20 → fail
+        (1, "a b " * 10, "spam"),
+        # 18 distinct tokens: top 2-gram count 1 → 200 < 360 → pass
+        (2, " ".join(f"w{i}" for i in range(18)), "clean"),
+        # 6 tokens: below the min-length gate, exempt even though its top
+        # 2-gram trivially covers 33%
+        (3, "one two three four five six", "clean"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in entry.queries()["text_repetition_gates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["spam"].n_fail_top2 == 1
+    assert got["spam"].n_fail_any == 1 and got["spam"].pct_fail_any == 100.0
+    assert got["clean"].n_docs == 2
+    assert got["clean"].n_fail_any == 0 and got["clean"].pct_fail_any == 0.0
+
+
+def test_ooo_depth_measures_planted_inversion(spark, tmp_path):
+    """One event arriving 60 s behind its user's running max shows up as
+    exactly one late arrival of depth 60000 ms."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(0), 7, "click", 1.0, "p"),
+        (2, ts(-60), 7, "click", 1.0, "p"),   # arrives after, 60 s earlier
+        (3, ts(30), 7, "click", 1.0, "p"),    # back in order
+        (4, ts(0), 8, "view", 1.0, "p"),      # other user/type: in order
+        (5, ts(10), 8, "view", 1.0, "p"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in entry.queries()["events_ooo_depth"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["click"].n_events == 3 and got["click"].n_late == 1
+    assert got["click"].max_late_ms == 60000
+    assert got["click"].mean_late_ms == 60000.0
+    assert got["view"].n_late == 0 and got["view"].mean_late_ms is None

@@ -33,6 +33,28 @@ def checksum(content: Column) -> Column:
     return F.md5(content)
 
 
+def content_cluster_hash(
+    text: Column = None, doc_id: Column = None
+) -> Column:
+    """Exact-dup cluster key over a document corpus: md5(text), with each
+    NULL-text doc as its OWN singleton cluster ('##null##'||doc_id cannot
+    collide with a 32-hex-char md5). THE one definition shared by the
+    license-taint and split-leakage audits — their cluster memberships
+    must never drift apart."""
+    text = F.col("text") if text is None else text
+    doc_id = F.col("doc_id") if doc_id is None else doc_id
+    return F.coalesce(
+        F.md5(text), F.concat(F.lit("##null##"), doc_id.cast("string"))
+    )
+
+
+def content_cluster_hash_sql(text: str = "text", doc_id: str = "doc_id") -> str:
+    """DuckDB twin of content_cluster_hash."""
+    return (
+        f"COALESCE(md5({text}), '##null##' || CAST({doc_id} AS VARCHAR))"
+    )
+
+
 def hex_blob(content: Column) -> Column:
     """'0x' + lowercase hex; empty/NULL-safe: empty blob → '0x' — M9."""
     return F.concat(F.lit("0x"), F.lower(F.hex(content)))

@@ -841,13 +841,15 @@ ORACLE_DECONTAM_NGRAM_SWEEP = _ngram_sweep_oracle()
 # Scale shape: identical to governance_license_taint — one content-hash
 # groupBy for the cluster bits, one hash join back, one source aggregate;
 # no pairs, no graph. All counts exact integers; one division round 4.
-# NULL-text docs form singleton clusters (no content = no dup evidence),
-# the same contract as the license-taint audit.
+# NULL-text docs form singleton clusters (no content = no dup evidence) —
+# content_cluster_hash, the cluster key SHARED with the license-taint
+# audit. The split is the engine's CANONICAL 80/10/10 hash assignment
+# (plans/sampling.py split_expr — the one definition q_sample_hash_split
+# and the dedup split-hygiene operators audit), so this report describes
+# the split the engine actually assigns; leak = an exact-dup cluster with
+# at least one 'train' AND one 'test' member (val-only dups are a tuning
+# concern, not benchmark inflation, and are not counted).
 # ---------------------------------------------------------------------------
-_SPLIT_MOD = 10
-_SPLIT_TEST_MIN = 8  # pmod(doc_id, 10) in {8, 9} → test (80/20 split)
-
-
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage via exact-dup clusters: per source, how many
     test docs share content with a train doc (Lee et al. ACL'22 — the
@@ -857,24 +859,24 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR-dup PAIRS straddling the split cells; this one attributes
     EXACT-dup cluster leakage to sources (whose feed pollutes the test
     set) — the per-source report drives which ingest to fix."""
+    from log_agent_spark.functions.content import content_cluster_hash
+    from log_agent_spark.plans.sampling import split_expr
+
+    split = split_expr(F.col("doc_id"))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.coalesce(
-            F.md5("text"),
-            F.concat(F.lit("##null##"), F.col("doc_id").cast("string")),
-        ).alias("chash"),
-        (F.pmod(F.col("doc_id"), F.lit(_SPLIT_MOD)) >= _SPLIT_TEST_MIN).alias(
-            "is_test"
-        ),
+        content_cluster_hash().alias("chash"),
+        (split == "test").alias("is_test"),
+        (split == "train").alias("is_train"),
     )
     clusters = d.groupBy("chash").agg(
-        F.max((~F.col("is_test")).cast("int")).alias("has_train"),
+        F.max(F.col("is_train").cast("int")).alias("has_train"),
         F.max(F.col("is_test").cast("int")).alias("has_test"),
     )
     leaked = (F.col("has_train") == 1) & (F.col("has_test") == 1)
     tagged = d.join(clusters, "chash").select(
-        "source", "is_test", leaked.alias("leaked")
+        "source", "is_test", "is_train", leaked.alias("leaked")
     )
     n_test = F.sum(F.col("is_test").cast("long"))
     n_leaked_test = F.sum(
@@ -886,7 +888,7 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             n_test.alias("n_test"),
             n_leaked_test.alias("n_leaked_test"),
-            F.sum((~F.col("is_test") & F.col("leaked")).cast("long")).alias(
+            F.sum((F.col("is_train") & F.col("leaked")).cast("long")).alias(
                 "n_leaking_train"
             ),
             # try_divide: a source can have zero test docs
@@ -898,16 +900,21 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SPLIT_LEAKAGE_AUDIT = f"""
+def _split_leakage_oracle() -> str:
+    from log_agent_spark.functions.content import content_cluster_hash_sql
+    from log_agent_spark.plans.sampling import split_sql
+
+    split = split_sql("doc_id")
+    return f"""
 WITH d AS (
   SELECT doc_id, source,
-         COALESCE(md5(text), '##null##' || CAST(doc_id AS VARCHAR)) AS chash,
-         ((doc_id % {_SPLIT_MOD}) + {_SPLIT_MOD}) % {_SPLIT_MOD}
-           >= {_SPLIT_TEST_MIN} AS is_test
+         {content_cluster_hash_sql()} AS chash,
+         ({split}) = 'test' AS is_test,
+         ({split}) = 'train' AS is_train
   FROM documents
 ), clusters AS (
   SELECT chash,
-         MAX(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS has_train,
+         MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS has_train,
          MAX(CASE WHEN is_test THEN 1 ELSE 0 END) AS has_test
   FROM d GROUP BY 1
 )
@@ -916,7 +923,7 @@ SELECT source,
        CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
        CAST(SUM(CASE WHEN is_test AND has_train = 1 AND has_test = 1
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_test,
-       CAST(SUM(CASE WHEN NOT is_test AND has_train = 1 AND has_test = 1
+       CAST(SUM(CASE WHEN is_train AND has_train = 1 AND has_test = 1
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_train,
        ROUND(SUM(CASE WHEN is_test AND has_train = 1 AND has_test = 1
                       THEN 1 ELSE 0 END) * 100.0
@@ -926,6 +933,9 @@ FROM d JOIN clusters USING (chash)
 GROUP BY source
 ORDER BY source
 """
+
+
+ORACLE_SPLIT_LEAKAGE_AUDIT = _split_leakage_oracle()
 
 
 QUERIES = {

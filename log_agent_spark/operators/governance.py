@@ -606,16 +606,13 @@ _RESTRICTED_SOURCES = ("src3", "src7", "src13")
 def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text gives md5 = NULL, and a null-unsafe cluster join would drop
     # exactly the malformed rows a compliance audit must still count.
-    # Absent content is no evidence of duplication, so each NULL-text doc
-    # is its own singleton cluster ('##null##'||doc_id can never collide
-    # with a 32-hex-char real md5).
+    # content_cluster_hash: each NULL-text doc is its own singleton cluster
+    # (absent content is no evidence of duplication) — the SAME cluster key
+    # the split-leakage audit uses, by shared definition.
+    from log_agent_spark.functions.content import content_cluster_hash
+
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.coalesce(
-            F.md5("text"),
-            F.concat(F.lit("##null##"), F.col("doc_id").cast("string")),
-        ).alias("chash"),
+        "doc_id", "source", content_cluster_hash().alias("chash")
     )
     restricted = F.col("source").isin(*_RESTRICTED_SOURCES)
     clusters = d.groupBy("chash").agg(
@@ -646,10 +643,12 @@ def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RESTRICTED = "('" + "','".join(_RESTRICTED_SOURCES) + "')"
 
+from log_agent_spark.functions.content import content_cluster_hash_sql  # noqa: E402
+
 ORACLE_GOVERNANCE_LICENSE_TAINT = f"""
 WITH d AS (
   SELECT doc_id, source,
-         COALESCE(md5(text), '##null##' || CAST(doc_id AS VARCHAR)) AS chash,
+         {content_cluster_hash_sql()} AS chash,
          CASE WHEN source IN {_SQL_RESTRICTED} THEN 1 ELSE 0 END AS own_restricted
   FROM documents
 ), clusters AS (

@@ -59,7 +59,11 @@ def connected_components(
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     converged = False
-    for _ in range(max_iter):
+    # max_iter budgets CHANGING (propagation) rounds; convergence is only
+    # observable one round AFTER labels stabilize, so run up to max_iter+1
+    # iterations — otherwise a graph converging exactly on round max_iter
+    # would raise despite being correctly labeled.
+    for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "comp")

@@ -333,16 +333,21 @@ def test_er_match_pairs_single_window_sort(spark):
 # round-5 second batch: split leakage, DP bounds, repetition gates, OOO depth
 # ---------------------------------------------------------------------------
 def test_split_leakage_flags_cross_split_dup(spark, tmp_path):
-    """A dup cluster spanning the train/test hash split is a leak; dups
-    confined to one side are not."""
+    """A dup cluster spanning the canonical train/test hash split
+    (plans/sampling.py split_expr, 80/10/10) is a leak; dups confined to
+    one side are not. Doc ids below are chosen by their md5 bucket:
+    1/2/3 → train, 8/20 → test, 16 → val."""
     import __spark_entry__ as entry
 
     rows = [
-        (1, "leaky shared text", "srcA"),    # pmod 1 -> train
-        (18, "leaky shared text", "srcB"),   # pmod 8 -> test  => leak
-        (2, "train only dup", "srcA"),
-        (3, "train only dup", "srcA"),       # train-side dup, no leak
-        (9, "unique test doc", "srcB"),      # pmod 9 -> test, unique
+        (1, "leaky shared text", "srcA"),    # bucket 60 -> train
+        (8, "leaky shared text", "srcB"),    # bucket 93 -> test  => leak
+        (2, "train only dup", "srcA"),       # bucket 5  -> train
+        (3, "train only dup", "srcA"),       # bucket 10 -> train, no leak
+        (20, "unique test doc", "srcB"),     # bucket 96 -> test, unique
+        (16, "leaky shared text", "srcB"),   # bucket 88 -> val: in the
+        # leaked cluster but neither train nor test — counted in n_docs
+        # only, proving val members don't create or join a leak count
     ]
     spark.createDataFrame(
         [(i, t, "en", s, len(t)) for i, t, s in rows],
@@ -356,8 +361,8 @@ def test_split_leakage_flags_cross_split_dup(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    assert got["srcB"].n_test == 2
-    assert got["srcB"].n_leaked_test == 1     # doc 18 only
+    assert got["srcB"].n_docs == 3 and got["srcB"].n_test == 2
+    assert got["srcB"].n_leaked_test == 1     # doc 8 only
     assert got["srcB"].pct_test_leaked == 50.0
     assert got["srcA"].n_leaking_train == 1   # doc 1 leaks into test
     assert got["srcA"].n_leaked_test == 0

@@ -1,0 +1,183 @@
+"""Streaming OOO-depth tracker (streaming/ooo_tws.py): after replaying the
+events fixture split into TWO arrival-ordered micro-batches, the emitted
+per-event lateness stream aggregated per event_type must equal the BATCH
+watermark-sizing audit (plans/events.py events_ooo_depth) over the same
+rows — the running max carried across the micro-batch boundary scores
+every arrival exactly as the batch window replay does."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_agent_spark.sources.tables import load_table
+from log_agent_spark.streaming.metrics import ROCKSDB_PROVIDER
+from log_agent_spark.streaming.ooo_tws import HAS_TWS_DEPS, ooo_depth_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not HAS_TWS_DEPS,
+    reason="transformWithState Python runner requires google.protobuf",
+)
+
+
+def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"tws_ooo_{uuid.uuid4().hex[:8]}"
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    n_total = e.count()
+    mid = e.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+    # arrival-ordered split: batch 0 = earlier arrivals, batch 1 = later —
+    # the file source processes half0 first (older mtime, smaller path),
+    # so the concatenation preserves global event_id arrival order and the
+    # running max MUST survive the micro-batch boundary to score half1
+    e.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        src_dir + "/half0"
+    )
+    e.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        src_dir + "/half1"
+    )
+
+    from log_agent_spark.plans.events import q_ooo_depth
+
+    expected = {
+        r.event_type: r for r in q_ooo_depth(spark, SF_DIR).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts_ms long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/half*")
+    )
+    q = (
+        ooo_depth_stream(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # no timers (timeMode None) — terminates
+        got = {
+            r.event_type: r
+            for r in spark.sql(
+                f"""SELECT event_type,
+                           COUNT(*) AS n_events,
+                           SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END)
+                             AS n_late,
+                           MAX(late_ms) AS max_late_ms,
+                           SUM(late_ms) AS late_mass_ms
+                    FROM {table} GROUP BY event_type"""
+            ).collect()
+        }
+        assert sum(r.n_events for r in got.values()) == n_total
+        assert set(got) == set(expected)
+        for et, exp in expected.items():
+            assert got[et].n_events == exp.n_events, et
+            assert got[et].n_late == exp.n_late, et
+            assert got[et].max_late_ms == exp.max_late_ms, et
+            assert got[et].late_mass_ms == exp.late_mass_ms, et
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_streaming_ooo_depth_scores_cross_batch_inversion(spark, tmp_path):
+    """The discriminating case the ordered fixture cannot produce: a
+    user's running max is set in micro-batch 0 and a LATE event arrives
+    in micro-batch 1 — the carried state must score it, and a same-batch
+    inversion must be scored by the in-batch fold."""
+    import datetime as dt
+
+    src_dir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"tws_ooo_{uuid.uuid4().hex[:8]}"
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ms(sec):
+        return int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1000)
+
+    # batch 0: user 7 reaches ts=+100 s; user 8 has an IN-batch inversion
+    batch0 = [
+        (7, 1, "click", ms(0)),
+        (7, 2, "click", ms(100)),
+        (8, 3, "view", ms(50)),
+        (8, 4, "view", ms(20)),   # 30 s late within batch 0
+    ]
+    # batch 1: user 7's event is 40 s behind the max carried from batch 0
+    batch1 = [
+        (7, 5, "click", ms(60)),  # late vs ms(100) by 40 s — cross-batch
+        (7, 6, "click", ms(120)),
+        (8, 7, "view", ms(70)),
+    ]
+    schema = "user_id long, event_id long, event_type string, ts_ms long"
+    spark.createDataFrame(batch0, schema).coalesce(1).write.parquet(
+        src_dir + "/half0"
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        src_dir + "/half1"
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/half*")
+    )
+    q = (
+        ooo_depth_stream(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = {
+            r.event_id: r.late_ms
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+        assert late == {
+            1: 0,
+            2: 0,
+            3: 0,
+            4: 30000,   # in-batch inversion
+            5: 40000,   # cross-batch: state carried the ms(100) max
+            6: 0,
+            7: 0,
+        }
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

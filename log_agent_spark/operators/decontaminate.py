@@ -862,13 +862,24 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_agent_spark.functions.content import content_cluster_hash
     from log_agent_spark.plans.sampling import split_expr
 
-    split = split_expr(F.col("doc_id"))
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        content_cluster_hash().alias("chash"),
-        (split == "test").alias("is_test"),
-        (split == "train").alias("is_train"),
+    # materialize the split ONCE per row, then derive the booleans — two
+    # split_expr instances would embed the md5-bucket CASE tree twice and
+    # lean on subexpression elimination not to hash twice
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            content_cluster_hash().alias("chash"),
+            split_expr(F.col("doc_id")).alias("split"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chash",
+            (F.col("split") == "test").alias("is_test"),
+            (F.col("split") == "train").alias("is_train"),
+        )
     )
     clusters = d.groupBy("chash").agg(
         F.max(F.col("is_train").cast("int")).alias("has_train"),
@@ -904,14 +915,17 @@ def _split_leakage_oracle() -> str:
     from log_agent_spark.functions.content import content_cluster_hash_sql
     from log_agent_spark.plans.sampling import split_sql
 
-    split = split_sql("doc_id")
     return f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, source,
          {content_cluster_hash_sql()} AS chash,
-         ({split}) = 'test' AS is_test,
-         ({split}) = 'train' AS is_train
+         {split_sql("doc_id")} AS split
   FROM documents
+), d AS (
+  SELECT doc_id, source, chash,
+         split = 'test' AS is_test,
+         split = 'train' AS is_train
+  FROM d0
 ), clusters AS (
   SELECT chash,
          MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS has_train,

@@ -40,6 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.functions.content import (
+    content_cluster_hash,
+    content_cluster_hash_sql,
+)
 from log_agent_spark.plans.sampling import _hash_bucket, _oracle_bucket
 from log_agent_spark.sources.tables import load_table
 
@@ -609,8 +613,6 @@ def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content_cluster_hash: each NULL-text doc is its own singleton cluster
     # (absent content is no evidence of duplication) — the SAME cluster key
     # the split-leakage audit uses, by shared definition.
-    from log_agent_spark.functions.content import content_cluster_hash
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", content_cluster_hash().alias("chash")
     )
@@ -642,8 +644,6 @@ def q_governance_license_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_RESTRICTED = "('" + "','".join(_RESTRICTED_SOURCES) + "')"
-
-from log_agent_spark.functions.content import content_cluster_hash_sql  # noqa: E402
 
 ORACLE_GOVERNANCE_LICENSE_TAINT = f"""
 WITH d AS (

@@ -13,8 +13,9 @@ tests/test_ooo_tws.py by replaying the fixture split into two batches).
 Why TWS and not withWatermark: this operator MEASURES lateness — it must
 see and score late rows, which a watermark would drop; its output is the
 empirical bound a production withWatermark(delay) is then configured from.
-State is one bigint per user (~tens of bytes in RocksDB), so even a 1 B-
-user fleet holds ~8 GB of executor-local state.
+State is one bigint per user — with key bytes and RocksDB per-entry
+overhead a few tens of bytes each, so even a 1 B-user fleet holds a few
+tens of GB of executor-local state.
 
 Reference parity: the reference's watchdog debounces on PROCESSING time
 (watchdog.go:193-251) and never sees event-time skew; this operator is
@@ -68,17 +69,24 @@ class OooDepthProcessor(StatefulProcessor):
         for eid, etype, ts_ms in zip(
             batch["event_id"], batch["event_type"], batch["ts_ms"]
         ):
-            ts_ms = int(ts_ms)
-            late = 0 if max_ts is None else max(0, max_ts - ts_ms)
+            # NULL event-time: the batch twin's window max skips NULLs and
+            # yields NULL late_ms for the row — score it the same way and
+            # leave the running max untouched (an int() on the NaN the
+            # Arrow->pandas hop produces would kill the whole query)
+            if pd.isna(ts_ms):
+                late = None
+            else:
+                ts_ms = int(ts_ms)
+                late = 0 if max_ts is None else max(0, max_ts - ts_ms)
+                max_ts = ts_ms if max_ts is None else max(max_ts, ts_ms)
             out.append(
                 {
                     "user_id": key[0],
-                    "event_id": int(eid),
+                    "event_id": None if pd.isna(eid) else int(eid),
                     "event_type": etype,
                     "late_ms": late,
                 }
             )
-            max_ts = ts_ms if max_ts is None else max(max_ts, ts_ms)
         self._maxts.update((max_ts,))
         yield pd.DataFrame(out)
 

@@ -12,7 +12,6 @@ import pytest
 
 from log_agent_spark.schemas import EVENT_SCHEMA
 from log_agent_spark.streaming.debounce_tws import HAS_TWS_DEPS, debounce_stream_tws
-from log_agent_spark.streaming.metrics import ROCKSDB_PROVIDER
 
 pytestmark = pytest.mark.skipif(
     not HAS_TWS_DEPS,
@@ -26,7 +25,7 @@ def _event(path, op, sec):
     return (path, op, "BSI", "/root", t, t, False)
 
 
-def test_tws_debounce_collapses_storm(spark, tmp_path):
+def test_tws_debounce_collapses_storm(spark, tmp_path, rocksdb_state_store):
     src_dir = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
     table = f"tws_debounced_{uuid.uuid4().hex[:8]}"
@@ -39,8 +38,6 @@ def test_tws_debounce_collapses_storm(spark, tmp_path):
     ]
     spark.createDataFrame(storm, EVENT_SCHEMA).write.parquet(src_dir)
 
-    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
     q = (
         debounce_stream_tws(stream, debounce_ms=1000)
@@ -66,9 +63,3 @@ def test_tws_debounce_collapses_storm(spark, tmp_path):
         assert len(rows) == 2  # one record per key, no intermediate emits
     finally:
         q.stop()
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from log_agent_spark.sources.tables import load_table
 from log_agent_spark.streaming.hll_tws import HAS_TWS_DEPS, hll_stream
-from log_agent_spark.streaming.metrics import ROCKSDB_PROVIDER
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_streaming_hll_matches_batch(spark, tmp_path):
+def test_streaming_hll_matches_batch(spark, tmp_path, rocksdb_state_store):
     src_dir = str(tmp_path / "events_stream")
     ckpt = str(tmp_path / "ckpt")
     table = f"tws_hll_{uuid.uuid4().hex[:8]}"
@@ -46,8 +45,6 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     }
     n_total = e.count()
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     stream = (
         spark.readStream.schema("event_type string, event_id long")
         .option("maxFilesPerTrigger", 1)
@@ -78,7 +75,3 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         assert len(rows) > len(latest)
     finally:
         q.stop()
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

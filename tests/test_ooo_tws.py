@@ -7,13 +7,14 @@ every arrival exactly as the batch window replay does."""
 
 from __future__ import annotations
 
+import os
+import time
 import uuid
 
 import pytest
 from pyspark.sql import functions as F
 
 from log_agent_spark.sources.tables import load_table
-from log_agent_spark.streaming.metrics import ROCKSDB_PROVIDER
 from log_agent_spark.streaming.ooo_tws import HAS_TWS_DEPS, ooo_depth_stream
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -24,7 +25,19 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
+def _pin_batch_order(src_dir: str) -> None:
+    """FileStreamSource orders pending files by mtime ONLY (no path
+    tiebreak); sequential writes can collide on coarse-granularity
+    filesystems, so pin half0's files strictly older than half1's."""
+    now = time.time()
+    for sub, age in (("half0", 60.0), ("half1", 0.0)):
+        d = os.path.join(src_dir, sub)
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            os.utime(p, (now - age, now - age))
+
+
+def test_streaming_ooo_depth_matches_batch(spark, tmp_path, rocksdb_state_store):
     src_dir = str(tmp_path / "events_stream")
     ckpt = str(tmp_path / "ckpt")
     table = f"tws_ooo_{uuid.uuid4().hex[:8]}"
@@ -38,8 +51,7 @@ def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
     n_total = e.count()
     mid = e.agg(F.percentile_approx("event_id", 0.5)).first()[0]
     # arrival-ordered split: batch 0 = earlier arrivals, batch 1 = later —
-    # the file source processes half0 first (older mtime, smaller path),
-    # so the concatenation preserves global event_id arrival order and the
+    # the concatenation preserves global event_id arrival order, so the
     # running max MUST survive the micro-batch boundary to score half1
     e.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
         src_dir + "/half0"
@@ -47,6 +59,7 @@ def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
     e.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
         src_dir + "/half1"
     )
+    _pin_batch_order(src_dir)
 
     from log_agent_spark.plans.events import q_ooo_depth
 
@@ -54,10 +67,6 @@ def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
         r.event_type: r for r in q_ooo_depth(spark, SF_DIR).collect()
     }
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-    )
     stream = (
         spark.readStream.schema(
             "user_id long, event_id long, event_type string, ts_ms long"
@@ -96,19 +105,17 @@ def test_streaming_ooo_depth_matches_batch(spark, tmp_path):
             assert got[et].late_mass_ms == exp.late_mass_ms, et
     finally:
         q.stop()
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
 
 
-def test_streaming_ooo_depth_scores_cross_batch_inversion(spark, tmp_path):
-    """The discriminating case the ordered fixture cannot produce: a
+def test_streaming_ooo_depth_scores_cross_batch_inversion(
+    spark, tmp_path, rocksdb_state_store
+):
+    """The discriminating cases the ordered fixture cannot produce: a
     user's running max is set in micro-batch 0 and a LATE event arrives
-    in micro-batch 1 — the carried state must score it, and a same-batch
-    inversion must be scored by the in-batch fold."""
+    in micro-batch 1 (carried state must score it), a same-batch
+    inversion (in-batch fold must score it), and a NULL event-time
+    (scored NULL like the batch twin, without killing the query or
+    disturbing the running max)."""
     import datetime as dt
 
     src_dir = str(tmp_path / "events_stream")
@@ -127,11 +134,14 @@ def test_streaming_ooo_depth_scores_cross_batch_inversion(spark, tmp_path):
         (8, 3, "view", ms(50)),
         (8, 4, "view", ms(20)),   # 30 s late within batch 0
     ]
-    # batch 1: user 7's event is 40 s behind the max carried from batch 0
+    # batch 1: user 7's event is 40 s behind the max carried from batch 0;
+    # user 8 gets a NULL event-time then an on-time event whose lateness
+    # must be judged against ms(50), not the NULL
     batch1 = [
         (7, 5, "click", ms(60)),  # late vs ms(100) by 40 s — cross-batch
         (7, 6, "click", ms(120)),
-        (8, 7, "view", ms(70)),
+        (8, 7, "view", None),     # NULL ts: late_ms NULL, max untouched
+        (8, 8, "view", ms(70)),
     ]
     schema = "user_id long, event_id long, event_type string, ts_ms long"
     spark.createDataFrame(batch0, schema).coalesce(1).write.parquet(
@@ -140,11 +150,8 @@ def test_streaming_ooo_depth_scores_cross_batch_inversion(spark, tmp_path):
     spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
         src_dir + "/half1"
     )
+    _pin_batch_order(src_dir)
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -168,16 +175,11 @@ def test_streaming_ooo_depth_scores_cross_batch_inversion(spark, tmp_path):
             1: 0,
             2: 0,
             3: 0,
-            4: 30000,   # in-batch inversion
-            5: 40000,   # cross-batch: state carried the ms(100) max
+            4: 30000,    # in-batch inversion
+            5: 40000,    # cross-batch: state carried the ms(100) max
             6: 0,
-            7: 0,
+            7: None,     # NULL event-time scored NULL, query alive
+            8: 0,        # on time vs the ms(50) max the NULL didn't disturb
         }
     finally:
         q.stop()
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )

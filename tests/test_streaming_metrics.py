@@ -21,7 +21,7 @@ SCHEMA = StructType(
 )
 
 
-def test_listener_counts_rows_and_rocksdb_state(spark, tmp_path):
+def test_listener_counts_rows_and_rocksdb_state(spark, tmp_path, rocksdb_state_store):
     src = str(tmp_path / "src")
     table = f"met_{uuid.uuid4().hex[:8]}"
     spark.createDataFrame(
@@ -30,8 +30,7 @@ def test_listener_counts_rows_and_rocksdb_state(spark, tmp_path):
 
     listener = BatchMetricsListener()
     spark.streams.addListener(listener)
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    use_rocksdb_state(spark)
+    use_rocksdb_state(spark)  # same provider the fixture set — exercises the helper
     q = (
         spark.readStream.schema(SCHEMA)
         .parquet(src)
@@ -59,10 +58,6 @@ def test_listener_counts_rows_and_rocksdb_state(spark, tmp_path):
     finally:
         q.stop()
         spark.streams.removeListener(listener)
-        if prev:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_batch_observation_metrics(spark, sf_dir):

@@ -1145,12 +1145,16 @@ JOIN sizes nb ON nb.source = source_b
 # ---------------------------------------------------------------------------
 @pinned_query("dedup_canon_")
 def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from log_agent_spark.operators.graph import connected_components
+    from log_agent_spark.operators.graph import connected_components_star
 
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
     exact_canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     pairs = lsh_candidate_pairs(exact_canon)
-    comp = connected_components(
+    # star variant: the near-dup graph over a full corpus has UNBOUNDED
+    # diameter (a chain of pairwise-similar docs), and min-label
+    # propagation is O(diameter) rounds and now raises on exhaustion —
+    # large-star/small-star converges in O(log n) rounds regardless.
+    comp = connected_components_star(
         exact_canon.select("doc_id"),
         pairs,
         id_col="doc_id",

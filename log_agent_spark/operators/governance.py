@@ -476,8 +476,15 @@ GROUP BY level
 #
 # Cross-engine exactness: TVD is computed over a COMMON DENOMINATOR —
 # ½·Σ_v |cnt_gv·N − cnt_v·n_g| / (n_g·N) — so the summed numerator is an
-# exact BIGINT on both engines and only ONE IEEE division happens per
-# group, then round(6). Missing (group, value) cells contribute
+# exact integer on both engines and only ONE IEEE division happens per
+# group, then round(6). The numerator multiplies two count-scaled values,
+# so past n_total·n_g ≈ 9.2e18 a BIGINT product would raise
+# ARITHMETIC_OVERFLOW under Spark ANSI while DuckDB silently widens to
+# HUGEINT — a cross-engine divergence. Both engines therefore compute the
+# products as DECIMAL(18,0)×DECIMAL(18,0) → DECIMAL(36,0) and sum into
+# DECIMAL(38,0): exact to n_total ≤ 1e18 rows, identical overflow
+# behavior, and the single numerator→double conversion at the division is
+# the same IEEE round-to-nearest on both engines. Missing (group, value) cells contribute
 # |0·N − cnt_v·n_g|, so the group×value frame is completed by a
 # broadcast cross join of two BOUNDED aggregates (|QI groups| ×
 # |distinct statuses| — priorities×years×statuses ≈ 35×3 at any scale).
@@ -531,14 +538,18 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.abs(
-                    F.col("cnt_gv") * F.col("n_total")
-                    - F.col("cnt_v") * F.col("n_g")
+                    F.col("cnt_gv").cast("decimal(18,0)")
+                    * F.col("n_total").cast("decimal(18,0)")
+                    - F.col("cnt_v").cast("decimal(18,0)")
+                    * F.col("n_g").cast("decimal(18,0)")
                 )
             ).alias("tvd_num"),
             F.max("n_total").alias("n_total"),
         )
     )
-    t = F.col("tvd_num") / (F.lit(2.0) * F.col("n_g") * F.col("n_total"))
+    t = F.col("tvd_num").cast("double") / (
+        F.lit(2.0) * F.col("n_g") * F.col("n_total")
+    )
     return per_group.select(
         "priority",
         "yr",
@@ -574,14 +585,17 @@ WITH o AS (
    AND c.status IS NOT DISTINCT FROM v.status
 ), per_group AS (
   SELECT priority, yr, n_g,
-         CAST(SUM(ABS(cnt_gv * n_total - cnt_v * n_g)) AS BIGINT) AS tvd_num,
+         SUM(ABS(CAST(cnt_gv AS DECIMAL(18,0)) * CAST(n_total AS DECIMAL(18,0))
+                 - CAST(cnt_v AS DECIMAL(18,0)) * CAST(n_g AS DECIMAL(18,0))))
+           AS tvd_num,
          MAX(n_total) AS n_total
   FROM full_grid CROSS JOIN tot
   GROUP BY 1, 2, 3
 )
 SELECT priority, yr, n_g AS n_rows,
-       ROUND(tvd_num / (2.0 * n_g * n_total), 6) AS t_distance,
-       tvd_num / (2.0 * n_g * n_total) > {_T_CLOSE_THRESHOLD} AS breaches_t
+       ROUND(CAST(tvd_num AS DOUBLE) / (2.0 * n_g * n_total), 6) AS t_distance,
+       CAST(tvd_num AS DOUBLE) / (2.0 * n_g * n_total) > {_T_CLOSE_THRESHOLD}
+         AS breaches_t
 FROM per_group
 ORDER BY priority, yr
 """

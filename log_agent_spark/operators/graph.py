@@ -226,6 +226,11 @@ _DEDUP_GRAPH_SQL = """d AS (
 
 @pinned_query("graph_cc_")
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min-label CC is safe here: _dedup_candidate_pairs bounds the graph
+    # to ≤120 nodes at ANY scale (doc_id < 120), and its lang-grouped
+    # loose-prefix edges form near-cliques, so diameter ≪ max_iter; since
+    # r5, exhausting the budget RAISES instead of returning split labels,
+    # so a pathological fixture change fails loudly, never silently.
     nodes, edges = _dedup_candidate_pairs(spark, sf_dir)
     comp = connected_components(nodes, edges, id_col="doc_id", max_iter=25)
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
@@ -267,6 +272,9 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch into the stored CC labels (a spanning contraction) and verify —
     per component size AND per node — that the result equals one-shot CC
     over all edges: CC(CC(old) ∪ Δ) = CC(old ∪ Δ)."""
+    # same ≤120-node near-clique fixture as q_dedup_connected_components
+    # above — min-label CC's O(diameter) budget is safe by the same bound,
+    # and exhaustion raises rather than mislabeling.
     nodes, edges = _dedup_candidate_pairs(spark, sf_dir)
     # pin: all three CC runs below rebuild their edge input every
     # propagation round; without this the quadratic levenshtein pair join

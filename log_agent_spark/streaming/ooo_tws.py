@@ -18,7 +18,7 @@ overhead a few tens of bytes each, so even a 1 B-user fleet holds a few
 tens of GB of executor-local state.
 
 Reference parity: the reference's watchdog debounces on PROCESSING time
-(watchdog.go:193-251) and never sees event-time skew; this operator is
+(watchdog/watchdog.go:193-251) and never sees event-time skew; this operator is
 part of the streaming extension surface (SURVEY.md §2.3 note) that makes
 event-time semantics tunable.
 
@@ -60,6 +60,10 @@ class OooDepthProcessor(StatefulProcessor):
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
     ) -> Iterator[pd.DataFrame]:
         max_ts = self._maxts.get()[0] if self._maxts.exists() else None
+        # the stored value crosses an Arrow/pandas hop — a NULL written by
+        # an all-NULL-ts first batch would read back as NaN and poison
+        # every later max()/subtraction for this user
+        max_ts = None if max_ts is None or pd.isna(max_ts) else int(max_ts)
         batch = pd.concat(list(rows), ignore_index=True)
         # arrival order INSIDE the micro-batch: the source may hand the
         # key's rows in any pdf order, but lateness is defined against
@@ -87,7 +91,11 @@ class OooDepthProcessor(StatefulProcessor):
                     "late_ms": late,
                 }
             )
-        self._maxts.update((max_ts,))
+        # never store NULL state: a batch of only NULL event-times leaves
+        # max_ts None — writing (None,) would make exists() true next batch
+        # and surface as NaN through the Arrow hop
+        if max_ts is not None:
+            self._maxts.update((max_ts,))
         yield pd.DataFrame(out)
 
     def handleExpiredTimer(

@@ -42,12 +42,13 @@ def test_streaming_ooo_depth_matches_batch(spark, tmp_path, rocksdb_state_store)
     ckpt = str(tmp_path / "ckpt")
     table = f"tws_ooo_{uuid.uuid4().hex[:8]}"
 
-    e = load_table(spark, SF_DIR, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
-    )
+    # the planted-inversion view, NOT the raw table: the batch audit plants
+    # deterministic late arrivals (the raw feed is fully ordered), so the
+    # streamed replay must carry the same rows for the parity to hold —
+    # and the plants give the cross-batch state real non-zero work
+    from log_agent_spark.plans.events import ooo_planted_events
+
+    e = ooo_planted_events(spark, SF_DIR)
     n_total = e.count()
     mid = e.agg(F.percentile_approx("event_id", 0.5)).first()[0]
     # arrival-ordered split: batch 0 = earlier arrivals, batch 1 = later —
@@ -181,5 +182,62 @@ def test_streaming_ooo_depth_scores_cross_batch_inversion(
             7: None,     # NULL event-time scored NULL, query alive
             8: 0,        # on time vs the ms(50) max the NULL didn't disturb
         }
+    finally:
+        q.stop()
+
+
+def test_streaming_ooo_depth_all_null_first_batch(
+    spark, tmp_path, rocksdb_state_store
+):
+    """A user whose FIRST-ever micro-batch contains only NULL event-times
+    must not poison later batches: storing NULL state would read back as
+    NaN through the Arrow hop and propagate into every later max() and
+    subtraction. After the NULL-only batch, real events must score as if
+    the user were brand new."""
+    import datetime as dt
+
+    src_dir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"tws_ooo_{uuid.uuid4().hex[:8]}"
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ms(sec):
+        return int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1000)
+
+    # batch 0: user 9's ONLY rows are NULL-ts
+    batch0 = [(9, 1, "view", None), (9, 2, "view", None)]
+    # batch 1: first real timestamps — must behave like a fresh user
+    # (first real event scores 0, the inversion scores against ms(80))
+    batch1 = [(9, 3, "view", ms(80)), (9, 4, "view", ms(30))]
+    schema = "user_id long, event_id long, event_type string, ts_ms long"
+    spark.createDataFrame(batch0, schema).coalesce(1).write.parquet(
+        src_dir + "/half0"
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        src_dir + "/half1"
+    )
+    _pin_batch_order(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/half*")
+    )
+    q = (
+        ooo_depth_stream(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = {
+            r.event_id: r.late_ms
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+        assert late == {1: None, 2: None, 3: 0, 4: 50000}
     finally:
         q.stop()

@@ -7,6 +7,7 @@ implementation (exact TVD, union-find, brute-force rescoring)."""
 from __future__ import annotations
 
 import collections
+import re
 
 from pyspark.sql import functions as F
 
@@ -321,11 +322,10 @@ def test_er_match_pairs_single_window_sort(spark):
         .executedPlan()
         .toString()
     )
-    n_window = sum(
-        1 for line in plan.splitlines() if " Window " in f" {line.strip()} "
-        or line.strip().startswith("Window ")
-        or "+- Window" in line or "Window [" in line
-    )
+    # count exact WindowExec nodes only: the node prints as "Window ["
+    # (optionally behind tree-drawing prefixes); a bare " Window " substring
+    # would also match WindowGroupLimit and future renamed nodes
+    n_window = len(re.findall(r"(?m)^[\s:+*\-()0-9]*Window \[", plan))
     assert n_window == 1, f"expected 1 WindowExec, plan:\n{plan[:2000]}"
 
 

@@ -49,87 +49,90 @@ _MODULES = [
 # The driver's correctness gate checks only the FIRST ~50 queries() entries
 # in iteration order, so the window below is rotated each round until every
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
-# map; round 1 verified relational/TPC-H + complex_types, round 2 dedup/
-# similarity/multimodal/text, round 3 decontaminate/graph/timeseries/
-# rollup/temporal/skew/events-head, round 4 sampling/ANN/analytics/
-# curation — 190/241 cumulative green after r4).
-# Round-5 window, per VERDICT r4's ranked list: 1 canary (q01) + 49 of the
-# final 51 never-driver-verified queries — the events tail (13), the text
-# tail (14, incl. the round-5-hardened char_entropy/langid_fertility),
-# privacy/governance (5), ingest/kafka (3), and every r4 late addition.
-# Deferred to round 6 (2 lowest-risk ingest entries): ingest_text_files
-# (simple whole-file read with a live read_blob oracle) and kafka_envelope
-# (byte-golden frozen-parquet oracle, envelope bytes also pinned in
-# tests/). Queries ADDED after this rotation froze (the round-5 ER/privacy/
-# governance batch: er_match_pairs, er_golden_record, privacy_tcloseness,
-# governance_license_taint, dq_schema_drift, + any later additions) also
-# lack driver-hard signal until the r6 window picks them up — plan r6 as
-# those two + every COVERAGE.json row still marked unverified, then
-# re-proofs.
-_R5_WINDOW = [
-    # relational canary (driver-green r1, re-proved r3/r4)
+# map; rounds 1-5 verified 239/250 distinct queries — see COVERAGE.json
+# rounds_seen for the per-round map).
+# Round-6 window, per VERDICT r5's orders: lead with the FINAL 11 queries
+# that have never been inside a driver window (all mirror-green; a green
+# row for each closes the verification debt at 250/250 cumulative), then
+# fill the 39 re-proof slots with, in priority order:
+#  - the canary + flagship (q01, q03),
+#  - queries whose OUTPUT COLUMNS were touched by the round-5 BIGINT-cast
+#    sweep (commit a645da5, the retired 41-query int32-dtype list) or the
+#    ANSI fixes (42227c9) and whose last green round predates that sweep —
+#    their driver hashes were earned on the old int32 bodies,
+#  - the stateful-streaming batch anchors (debounce_keep_last,
+#    dedup_keep_latest) — streaming/* changed again this round (ooo_tws
+#    NULL-state guard), and these two are the batch faces of that surface,
+#  - the connected-components family re-proofs (dedup_canonical_corpus,
+#    dedup_connected_components switched to / documented against the
+#    star-CC fail-loud semantics this round) and the corpus-funnel pair
+#    (retimed/profiled this round per verdict order #3).
+_R6_WINDOW = [
+    # the 11 never-driver-verified (mirror-green since r5)
+    "text_repetition_gates",
+    "split_leakage_audit",
+    "events_ooo_depth",
+    "ingest_text_files",
+    "kafka_envelope",
+    "privacy_tcloseness",
+    "governance_license_taint",
+    "dq_schema_drift",
+    "dp_contribution_bounds",
+    "er_match_pairs",
+    "er_golden_record",
+    # canary + flagship
     "q01_pricing_summary",
-    # events tail (13) — incl. the streaming-semantics batch twins
-    "events_error_bursts",
-    "events_pit_versioned_join",
-    "events_transition_matrix",
-    "events_scd2_dimension",
-    "events_rolling_7d_users",
-    "events_cdc_apply",
-    "events_session_paths",
-    "events_pivot",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
+    "q03_shipping_priority",
+    # BIGINT-cast sweep re-proofs: TPC-H + relational (green r1, body
+    # changed r5)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "supplier_leadtime",
+    "window_topk_per_group",
+    "array_ops",
+    "text_udtf_words",
+    # BIGINT-cast sweep re-proofs: ANN/similarity (green r2)
+    "ann_filtered_topk",
+    "ann_hard_negatives",
+    "ann_lsh_bucketed",
+    "ann_pq_adc",
+    "ann_cosine_topk",
+    "ann_recall_report",
+    "embeddings_power_iteration",
+    # BIGINT-cast sweep re-proofs: text (green r2)
+    "text_repetition_metrics",
+    "text_chunking",
+    "text_redact_pii",
+    "text_token_stats",
+    # BIGINT-cast sweep re-proofs: analytics/sampling/events (green r3/r4)
+    "cohort_ltv",
+    "revenue_seasonality",
+    "text_decontaminate",
+    "dedup_levenshtein",
+    "events_histogram_incremental",
+    "histogram_equidepth",
+    "layout_zorder_stats",
+    "sample_shuffle_shard",
+    "sample_weighted_reservoir",
+    "window_rank_variants",
+    # ANSI-fix re-proofs (42227c9)
+    "mixture_token_budget",
+    "sample_split_balance",
+    # streaming batch anchors (streaming/* changed this round)
     "debounce_keep_last",
     "dedup_keep_latest",
-    # text tail (14)
-    "text_token_bpe",
-    "text_tfidf_topterms",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_doc_fingerprint",
-    "text_lang_profile",
-    "text_token_frequency",
-    "text_pmi_top_pairs",
-    "logs_template_mining",
-    "text_langid_fertility",
-    "text_quality_calibration",
-    "text_char_entropy",
-    "text_judge_agreement",
-    "text_vocab_coverage",
-    # privacy / governance (5)
-    "privacy_kanonymity",
-    "privacy_ldiversity",
-    "privacy_generalization_ladder",
-    "gdpr_cascade",
-    "dq_benford",
-    # ingest / kafka (3) — tree walker, wire roundtrips
-    "ingest_logfile_tree",
-    "kafka_wire_roundtrip",
-    "ingest_avro_roundtrip",
-    # similarity / label audits (5)
-    "ann_ndcg_report",
-    "label_noise_audit",
-    "al_margin_sample",
-    "embedding_drift_audit",
-    "media_phash_neardup",
-    # graph (2) — incl. the now-executable jaccard hub cap
-    "graph_cc_incremental",
-    "graph_jaccard_neighbors",
-    # linkage / stats tail (7)
-    "er_blocking_plan",
-    "join_cardinality_estimate",
-    "skew_key_profile",
-    "ts_autocorrelation",
-    "events_slo_burn_rate",
-    "events_interval_overlap",
-    "dedup_cluster_sizes",
+    # CC-family + funnel re-proofs (bodies touched this round)
+    "dedup_exact",
+    "dedup_canonical_corpus",
+    "dedup_connected_components",
+    "pipeline_corpus_funnel",
+    "pipeline_corpus_build",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R5_WINDOW
+DRIVER_WINDOW = _R6_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -140,13 +143,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R5_WINDOW if name not in full]
+    missing = [name for name in _R6_WINDOW if name not in full]
     if missing:
         # a typo in the window list must fail loudly, not silently shrink
         # the driver's 50-slot verification window (and must survive -O,
         # so no assert)
         raise ValueError(f"window names not in queries(): {missing}")
-    out = {name: full[name] for name in _R5_WINDOW}
+    out = {name: full[name] for name in _R6_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

@@ -274,6 +274,13 @@ def main() -> None:
     # buys a sample outside the steal window exactly when the first two
     # look noise-contaminated.
     NOISE_RATIO = 1.5
+    # Always-escalate set: queries with a published noise incident where
+    # BOTH best-of-2 attempts landed inside one steal window WITHOUT
+    # tripping the ratio gate (r5 shipped pipeline_corpus_funnel at
+    # 4.27 s; an off-window min-of-3 re-measure gave 3.37 s — a 27%
+    # phantom regression flagged in VERDICT r5). Three attempts from the
+    # start buys the outside-the-window sample unconditionally.
+    ALWAYS_BEST3 = {"pipeline_corpus_funnel"}
     # The SCALING.md prior only describes sf0.1 runs; at any other SF the
     # cross-run check would compare apples to oranges, so disable it.
     priors = _scaling_priors() if SF_DIR.rstrip("/").endswith("sf0.1") else {}
@@ -284,7 +291,7 @@ def main() -> None:
     retimed_vs_prior: list[str] = []  # third attempt forced by the prior
     for name in HEADLINE:
         attempts: list[float] = []
-        n_attempts = 2
+        n_attempts = 3 if name in ALWAYS_BEST3 else 2
         i = 0
         while i < n_attempts:
             i += 1

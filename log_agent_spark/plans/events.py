@@ -1954,16 +1954,42 @@ ORDER BY est.q
 # bounded groupBy(event_type). Integer ms everywhere; the two divisions
 # (pct, mean) are single try_divides of exact BIGINTs, round 4.
 # ---------------------------------------------------------------------------
+# Planted inversions: the fixture feed is FULLY ordered (event_id order ==
+# ts order per user), so the raw audit reports n_late = 0 everywhere and
+# its lateness arithmetic would go hash-verified only on zeros. Like the
+# funnel's planted dups, shift a deterministic arithmetic subset of
+# arrivals (event_id % 97 == 0) one hour EARLIER in event time inside the
+# query's own view on both engines: any such event that is not its user's
+# first arrival lands behind the running max and scores late — non-zero
+# n_late/max/mean columns get real hash coverage at every SF.
+# 24 h, not 1 h: a plant only scores late if the user's PREVIOUS arrival
+# is within the shift of the plant's original event time, and per-user
+# gaps in the fixture are often hours — the day-scale shift makes most of
+# the ~1%-of-events plants actually land late in every event_type
+_OOO_PLANT_MOD = 97
+_OOO_PLANT_MS = 86_400_000
+
+
+def ooo_planted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ooo-depth input view (user_id, event_id, event_type, ts_ms)
+    with the deterministic planted inversions — shared by the batch audit
+    and the streaming-parity test so both replay identical rows."""
+    shift = F.when(
+        F.col("event_id") % _OOO_PLANT_MOD == 0, F.lit(_OOO_PLANT_MS)
+    ).otherwise(F.lit(0))
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_millis(F.col("ts")) - shift).alias("ts_ms"),
+    )
+
+
 def q_ooo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order depth per event_type: arrival-order replay measures
     how far behind each user's running max event-time arrivals land —
     the empirical lateness bound that sizes withWatermark()."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
-    )
+    e = ooo_planted_events(spark, sf_dir)
     w = (
         W.partitionBy("user_id")
         .orderBy("event_id")
@@ -1990,9 +2016,12 @@ def q_ooo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_OOO_DEPTH = """
+ORACLE_OOO_DEPTH = f"""
 WITH e AS (
-  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+  SELECT user_id, event_id, event_type,
+         epoch_ms(ts) - CASE WHEN event_id % {_OOO_PLANT_MOD} = 0
+                             THEN {_OOO_PLANT_MS} ELSE 0 END AS ts_ms
+  FROM events
 ), lat AS (
   SELECT event_type,
          MAX(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id

@@ -1,0 +1,180 @@
+"""Scripted round-end gate: run the full verification chain in order and
+stop at the first red step, so rounds end in a verified-reproducible
+state by construction instead of by checklist discipline (VERDICT r5
+item 2 + stretch 8 — the r5 round artifacts were initially left
+uncommitted because the chain lived in session notes, not in a tool).
+
+    python tools/round_gate.py                 # full chain (~50 min)
+    python tools/round_gate.py --skip bench,scale
+    python tools/round_gate.py --only mirror,sweep
+
+Steps, in order:
+  mirror   tools/oracle_check.py — every query vs its DuckDB oracle at
+           sf0.01 (the driver-correctness replica).  ~4 min
+  sweep    tools/degenerate_sweep.py — every query over the planted
+           degenerate fixture (empty/whitespace/NULL-text docs, 'Anon'
+           customer); crashes, not hashes.  ~4 min
+  pytest   python -m pytest tests/ -q.  ~13 min
+  bench    python bench.py at sf0.1 — refreshes BENCH_DETAIL.json;
+           fails on any query failure or flake.  ~13 min
+  scale    tools/scale_probe.py --all — refreshes SCALING.md; fails on
+           a super-linear sf0.01→sf0.1 tail slope.  ~18 min
+  ledger   tools/make_coverage.py, then `git status --porcelain` must
+           be empty apart from the artifacts the chain itself just
+           refreshed — commit those and re-run ledger for a clean exit.
+
+Each step streams its child output; the gate's own verdict lines are
+prefixed GATE. Exit code 0 = every requested step green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# artifacts the chain itself refreshes; dirty-tree entries for these are
+# reported as "commit me" rather than failing the ledger step outright
+CHAIN_ARTIFACTS = {"BENCH_DETAIL.json", "SCALING.md", "COVERAGE.json"}
+
+
+def _run(cmd: list[str]) -> tuple[int, str]:
+    """Stream child output while capturing it for verdict parsing."""
+    proc = subprocess.Popen(
+        cmd,
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    lines: list[str] = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        lines.append(line)
+    proc.wait()
+    return proc.returncode, "".join(lines)
+
+
+def step_mirror() -> bool:
+    rc, out = _run([sys.executable, "tools/oracle_check.py"])
+    return rc == 0 and "ALL PASS" in out
+
+
+def step_sweep() -> bool:
+    rc, out = _run([sys.executable, "tools/degenerate_sweep.py"])
+    return rc == 0 and ", 0 crash" in out
+
+
+def step_pytest() -> bool:
+    rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    return rc == 0 and " failed" not in out
+
+
+def step_bench() -> bool:
+    rc, out = _run([sys.executable, "bench.py"])
+    if rc != 0:
+        return False
+    # bench prints ONE JSON line; a query failure or flake is a red round
+    # even though bench itself exits 0 (it must still publish timings)
+    for line in out.splitlines():
+        if line.startswith("{"):
+            rep = json.loads(line)
+            n_fail = rep.get("n_failures", 0)
+            n_flaky = rep.get("n_flaky", 0)
+            if n_fail or n_flaky:
+                print(f"GATE bench: {n_fail} failures, {n_flaky} flaky")
+            return not n_fail and not n_flaky
+    return False
+
+
+def step_scale() -> bool:
+    rc, out = _run([sys.executable, "tools/scale_probe.py", "--all"])
+    if rc != 0:
+        return False
+    # the probe prints one "tail=x.xx" per query; >~1.2 is its own
+    # documented investigate-before-100TB threshold
+    bad = [
+        m.group(0)
+        for m in re.finditer(r"(\S+)\s+.*tail=\s*([0-9.]+)", out)
+        if float(m.group(2)) > 1.2
+    ]
+    if bad:
+        print(f"GATE scale: super-linear tails: {bad}")
+    return not bad
+
+
+def step_ledger() -> bool:
+    rc, _ = _run([sys.executable, "tools/make_coverage.py"])
+    if rc != 0:
+        return False
+    out = subprocess.check_output(
+        ["git", "status", "--porcelain"], cwd=REPO, text=True
+    )
+    dirty = [line for line in out.splitlines() if line.strip()]
+    # porcelain v1 is fixed-width: XY<space>path — slice, don't strip a
+    # status char class (it would eat leading filename letters like the
+    # C of COVERAGE.json)
+    artifact_only = [
+        line for line in dirty if line[3:].strip() in CHAIN_ARTIFACTS
+    ]
+    other = [line for line in dirty if line not in artifact_only]
+    if other:
+        print("GATE ledger: uncommitted non-artifact changes:")
+        for line in other:
+            print(f"  {line}")
+        return False
+    if artifact_only:
+        print("GATE ledger: chain artifacts need a commit:")
+        for line in artifact_only:
+            print(f"  {line}")
+        return False
+    return True
+
+
+STEPS = {
+    "mirror": step_mirror,
+    "sweep": step_sweep,
+    "pytest": step_pytest,
+    "bench": step_bench,
+    "scale": step_scale,
+    "ledger": step_ledger,
+}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    selected = list(STEPS)
+    for i, a in enumerate(args):
+        if a == "--skip":
+            for s in args[i + 1].split(","):
+                selected.remove(s)
+        elif a == "--only":
+            selected = [s for s in STEPS if s in args[i + 1].split(",")]
+    unknown = [s for s in selected if s not in STEPS]
+    if unknown:
+        print(f"GATE unknown steps: {unknown}")
+        return 2
+
+    results: dict[str, str] = {}
+    for name in selected:
+        print(f"GATE ==== {name} ====", flush=True)
+        t0 = time.monotonic()
+        ok = STEPS[name]()
+        dt = time.monotonic() - t0
+        results[name] = "green" if ok else "RED"
+        print(f"GATE {name}: {results[name]} ({dt:.0f}s)", flush=True)
+        if not ok:
+            break
+
+    print("GATE summary: " + ", ".join(f"{k}={v}" for k, v in results.items()))
+    return 0 if all(v == "green" for v in results.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

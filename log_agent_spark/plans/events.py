@@ -1958,7 +1958,7 @@ ORDER BY est.q
 # ts order per user), so the raw audit reports n_late = 0 everywhere and
 # its lateness arithmetic would go hash-verified only on zeros. Like the
 # funnel's planted dups, shift a deterministic arithmetic subset of
-# arrivals (event_id % 97 == 0) one hour EARLIER in event time inside the
+# arrivals (event_id % 97 == 0) one day EARLIER in event time inside the
 # query's own view on both engines: any such event that is not its user's
 # first arrival lands behind the running max and scores late — non-zero
 # n_late/max/mean columns get real hash coverage at every SF.

@@ -14,7 +14,6 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
-from log_agent_spark.sources.tables import load_table
 from log_agent_spark.streaming.ooo_tws import HAS_TWS_DEPS, ooo_depth_stream
 
 SF_DIR = "/root/testdata/sf0.001"

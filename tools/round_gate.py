@@ -72,25 +72,41 @@ def step_sweep() -> bool:
 
 
 def step_pytest() -> bool:
-    rc, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
-    return rc == 0 and " failed" not in out
+    # rc alone is the verdict: pytest exits non-zero on any failure or
+    # collection error; a substring scan for "failed" would false-red a
+    # green run whose warning/log lines merely contain the word
+    rc, _ = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    return rc == 0
 
 
 def step_bench() -> bool:
     rc, out = _run([sys.executable, "bench.py"])
     if rc != 0:
         return False
-    # bench prints ONE JSON line; a query failure or flake is a red round
-    # even though bench itself exits 0 (it must still publish timings)
+    # bench prints ONE JSON report line, but the captured stream also
+    # carries Spark/py4j noise (stderr is merged) — scan every line,
+    # tolerate non-JSON '{'-prefixed noise, and accept only an object
+    # that carries bench's own keys; a query failure or flake is a red
+    # round even though bench itself exits 0 (it must still publish
+    # timings). Last matching line wins (the report prints at the end).
+    rep = None
     for line in out.splitlines():
-        if line.startswith("{"):
-            rep = json.loads(line)
-            n_fail = rep.get("n_failures", 0)
-            n_flaky = rep.get("n_flaky", 0)
-            if n_fail or n_flaky:
-                print(f"GATE bench: {n_fail} failures, {n_flaky} flaky")
-            return not n_fail and not n_flaky
-    return False
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj and "queries" in obj:
+            rep = obj
+    if rep is None:
+        print("GATE bench: no report line found in bench output")
+        return False
+    n_fail = rep.get("n_failures", 0)
+    n_flaky = rep.get("n_flaky", 0)
+    if n_fail or n_flaky:
+        print(f"GATE bench: {n_fail} failures, {n_flaky} flaky")
+    return not n_fail and not n_flaky
 
 
 def step_scale() -> bool:
@@ -150,15 +166,30 @@ STEPS = {
 def main() -> int:
     args = sys.argv[1:]
     selected = list(STEPS)
-    for i, a in enumerate(args):
-        if a == "--skip":
-            for s in args[i + 1].split(","):
-                selected.remove(s)
-        elif a == "--only":
-            selected = [s for s in STEPS if s in args[i + 1].split(",")]
-    unknown = [s for s in selected if s not in STEPS]
-    if unknown:
-        print(f"GATE unknown steps: {unknown}")
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("--skip", "--only"):
+            if i + 1 >= len(args):
+                print(f"GATE {a} needs a comma-separated step list")
+                return 2
+            names = [s for s in args[i + 1].split(",") if s]
+            # validate BEFORE filtering: a typo must exit 2, never
+            # silently select zero steps and report a false-green gate
+            unknown = [s for s in names if s not in STEPS]
+            if unknown:
+                print(f"GATE unknown steps: {unknown} (have: {list(STEPS)})")
+                return 2
+            if a == "--skip":
+                selected = [s for s in selected if s not in names]
+            else:
+                selected = [s for s in STEPS if s in names]
+            i += 2
+        else:
+            print(f"GATE unknown argument: {a}")
+            return 2
+    if not selected:
+        print("GATE no steps selected")
         return 2
 
     results: dict[str, str] = {}

@@ -52,16 +52,21 @@ from log_agent_spark.sources.tables import load_table
 # engines; the band index is then an exact small integer.
 _ACCTBAL_BAND = 1000
 
+# The conventional release threshold shared by every audit in the module:
+# a QI group smaller than this re-identifies (k histogram), and the
+# generalization ladder coarsens until groups reach it. ONE constant so a
+# policy change can never make the triad's audits disagree on what
+# "re-identifiable" means.
+_K_ANON = 5
+
 
 def _qi_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per quasi-identifier group: size and #distinct sensitive values.
+    """Per quasi-identifier group (k-anonymity's partition): group size.
 
     QI = (nation, mktsegment, acctbal band) — the published-attribute
-    combination an attacker could link on; sensitive attribute for
-    l-diversity = the customer name (stand-in for the payload column a
-    real release would carry). One groupBy over the table; group count is
-    bounded by |nations| × |segments| × |bands|, so everything downstream
-    of the first aggregate is k-row.
+    combination an attacker could link on. One groupBy over the table;
+    group count is bounded by |nations| × |segments| × |bands|, so
+    everything downstream of the first aggregate is k-row.
     """
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy(
@@ -70,17 +75,14 @@ def _qi_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("bigint").alias(
             "bal_band"
         ),
-    ).agg(
-        F.count("*").alias("grp_sz"),
-        F.countDistinct("c_name").alias("l_div"),
-    )
+    ).agg(F.count("*").alias("grp_sz"))
 
 
 def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity risk histogram: for each occurring group size k, how
     many QI groups and rows sit at that k, what share of all rows, and
-    whether that k re-identifies (k < 5, the conventional release
-    threshold).
+    whether that k re-identifies (k < _K_ANON, the conventional release
+    threshold shared with the generalization ladder).
 
     The histogram row count equals the number of DISTINCT group sizes —
     bounded at any data scale (sizes cluster), like the skew profile's
@@ -101,7 +103,7 @@ def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") * 100.0 / F.col("tot_rows"), 6).alias(
                 "pct_rows"
             ),
-            (F.col("k") < 5).alias("reidentifiable"),
+            (F.col("k") < _K_ANON).alias("reidentifiable"),
         )
         .orderBy("k")
     )
@@ -122,20 +124,37 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST(n_groups AS BIGINT) AS n_groups,
        CAST(n_rows AS BIGINT) AS n_rows,
        ROUND(n_rows * 100.0 / (SELECT SUM(grp_sz) FROM grp), 6) AS pct_rows,
-       k < 5 AS reidentifiable
+       k < {_K_ANON} AS reidentifiable
 FROM hist
 ORDER BY k
 """
 
 
 def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity histogram over the same QI partition: for each
-    occurring l (#distinct sensitive values within a group), the number
-    of groups and rows. A k-anonymous group with l = 1 still leaks the
-    sensitive value outright — this is the audit k-anonymity alone
-    misses. Same bounded count-of-counts shape as the k histogram.
+    """l-diversity histogram: for each occurring l (#distinct sensitive
+    values within a QI group), the number of groups and rows. A
+    k-anonymous group with l = 1 still leaks the sensitive value outright
+    — this is the audit k-anonymity alone misses.
+
+    This audit models a release where mktsegment is the PAYLOAD: QI =
+    (nation, acctbal band) only, sensitive = c_mktsegment (5 values), so
+    l ranges 1..5 and genuinely varies per group. It must NOT reuse the
+    k-audit's 3-attribute grid with a per-customer-unique sensitive
+    column (c_name): that makes l_div ≡ grp_sz — a histogram
+    byte-identical to the k histogram that can never flag a skewed
+    group (review finding, round 6). Same bounded count-of-counts
+    shape as the k histogram.
     """
-    groups = _qi_groups(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("bigint").alias(
+            "bal_band"
+        ),
+    ).agg(
+        F.count("*").alias("grp_sz"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
     tot = groups.agg(F.sum("grp_sz").alias("tot_rows"))
     hist = groups.groupBy(F.col("l_div").alias("l")).agg(
         F.count("*").alias("n_groups"),
@@ -157,11 +176,11 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRIVACY_LDIVERSITY = f"""
 WITH grp AS (
-  SELECT c_nationkey, c_mktsegment,
+  SELECT c_nationkey,
          FLOOR(c_acctbal / {_ACCTBAL_BAND}) AS bal_band,
          COUNT(*) AS grp_sz,
-         COUNT(DISTINCT c_name) AS l_div
-  FROM customer GROUP BY 1, 2, 3
+         COUNT(DISTINCT c_mktsegment) AS l_div
+  FROM customer GROUP BY 1, 2
 )
 SELECT CAST(l_div AS BIGINT) AS l,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -343,9 +362,9 @@ SELECT 'lineitem',
 # Scale shape: three map-side-combinable groupBy counts (bounded outputs:
 # |QI| combinations), each broadcast-joined back to the row scan; one
 # final k-row aggregate. All counts exact integers; pct is one integer
-# ratio.
+# ratio. (_K_ANON is the module-level shared threshold, defined with the
+# QI bucketing at the top.)
 # ---------------------------------------------------------------------------
-_K_ANON = 5
 
 
 def q_privacy_generalization_ladder(
@@ -413,10 +432,12 @@ def q_privacy_generalization_ladder(
             "level",
             "n_rows",
             "n_groups",
+            # ×100 and round(6) like every other pct_* column in the
+            # module — a 0-1 fraction under the same name invited a
+            # 100x misread across reports (review finding, round 6)
             F.round(
-                F.col("n_rows").cast("double")
-                / F.sum("n_rows").over(total_w).cast("double"),
-                4,
+                F.col("n_rows") * 100.0 / F.sum("n_rows").over(total_w),
+                6,
             ).alias("pct_rows"),
         )
     )
@@ -459,7 +480,7 @@ WITH base AS (
 SELECT CAST(level AS BIGINT) AS level,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT rk) AS BIGINT) AS n_groups,
-       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS pct_rows
+       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 6) AS pct_rows
 FROM tagged
 GROUP BY level
 """
@@ -555,7 +576,10 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         F.col("n_g").alias("n_rows"),
         F.round(t, 6).alias("t_distance"),
-        (t > _T_CLOSE_THRESHOLD).alias("breaches_t"),
+        # flag on the ROUNDED value as displayed: flagging unrounded t
+        # lets two rows print the same t_distance with opposite breach
+        # verdicts ("0.2 > 0.2") — the report must agree with itself
+        (F.round(t, 6) > _T_CLOSE_THRESHOLD).alias("breaches_t"),
     ).orderBy("priority", "yr")
 
 
@@ -594,8 +618,8 @@ WITH o AS (
 )
 SELECT priority, yr, n_g AS n_rows,
        ROUND(CAST(tvd_num AS DOUBLE) / (2.0 * n_g * n_total), 6) AS t_distance,
-       CAST(tvd_num AS DOUBLE) / (2.0 * n_g * n_total) > {_T_CLOSE_THRESHOLD}
-         AS breaches_t
+       ROUND(CAST(tvd_num AS DOUBLE) / (2.0 * n_g * n_total), 6)
+         > {_T_CLOSE_THRESHOLD} AS breaches_t
 FROM per_group
 ORDER BY priority, yr
 """
@@ -806,8 +830,6 @@ def q_dp_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP clipping-bound report per event_type: exact contribution
     order statistics (max/p50/p99 via integer cumulative counts) and
     the event mass a clip at C = p99 would discard."""
-    from pyspark.sql.window import Window as W_
-
     e = load_table(spark, sf_dir, "events")
     contrib = e.groupBy("event_type", "user_id").agg(
         F.count("*").alias("c")
@@ -816,11 +838,11 @@ def q_dp_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users_c")
     )
     wcum = (
-        W_.partitionBy("event_type")
+        W.partitionBy("event_type")
         .orderBy("c")
-        .rowsBetween(W_.unboundedPreceding, W_.currentRow)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wall = W_.partitionBy("event_type")
+    wall = W.partitionBy("event_type")
     h = hist.select(
         "event_type",
         "c",

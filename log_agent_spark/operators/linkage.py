@@ -29,7 +29,9 @@ mirror each other.
 
 Cross-engine float discipline: the only float column is the reduction
 ratio — a single IEEE division of two exact integers (both < 2^53 at any
-tested SF), rounded at 6.
+tested SF), rounded at 6. reduction_ratio follows the standard ER
+convention (Christen 2012): the fraction of naive all-pairs comparisons
+ELIMINATED by blocking, 1 - candidate_pairs/naive — higher is better.
 """
 
 from __future__ import annotations
@@ -37,7 +39,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from log_agent_spark.sources.tables import load_table
+
+# Evidence-feature constants shared by the Spark plan and its SQL twins —
+# single-sourced so widening the band or changing the id modulus can
+# never silently diverge the engines (the governance module's f-string
+# discipline applied here).
+_ER_ID_MOD = 97  # numeric id-suffix modulus (SSN-tail stand-in)
+_ER_BAL_BAND = 1000  # coarse balance band width (also the SNM sort key)
+# integer cents via half-up quantization — the order-free alternative to
+# SUM(double); restated NOWHERE else (golden-record oracle reuses this)
+_CENTS_SQL = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
 
 # Candidate blocking strategies over the customer table, coarse → fine.
 # (label, spark block-key columns, duckdb block-key sql)
@@ -77,8 +91,13 @@ def block_profile(df: DataFrame, key_cols: list[str], label: str) -> DataFrame:
         "candidate_pairs",
         # try_divide: a 1-record table makes naive = 0; DuckDB yields NULL
         # on division by zero where Spark's ANSI default would crash.
+        # 1 - retained: the standard reduction ratio (higher = better);
+        # publishing the retained fraction under this name inverted the
+        # strategy choice the report drives (review finding, round 6).
         F.round(
-            F.try_divide(F.col("candidate_pairs").cast("double"), naive), 6
+            F.lit(1.0)
+            - F.try_divide(F.col("candidate_pairs").cast("double"), naive),
+            6,
         ).alias("reduction_ratio"),
     )
 
@@ -103,7 +122,7 @@ def _strategy_sql(label: str, key_sql: str) -> str:
          CAST(MAX(cnt) AS BIGINT) AS max_block,
          CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS BIGINT)
            AS candidate_pairs,
-         ROUND(CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS DOUBLE)
+         ROUND(1.0 - CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS DOUBLE)
                / (CAST(SUM(cnt) AS DOUBLE) * (SUM(cnt) - 1)), 6)
            AS reduction_ratio
   FROM (SELECT {key_sql}, COUNT(*) AS cnt FROM customer GROUP BY ALL)"""
@@ -161,25 +180,28 @@ def _er_features(c: DataFrame) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         # try_cast: a name not shaped 'Customer#%09d' must yield NULL
         # evidence (→ disagree weight), not an ANSI CAST_INVALID_INPUT crash
-        (F.substring("c_name", 10, 9).try_cast("bigint") % 97).alias("name_tail"),
+        (F.substring("c_name", 10, 9).try_cast("bigint") % _ER_ID_MOD).alias(
+            "name_tail"
+        ),
         F.pmod(cents, F.lit(1000)).alias("cents_tail"),
-        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.floor(F.col("c_acctbal") / _ER_BAL_BAND).cast("bigint").alias(
+            "bal_band"
+        ),
         F.pmod(cents, F.lit(2)).alias("bal_parity"),
     )
 
 
 # pmod twin: DuckDB % keeps the dividend sign (cents can be negative), so
 # the oracle uses ((x % m) + m) % m to match Spark's pmod exactly
-_ER_FEATURES_SQL = """
+_ER_FEATURES_SQL = f"""
   SELECT c_custkey AS custkey,
          CAST(c_nationkey AS BIGINT) AS nationkey,
          c_mktsegment AS segment,
-         TRY_CAST(substr(c_name, 10, 9) AS BIGINT) % 97 AS name_tail,
-         ((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 1000) + 1000) % 1000
-           AS cents_tail,
-         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
-         ((CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 2) + 2) % 2
-           AS bal_parity
+         TRY_CAST(substr(c_name, 10, 9) AS BIGINT) % {_ER_ID_MOD}
+           AS name_tail,
+         (({_CENTS_SQL} % 1000) + 1000) % 1000 AS cents_tail,
+         CAST(FLOOR(c_acctbal / {_ER_BAL_BAND}) AS BIGINT) AS bal_band,
+         (({_CENTS_SQL} % 2) + 2) % 2 AS bal_parity
   FROM customer"""
 
 
@@ -188,10 +210,8 @@ def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     record vs its next W=3 (bal_band, custkey)-order neighbors inside the
     (nation, segment) block; agree/disagree weights sum to an exact
     integer score, match iff score >= threshold."""
-    from pyspark.sql.window import Window as W_
-
     feats = _er_features(load_table(spark, sf_dir, "customer"))
-    w = W_.partitionBy("nationkey", "segment").orderBy("bal_band", "custkey")
+    w = W.partitionBy("nationkey", "segment").orderBy("bal_band", "custkey")
     fields = list(_ER_WEIGHTS)
     # Every lead(·, k) shares ONE window spec inside one projection, so
     # Catalyst plans a single WindowExec — one shuffle+sort of the table —
@@ -340,7 +360,7 @@ SELECT comp AS entity_id,
        CAST(MIN(custkey) AS BIGINT) AS golden_custkey,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
-       ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+       ROUND(SUM({_CENTS_SQL}) / 100.0, 2)
          AS merged_acctbal
 FROM comp JOIN customer ON custkey = c_custkey
 GROUP BY comp

@@ -36,7 +36,9 @@ def test_er_blocking_plan_counts_match_pandas(spark):
         assert row["max_block"] == int(sizes.max())
         pairs = int((sizes * (sizes - 1)).sum())
         assert row["candidate_pairs"] == pairs
-        assert row["reduction_ratio"] == round(pairs / (n * (n - 1)), 6)
+        # standard Christen reduction ratio: fraction of naive pairs
+        # ELIMINATED (round-6 review fixed the inverted retained-fraction)
+        assert row["reduction_ratio"] == round(1.0 - pairs / (n * (n - 1)), 6)
 
 
 def test_er_blocking_finer_key_never_increases_pairs(spark):

@@ -89,7 +89,7 @@ def test_generalization_ladder_matches_pandas(spark):
     assert sum(v["n_rows"] for v in got.values()) == len(qi)
     for lv, v in got.items():
         assert v["n_groups"] == keys[level == lv].nunique()
-        assert v["pct_rows"] == round(v["n_rows"] / len(qi), 4)
+        assert v["pct_rows"] == round(v["n_rows"] * 100.0 / len(qi), 6)
 
 
 def test_generalization_ladder_released_groups_reach_k(spark):

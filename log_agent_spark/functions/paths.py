@@ -53,16 +53,25 @@ def folder(path_sub_dir: Column) -> Column:
 
 
 def bsi_parse(df: DataFrame, sub_dir_col: str = "sub_dir") -> DataFrame:
-    """BSI Transform (plugins/BSI.go:23-57): split sub_dir on '/', require
-    4 or 5 segments (<family>/<model>/<date>/<test_id>[/...]); testID = the
-    4th segment; folder_time parsed from its trailing timestamp; file_time
-    (create_time) overridden by folder_time so re-created files keep a
-    stable key (BSI.go:30-32,52-54). Non-conforming paths pass through
-    unchanged (BSI.go:46-49)."""
+    """BSI Transform (plugins/BSI.go:23-57): the reference splits the
+    file's DIRECTORY path (FileMeta.SubDir, watchdog/watchdog.go:347 —
+    no filename) on '/', requires 4 or 5 segments
+    (<family>/<model>/<date>/<test_id>[/...]), and takes the LAST segment
+    as testID (BSI.go:46-51 ``pathArray[len(pathArray)-1]``). Our
+    ``sub_dir`` column INCLUDES the filename, so the equivalent window is
+    5-6 path segments with testID = the second-to-last (round-6 review:
+    the previous 4-5-segments-of-the-full-path window was off by one —
+    it conformed depth-3 directories using the FILENAME as testID and
+    rejected conforming depth-5 directories). folder_time is parsed from
+    testID's trailing timestamp; file_time (create_time) is overridden by
+    folder_time so re-created files keep a stable key (BSI.go:30-32,
+    52-54). Non-conforming paths pass through unchanged (BSI.go:46-49)."""
     segs = F.split(F.col(sub_dir_col), "/")
     n = F.size(segs)
-    conforms = (n >= 4) & (n <= 5)
-    test_id = F.element_at(segs, 4)
+    conforms = (n >= 5) & (n <= 6)
+    # second-to-last = the deepest DIRECTORY segment; try_element_at so a
+    # 1-segment (top-level) path yields NULL instead of an ANSI index error
+    test_id = F.try_element_at(segs, (n - 1).cast("int"))
     ts_str = F.regexp_extract(test_id, BSI_TIME_RE, 1)
     folder_time = F.when(
         conforms & (ts_str != ""), F.to_timestamp(ts_str, BSI_TIME_FMT)

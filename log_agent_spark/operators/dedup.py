@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 
 from log_agent_spark.scratch import pin, pinned_query
 
+from log_agent_spark.functions.content import (
+    content_cluster_hash,
+    content_cluster_hash_sql,
+)
 from log_agent_spark.operators.similarity import _bucket_sql as _similarity_bucket_sql
 from log_agent_spark.plans.sampling import split_expr as _split_expr
 from log_agent_spark.plans.sampling import split_sql as _split_sql
@@ -112,8 +116,12 @@ def _shingles_sql(src: str, n: int = SHINGLE_LEN) -> str:
 # multiplicity (bounded); representative = min doc_id.
 # ---------------------------------------------------------------------------
 def exact_duplicates(docs: DataFrame) -> DataFrame:
+    # content_cluster_hash: md5(NULL) = NULL would collapse every
+    # NULL-text doc into ONE fake duplicate cluster; the shared helper
+    # makes each its own singleton (round-6 review — same convention as
+    # the license-taint/split-leakage audits)
     return (
-        docs.select("doc_id", F.md5(F.col("text")).alias("checksum"))
+        docs.select("doc_id", content_cluster_hash().alias("checksum"))
         .groupBy("checksum")
         .agg(
             F.min("doc_id").alias("representative"),
@@ -130,9 +138,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EXACT = f"""
-SELECT md5(text) AS checksum, MIN(doc_id) AS representative, COUNT(*) AS n_copies
+SELECT {content_cluster_hash_sql()} AS checksum,
+       MIN(doc_id) AS representative, COUNT(*) AS n_copies
 FROM ({PLANTED_DUPS_SQL})
-GROUP BY md5(text)
+GROUP BY 1
 HAVING COUNT(*) > 1
 """
 
@@ -161,11 +170,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
-            ).alias("jaccard"),
+            F.col("inter"),
+            (F.col("size_a") + F.col("size_b") - F.col("inter")).alias("un"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # integer cross-multiplication gate (the J_NUM/J_DEN discipline):
+        # gating on round(jaccard, 4) while the oracle gated unrounded let
+        # boundary pairs diverge (round-6 review) — 2·inter >= union is
+        # exact and identical on both engines for threshold 1/2
+        .filter(F.col("inter") * J_DEN >= F.col("un") * J_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("un"), 4).alias("jaccard"),
+        )
     )
 
 
@@ -193,7 +210,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter) >= {JACCARD_THRESHOLD}
+WHERE inter * {J_DEN} >= (sa.n_shingles + sb.n_shingles - inter) * {J_NUM}
 """
 
 
@@ -881,14 +898,19 @@ FROM positives p
 # never rescanned.
 # ---------------------------------------------------------------------------
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content_cluster_hash, not raw md5: md5(NULL) = NULL, and a NULL key
+    # is kept by left_anti (never matches) but DROPPED by the oracle's
+    # NOT IN (NULL comparison) — the shared singleton hash makes a
+    # NULL-text doc "new" on BOTH engines (round-6 review; same class as
+    # the r5 license-taint fix that introduced the helper)
     d = load_table(spark, sf_dir, "documents")
     prior = (
         d.filter(F.col("doc_id") < 250)
-        .select(F.md5("text").alias("h"))
+        .select(content_cluster_hash().alias("h"))
         .distinct()
     )
     incoming = d.filter(F.col("doc_id") >= 250).select(
-        "doc_id", "lang", F.md5("text").alias("h")
+        "doc_id", "lang", content_cluster_hash().alias("h")
     )
     return (
         incoming.join(F.broadcast(prior), "h", "left_anti")
@@ -901,11 +923,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_INCREMENTAL = """
+ORACLE_DEDUP_INCREMENTAL = f"""
 WITH prior AS (
-  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+  SELECT DISTINCT {content_cluster_hash_sql()} AS h
+  FROM documents WHERE doc_id < 250
 ), incoming AS (
-  SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id >= 250
+  SELECT doc_id, lang, {content_cluster_hash_sql()} AS h
+  FROM documents WHERE doc_id >= 250
 )
 SELECT lang, COUNT(*) AS n_new,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
@@ -1017,7 +1041,13 @@ def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.select(
-            F.floor(10 * F.col("i") / F.col("u")).cast("long").alias("jaccard_decile")
+            # try_divide: a candidate pair of token-FREE docs (identical
+            # whitespace-only texts share every shingle, so LSH pairs
+            # them) has u = 0 — ANSI Spark would crash where DuckDB
+            # yields NULL (round-6 review); NULL deciles group together
+            F.floor(F.try_divide(10 * F.col("i"), F.col("u")))
+            .cast("long")
+            .alias("jaccard_decile")
         )
         .groupBy("jaccard_decile")
         .agg(F.count("*").alias("n_pairs"))
@@ -1232,8 +1262,11 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
+    # cluster hash, not raw md5: two unrelated NULL-text docs must not
+    # count as copies of each other (round-6 review)
     keyed = corpus.withColumn(
-        "n_copies", F.count("*").over(W.partitionBy(F.md5("text")))
+        "n_copies",
+        F.count("*").over(W.partitionBy(content_cluster_hash())),
     )
     return keyed.groupBy("source", "n_copies").agg(
         F.count("*").alias("n_docs"),
@@ -1244,7 +1277,7 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_SOFT_WEIGHTS = """
+ORACLE_DEDUP_SOFT_WEIGHTS = f"""
 WITH corpus AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
@@ -1252,7 +1285,8 @@ WITH corpus AS (
   FROM documents WHERE doc_id % 3 = 0
 ), keyed AS (
   SELECT source, text,
-         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+         COUNT(*) OVER (PARTITION BY {content_cluster_hash_sql()})
+           AS n_copies
   FROM corpus
 )
 SELECT source, CAST(n_copies AS BIGINT) AS n_copies, COUNT(*) AS n_docs,
@@ -1347,8 +1381,10 @@ def q_dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    # cluster hash, not raw md5: a NULL-text doc must be its own
+    # singleton group, not inherit an unrelated NULL doc's root split
     keyed = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("checksum")
+        "doc_id", content_cluster_hash().alias("checksum")
     ).withColumn("root", F.min("doc_id").over(W.partitionBy("checksum")))
     return (
         keyed.select(
@@ -1370,8 +1406,8 @@ def q_dedup_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_GROUP_SPLIT = f"""
 WITH corpus AS ({PLANTED_DUPS_SQL}),
 keyed AS (
-  SELECT doc_id, md5(text) AS checksum,
-         MIN(doc_id) OVER (PARTITION BY md5(text)) AS root
+  SELECT doc_id, {content_cluster_hash_sql()} AS checksum,
+         MIN(doc_id) OVER (PARTITION BY {content_cluster_hash_sql()}) AS root
   FROM corpus
 )
 SELECT {_split_sql('root')} AS split,
@@ -1398,7 +1434,9 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     groups = (
-        docs.select(F.md5("text").alias("h"), F.length("text").alias("nch"))
+        docs.select(
+            content_cluster_hash().alias("h"), F.length("text").alias("nch")
+        )
         .groupBy("h")
         .agg(F.count("*").alias("sz"), F.min("nch").alias("doc_chars"))
     )
@@ -1414,9 +1452,9 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_SAVINGS = f"""
 WITH corpus AS ({PLANTED_DUPS_SQL}),
 groups AS (
-  SELECT md5(text) AS h, COUNT(*) AS sz,
+  SELECT {content_cluster_hash_sql()} AS h, COUNT(*) AS sz,
          CAST(MIN(length(text)) AS BIGINT) AS doc_chars
-  FROM corpus GROUP BY md5(text)
+  FROM corpus GROUP BY 1
 )
 SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
        CAST(SUM(sz - 1) AS BIGINT) AS docs_removable,
@@ -1437,7 +1475,9 @@ FROM groups GROUP BY sz
 # ---------------------------------------------------------------------------
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
-    clusters = docs.groupBy(F.md5("text").alias("checksum")).agg(
+    clusters = docs.groupBy(
+        content_cluster_hash().alias("checksum")
+    ).agg(
         F.count("*").alias("cluster_size"),
         F.sum(F.length("text").cast("bigint")).alias("cluster_chars"),
         F.max(F.length("text").cast("bigint")).alias("rep_chars"),
@@ -1452,11 +1492,11 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_CLUSTER_SIZES = f"""
 WITH clusters AS (
-  SELECT md5(text) AS checksum, COUNT(*) AS cluster_size,
+  SELECT {content_cluster_hash_sql()} AS checksum, COUNT(*) AS cluster_size,
          CAST(SUM(length(text)) AS BIGINT) AS cluster_chars,
          CAST(MAX(length(text)) AS BIGINT) AS rep_chars
   FROM ({PLANTED_DUPS_SQL})
-  GROUP BY md5(text)
+  GROUP BY 1
 )
 SELECT cluster_size, COUNT(*) AS n_clusters,
        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,

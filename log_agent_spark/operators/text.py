@@ -936,13 +936,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(uni), "term", "left")
         .crossJoin(F.broadcast(consts))
     )
-    p_big = (F.coalesce(F.col("c_big"), F.lit(0)) + 1) / (
-        F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size")
-    )
-    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1) / (
-        F.col("n_total") + F.col("v_size")
-    )
-    logp = F.log(F.lit(_LM_LAMBDA) * p_big + F.lit(1.0 - _LM_LAMBDA) * p_uni)
+    # association mirrors the SQL twin's left-to-right 0.75*(c+1)/d:
+    # lambda*(numerator) is EXACT (dyadic 3/4 times an integer), so each
+    # term pays exactly ONE IEEE rounding at the division — computing
+    # lambda*(a/b) instead pays two and can differ by 1 ulp (round-6
+    # review), which ln + avg can carry across a round(4) boundary
+    p_big = (
+        F.lit(_LM_LAMBDA) * (F.coalesce(F.col("c_big"), F.lit(0)) + 1)
+    ) / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size"))
+    p_uni = (
+        F.lit(1.0 - _LM_LAMBDA) * (F.coalesce(F.col("c_uni"), F.lit(0)) + 1)
+    ) / (F.col("n_total") + F.col("v_size"))
+    logp = F.log(p_big + p_uni)
     return (
         scored.select("doc_id", logp.alias("logp"))
         .groupBy("doc_id")
@@ -1043,13 +1048,18 @@ def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(uni), "term", "left")
         .crossJoin(F.broadcast(consts))
     )
-    p_big = (F.coalesce(F.col("c_big"), F.lit(0)) + 1) / (
-        F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size")
-    )
-    p_uni = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1) / (
-        F.col("n_total") + F.col("v_size")
-    )
-    logp = F.log(F.lit(_LM_LAMBDA) * p_big + F.lit(1.0 - _LM_LAMBDA) * p_uni)
+    # association mirrors the SQL twin's left-to-right 0.75*(c+1)/d:
+    # lambda*(numerator) is EXACT (dyadic 3/4 times an integer), so each
+    # term pays exactly ONE IEEE rounding at the division — computing
+    # lambda*(a/b) instead pays two and can differ by 1 ulp (round-6
+    # review), which ln + avg can carry across a round(4) boundary
+    p_big = (
+        F.lit(_LM_LAMBDA) * (F.coalesce(F.col("c_big"), F.lit(0)) + 1)
+    ) / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v_size"))
+    p_uni = (
+        F.lit(1.0 - _LM_LAMBDA) * (F.coalesce(F.col("c_uni"), F.lit(0)) + 1)
+    ) / (F.col("n_total") + F.col("v_size"))
+    logp = F.log(p_big + p_uni)
     per_doc = (
         scored.select("doc_id", logp.alias("logp"))
         .groupBy("doc_id")

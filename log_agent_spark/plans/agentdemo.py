@@ -230,10 +230,14 @@ WITH raw AS (
          content, size, last_modified
   FROM raw
 ), timed AS (
+  -- rel INCLUDES the filename, so the reference's 4-5 DIRECTORY-segment
+  -- window (BSI.go:46-49 over FileMeta.SubDir) is 5-6 segments of rel,
+  -- and testID = the LAST directory segment = rel's second-to-last
+  -- (mirrors functions/paths.py bsi_parse, fixed in round 6)
   SELECT *,
-         CASE WHEN len(segs) BETWEEN 4 AND 5
-              AND regexp_extract(segs[4], '{_BSI_TS_RE}', 1) <> ''
-              THEN strptime(regexp_extract(segs[4], '{_BSI_TS_RE}', 1),
+         CASE WHEN len(segs) BETWEEN 5 AND 6
+              AND regexp_extract(segs[len(segs) - 1], '{_BSI_TS_RE}', 1) <> ''
+              THEN strptime(regexp_extract(segs[len(segs) - 1], '{_BSI_TS_RE}', 1),
                             '%Y-%m-%d_%H_%M_%S_%g')
          END AS folder_time
   FROM parsed

@@ -270,3 +270,41 @@ def test_confluent_frame_bytes(spark):
     assert bytes(out.lo) == b"\x00\x00\x00\x00\x07abc"
     assert bytes(out.hi) == b"\x00\x01\x02\x03\x04abc"
     assert bytes(out.empty) == b"\x00\x00\x00\x00\x00"
+
+
+def test_bsi_parse_directory_segment_window(spark):
+    """BSI conformance counts DIRECTORY segments, not path segments: the
+    reference splits FileMeta.SubDir (no filename, watchdog/watchdog.go:347)
+    and requires 4-5 segments with testID = the LAST one (BSI.go:46-51).
+    Our sub_dir includes the filename, so conforming paths have 5-6
+    segments and testID is the second-to-last. Round-6 review caught the
+    off-by-one: a depth-3 directory must NOT conform via its filename,
+    and a conforming depth-5 directory must not be rejected."""
+    from log_agent_spark.functions.paths import bsi_parse
+
+    ts = "2017-06-07_16_15_42_797"
+    rows = [
+        # depth-4 dir (5 path segs): the canonical BSI shape — conforms
+        ("fam/model/2017-06-07/run_" + ts + "/f.log", "depth4"),
+        # depth-5 dir (6 path segs): BSI.go len==5 arm — conforms, testID
+        # = the DEEPEST dir segment (the one carrying the timestamp here)
+        ("fam/model/2017-06-07/extra/run_" + ts + "/f.log", "depth5"),
+        # depth-3 dir (4 path segs): non-conforming even though the
+        # FILENAME carries a parseable timestamp
+        ("fam/model/2017-06-07/run_" + ts + ".log", "depth3"),
+        # depth-6 dir (7 path segs): beyond the window
+        ("a/b/c/d/e/run_" + ts + "/f.log", "depth6"),
+        # top-level file (1 path seg): must not crash element_at
+        ("f.log", "top"),
+    ]
+    df = spark.createDataFrame(rows, "sub_dir string, tag string")
+    got = {r.tag: r for r in bsi_parse(df).collect()}
+    assert got["depth4"].bsi_test_id == "run_" + ts
+    assert got["depth4"].folder_time is not None
+    assert got["depth5"].bsi_test_id == "run_" + ts
+    assert got["depth5"].folder_time is not None
+    assert got["depth5"].bsi_family == "fam"
+    assert got["depth3"].bsi_test_id is None
+    assert got["depth3"].folder_time is None
+    assert got["depth6"].bsi_test_id is None
+    assert got["top"].bsi_test_id is None

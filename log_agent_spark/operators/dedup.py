@@ -347,11 +347,14 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
     )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS
+def _band_table(
+    wide: DataFrame, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS
 ) -> DataFrame:
+    """(doc_id, band, band_hash) from a _minhash_wide frame — THE banding
+    layout (rows-per-band indexing, hash of concat_ws) every LSH query
+    depends on; single-sourced so the incremental candidate set can never
+    silently desynchronize from the batch one (round-6 review)."""
     rows_per_band = num_perms // num_bands
-    sig = _minhash_wide(docs, num_perms)
     band_structs = F.array(
         *[
             F.struct(
@@ -369,9 +372,22 @@ def lsh_candidate_pairs(
             for band in range(num_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return wide.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.band_hash"
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+    wide: DataFrame = None,
+) -> DataFrame:
+    # `wide`: callers that also need the signatures themselves pass their
+    # own (pinned) _minhash_wide so the corpus-wide md5+min pipeline is
+    # computed once, not once per consumer
+    sig = _minhash_wide(docs, num_perms) if wide is None else wide
+    bands = _band_table(sig, num_perms, num_bands)
     # Self-join on an expensive intermediate: force a shuffle (merge) join so
     # both sides hit the SAME exchange and Spark plans a ReusedExchange — the
     # signature pipeline runs once. AQE would otherwise broadcast one side,
@@ -444,12 +460,21 @@ FROM bands a JOIN bands b
 # run only on the bucket-bounded candidates, which is precisely the
 # verify cost a production pipeline already pays.
 # ---------------------------------------------------------------------------
+@pinned_query("dedup_mhest_")
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per LSH candidate pair: minhash agreement count + estimated
     Jaccard vs exact shingle Jaccard."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
-    pairs = lsh_candidate_pairs(docs)
-    sig = minhash_signatures(docs)
+    # ONE pinned signature pipeline feeds both the band self-join and the
+    # per-pair signature columns — previously the explode+md5+16-min scan
+    # ran ~3x (bands once, sa and sb as separate subtrees; round-6 review).
+    # The bloom-prefilter query set the precedent for pinning here.
+    wide = pin(_minhash_wide(docs))
+    pairs = lsh_candidate_pairs(docs, wide=wide)
+    sig = wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_PERMS)]).alias("sig"),
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     n = SHINGLE_LEN
@@ -952,27 +977,7 @@ _INCR_NEW_MOD = 5  # doc_id % 5 == 0 → the "newly ingested" 20%
 
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
-    sig = _minhash_wide(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{band * _ROWS_PER_BAND + j}")
-                            for j in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for band in range(NUM_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band", "bb.band_hash"
-    )
+    bands = _band_table(_minhash_wide(docs))
     new_bands = bands.filter(F.col("doc_id") % _INCR_NEW_MOD == 0)
     a = F.broadcast(new_bands).alias("a")
     b = bands.alias("b")

@@ -1217,15 +1217,19 @@ _QC_GOLD = 2654435761
 _QC_MOD = 1 << 31
 
 
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+def _classifier_sigmoid(text_col):
+    """The learned-quality score: hashed-bigram dot product -> sigmoid.
+    ONE definition shared by the classifier and its calibration query —
+    the calibration exists to measure THIS score, so a drift between two
+    copies would silently invalidate it (round-6 review)."""
+    toks = tokens(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit("_"), b),
     )
+
     # feature hash: md5-prefix bucket (cross-engine), then a centered
     # pseudo-weight in [-1, 1) derived from the bucket id.
     def _w(bg):
@@ -1240,9 +1244,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(bigrams, F.lit(0.0), lambda acc, bg: acc + _w(bg))
         / (n - 1),
     ).otherwise(F.lit(0.0))
-    sig = 1.0 / (1.0 + F.exp(-score))
+    return 1.0 / (1.0 + F.exp(-score))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
     scored = d.select(
-        "doc_id", "lang", sig.alias("p_quality")
+        "doc_id", "lang", _classifier_sigmoid(F.col("text")).alias("p_quality")
     )
     # per-lang mean via 1e-4-quantized integer sums (the perplexity-filter
     # convention): AVG over irrational doubles adds in partition order and
@@ -1482,24 +1490,7 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit("_"), b),
-    )
-
-    def _w(bg):
-        bucket = (
-            F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("bigint")
-            % _QC_BUCKETS
-        )
-        return ((bucket * _QC_GOLD) % _QC_MOD) / F.lit(float(_QC_MOD) / 2.0) - 1.0
-
-    score = F.when(
-        n >= 2,
-        F.aggregate(bigrams, F.lit(0.0), lambda acc, bg: acc + _w(bg)) / (n - 1),
-    ).otherwise(F.lit(0.0))
-    sig = 1.0 / (1.0 + F.exp(-score))
+    sig = _classifier_sigmoid(F.col("text"))
 
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -1574,12 +1565,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.length("text") > 0)
     )
+    # carry text THROUGH the explode select: re-joining the corpus on
+    # doc_id just to recover the column would shuffle + hash-probe one
+    # row per CHARACTER (round-6 review) — this stays a narrow map
+    # inside whole-stage codegen with zero joins
     chars = d.select(
         "doc_id",
+        "text",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-    ).join(d, "doc_id").select(
-        "doc_id", F.expr("substring(text, i, 1)").alias("ch")
-    )
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
     tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
     ent = (

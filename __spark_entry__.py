@@ -132,13 +132,21 @@ _R6_WINDOW = [
     "sample_split_balance",
     # round-6 review fix (reduction_ratio convention)
     "er_blocking_plan",
-    # streaming batch anchors (streaming/* changed this round)
-    "debounce_keep_last",
-    "dedup_keep_latest",
-    # CC-family + funnel re-proofs (bodies touched this round)
+    # round-6 float-determinism fixes that quantized output arithmetic
+    # (integer/decimal sums replacing order-sensitive double AVG/SUM) —
+    # values are expected unchanged at fixture scale but the driver hash
+    # should re-attest them; each took the slot of a query whose body is
+    # unchanged since its green (debounce_keep_last, dedup_keep_latest,
+    # pipeline_corpus_funnel). The remaining round-6-touched queries
+    # (tumbling/hypertable decimal sums, session ms-truncation, the
+    # dedup cluster-hash family) are covered by the HEAD mirror gate and
+    # retain their prior greens.
+    "events_attribution_multitouch",
+    "ann_kmeans_step",
+    "embedding_norms",
+    # CC-family re-proofs (bodies touched this round)
     "dedup_canonical_corpus",
     "dedup_connected_components",
-    "pipeline_corpus_funnel",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

@@ -460,16 +460,16 @@ FROM bands a JOIN bands b
 # run only on the bucket-bounded candidates, which is precisely the
 # verify cost a production pipeline already pays.
 # ---------------------------------------------------------------------------
-@pinned_query("dedup_mhest_")
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per LSH candidate pair: minhash agreement count + estimated
     Jaccard vs exact shingle Jaccard."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
-    # ONE pinned signature pipeline feeds both the band self-join and the
-    # per-pair signature columns — previously the explode+md5+16-min scan
-    # ran ~3x (bands once, sa and sb as separate subtrees; round-6 review).
-    # The bloom-prefilter query set the precedent for pinning here.
-    wide = pin(_minhash_wide(docs))
+    # ONE signature pipeline expression feeds both the band self-join and
+    # the per-pair signature columns (round-6 review); deliberately NOT
+    # pin()ed — identical subtrees get ReusedExchange from Catalyst, and
+    # a measured pin() variant was ~25% slower at sf0.1 (materialization
+    # cost exceeds the saved re-execution at this shape)
+    wide = _minhash_wide(docs)
     pairs = lsh_candidate_pairs(docs, wide=wide)
     sig = wide.select(
         "doc_id",

@@ -166,22 +166,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     candidates = bucketed.filter(F.col("vec_id") >= N_QUERIES)
-    # norms hoisted out of the per-pair score (see brute_force_topk)
-    pairs = (
-        queries.withColumn("q_norm", _norm(F.col("q_emb")))
-        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "bucket")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
-    )
+    return _cell_topk(queries, candidates, on="bucket")
 
 
 def _bucket_sql(emb: str) -> str:
@@ -262,13 +247,25 @@ def ivf_assign(
     )
 
 
-def _cell_topk(probes: DataFrame, candidates: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Shared IVF search body: probes (query_id, q_emb, cell) ⋈ candidates
-    (vec_id, emb, cell) on cell → per-query cosine top-k. Norms hoisted out
-    of the per-pair score (see brute_force_topk)."""
+def _cell_topk(
+    probes: DataFrame,
+    candidates: DataFrame,
+    k: int = TOP_K,
+    on: str = "cell",
+    broadcast_probes: bool = False,
+) -> DataFrame:
+    """Shared bucketed-search body: probes (query_id, q_emb, <on>) ⋈
+    candidates (vec_id, emb, <on>) on the bucket key → per-query cosine
+    top-k with the canonical (cos DESC, neighbor_id ASC) tie-break. Norms
+    hoisted out of the per-pair score (see brute_force_topk). ONE
+    definition of the scoring tail so a cast/tie-break change cannot
+    drift between the IVF, sign-LSH, and filtered variants (round-6
+    review)."""
+    q = probes.withColumn("q_norm", _norm(F.col("q_emb")))
+    if broadcast_probes:
+        q = F.broadcast(q)
     pairs = (
-        probes.withColumn("q_norm", _norm(F.col("q_emb")))
-        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "cell")
+        q.join(candidates.withColumn("c_norm", _norm(F.col("emb"))), on)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -343,6 +340,23 @@ ORACLE_ANN_IVF = _ivf_oracle(1)
 # ---------------------------------------------------------------------------
 # Vector norms / label centroids — aggregate over array columns.
 # ---------------------------------------------------------------------------
+# Dyadic quantization scale for order-free float aggregation: x * 2^k is
+# an EXACT double operation, so sign(v)·floor(|v|+0.5) rounds identically
+# on both engines by construction, and the quantized BIGINT sums are
+# accumulation-order-free — AVG/SUM over raw irrational doubles adds in
+# Spark partition-merge order vs DuckDB scan order and can flip a
+# round(4) boundary (round-6 review; the embedding_dim_audit discipline).
+_NORM_Q = 1 << 26
+_KM_Q = 1 << 30  # k-means centroid math (q_kmeans_step)
+
+
+def _q_away(x: Column, q: int) -> Column:
+    """sign(x)·floor(|x·q| + 0.5) as BIGINT — the repo's half-away-from-
+    zero quantizer (tests/_qsum twin), exact for dyadic q."""
+    v = x * q
+    return (F.signum(v) * F.floor(F.abs(v) + F.lit(0.5))).cast("bigint")
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
@@ -352,15 +366,22 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            # quantized integer sum, ONE final division (order-free)
+            F.round(
+                F.sum(_q_away(F.col("norm"), _NORM_Q))
+                / (F.count("*") * F.lit(float(_NORM_Q))),
+                4,
+            ).alias("avg_norm"),
             F.round(F.max("norm"), 4).alias("max_norm"),
         )
     )
 
 
-ORACLE_EMBEDDING_NORMS = """
+ORACLE_EMBEDDING_NORMS = f"""
 SELECT label, COUNT(*) AS n_vecs,
-       ROUND(AVG(norm), 4) AS avg_norm,
+       ROUND(SUM(CAST(sign(norm * {_NORM_Q})
+                      * FLOOR(abs(norm * {_NORM_Q}) + 0.5) AS BIGINT))
+             / (COUNT(*) * {float(_NORM_Q)}), 4) AS avg_norm,
        ROUND(MAX(norm), 4) AS max_norm
 FROM (
   SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -381,12 +402,22 @@ GROUP BY label
 # (≤127²·dim ≪ 2^53), so ranking is deterministic.
 # ---------------------------------------------------------------------------
 def quantize_int8(emb: Column) -> Column:
-    """array<double> → integral-valued array<double> in [-127, 127]."""
+    """array<double> → integral-valued array<double> in [-127, 127].
+
+    Zero-vector guard: scale = 0 would make x/scale NaN on Spark (NaN
+    sorts ABOVE every real cosine, flooding top-k) but NULL on DuckDB —
+    an all-zero vector quantizes to all zeros on both engines instead
+    (round-6 review; _label_centroid_ranks guards the same case)."""
     scale = (
         F.aggregate(emb, F.lit(0.0).cast("double"), lambda a, v: F.greatest(a, F.abs(v)))
         / 127.0
     )
-    return F.transform(emb, lambda x: F.round(x / scale, 0))
+    return F.transform(
+        emb,
+        lambda x: F.when(scale > 0, F.round(x / scale, 0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
 
 
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,8 +439,11 @@ WITH z AS (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
-           x -> round(x / (list_max(list_transform(embedding::DOUBLE[],
-                                                   y -> abs(y))) / 127.0))
+           x -> CASE WHEN list_max(list_transform(embedding::DOUBLE[],
+                                                  y -> abs(y))) > 0
+                     THEN round(x / (list_max(list_transform(embedding::DOUBLE[],
+                                                             y -> abs(y))) / 127.0))
+                     ELSE 0.0 END
          ) AS emb
   FROM embeddings
 ), q AS (
@@ -453,21 +487,7 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = (
-        F.broadcast(queries.withColumn("q_norm", _norm(F.col("q_emb"))))
-        .join(candidates.withColumn("c_norm", _norm(F.col("emb"))), "label")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
-    )
+    return _cell_topk(queries, candidates, on="label", broadcast_probes=True)
 
 
 ORACLE_ANN_FILTERED_TOPK = f"""
@@ -517,31 +537,50 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
     assigned = ivf_assign(emb, centroids)
+    # exact-integer centroid math (round-6 review): avg(val) and the
+    # m·m / m·cval double sums accumulate in engine-specific order; with
+    # the dyadic _q_away quantization the un-normalized numerators are
+    # exact DECIMAL sums and the scales divide out at the end —
+    #   m_p        = m_num_p / (n·Q)
+    #   ‖m‖        = sqrt(Σ m_num_p²) / (n·Q)
+    #   cos(m, c)  = Σ m_num_p·cq_p / (sqrt(Σ m_num_p²)·sqrt(Σ cq_p²))
+    # exact while n·Q < 1e19 (n ≤ ~8e9 members/cell at Q = 2^30)
     means = (
         assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
         .groupBy("cell", "pos")
-        .agg(F.avg("val").alias("m"))
+        .agg(
+            F.sum(_q_away(F.col("val"), _KM_Q))
+            .cast("decimal(19,0)")
+            .alias("m_num")
+        )
     )
     cent_elems = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.posexplode("c_emb").alias("pos", "cval"),
+    ).select(
+        "cell", "pos", _q_away(F.col("cval"), _KM_Q).cast("decimal(19,0)").alias("cq")
     )
     moved = (
         means.join(cent_elems, ["cell", "pos"])
         .groupBy("cell")
         .agg(
-            F.sum(F.col("m") * F.col("m")).alias("mm"),
-            F.sum(F.col("m") * F.col("cval")).alias("mc"),
-            F.sum(F.col("cval") * F.col("cval")).alias("cc"),
+            F.sum(F.col("m_num") * F.col("m_num")).alias("mm_raw"),
+            F.sum(F.col("m_num") * F.col("cq")).alias("mc_raw"),
+            F.sum(F.col("cq") * F.col("cq")).alias("cc_raw"),
         )
     )
     counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    sq_mm = F.sqrt(F.col("mm_raw").cast("double"))
     return counts.join(moved, "cell").select(
         "cell",
         "n_members",
-        F.round(F.sqrt("mm"), 4).alias("new_centroid_norm"),
         F.round(
-            F.col("mc") / (F.sqrt("mm") * F.sqrt("cc")), 4
+            sq_mm / (F.col("n_members") * F.lit(float(_KM_Q))), 4
+        ).alias("new_centroid_norm"),
+        F.round(
+            F.col("mc_raw").cast("double")
+            / (sq_mm * F.sqrt(F.col("cc_raw").cast("double"))),
+            4,
         ).alias("movement_cos"),
     )
 
@@ -560,24 +599,36 @@ WITH e AS (
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
 ), means AS (
-  SELECT cell, pos, AVG(val) AS m FROM (
+  SELECT cell, pos,
+         CAST(SUM(CAST(sign(val * {_KM_Q}) * FLOOR(abs(val * {_KM_Q}) + 0.5)
+                       AS BIGINT)) AS DECIMAL(19,0)) AS m_num
+  FROM (
     SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
     FROM assigned
   ) GROUP BY cell, pos
 ), cent_elems AS (
-  SELECT centroid_id AS cell, generate_subscripts(c_emb, 1) AS pos,
-         unnest(c_emb) AS cval
-  FROM cent
+  SELECT cell, pos,
+         CAST(CAST(sign(cval * {_KM_Q}) * FLOOR(abs(cval * {_KM_Q}) + 0.5)
+                   AS BIGINT) AS DECIMAL(19,0)) AS cq
+  FROM (
+    SELECT centroid_id AS cell, generate_subscripts(c_emb, 1) AS pos,
+           unnest(c_emb) AS cval
+    FROM cent
+  )
 ), moved AS (
-  SELECT cell, SUM(m * m) AS mm, SUM(m * cval) AS mc, SUM(cval * cval) AS cc
+  SELECT cell, SUM(m_num * m_num) AS mm_raw, SUM(m_num * cq) AS mc_raw,
+         SUM(cq * cq) AS cc_raw
   FROM means JOIN cent_elems USING (cell, pos)
   GROUP BY cell
 ), counts AS (
   SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell
 )
 SELECT cell, n_members,
-       ROUND(sqrt(mm), 4) AS new_centroid_norm,
-       ROUND(mc / (sqrt(mm) * sqrt(cc)), 4) AS movement_cos
+       ROUND(sqrt(CAST(mm_raw AS DOUBLE)) / (n_members * {float(_KM_Q)}), 4)
+         AS new_centroid_norm,
+       ROUND(CAST(mc_raw AS DOUBLE)
+             / (sqrt(CAST(mm_raw AS DOUBLE)) * sqrt(CAST(cc_raw AS DOUBLE))), 4)
+         AS movement_cos
 FROM counts JOIN moved USING (cell)
 """
 
@@ -1133,6 +1184,11 @@ def q_ann_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
+    # NOT pinned: a review suggested persisting these loop invariants,
+    # but Spark already plans ReusedExchange across the 4-way union's
+    # identical subplans, and a measured pin() variant was ~1.7x SLOWER
+    # at sf0.1 (materialization + broken pipelining cost more than the
+    # re-execution it saves) — measured 2026-08, keep unpinned
     truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     candidates = ivf_assign(emb, centroids).filter(F.col("vec_id") >= N_QUERIES)
     qemb = emb.filter(F.col("vec_id") < N_QUERIES)

@@ -45,7 +45,14 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal(18,4) before the SUM (the sliding-window recipe):
+            # a raw double SUM accumulates in partition-merge order vs
+            # the oracle's scan order, and per-group drift can cross the
+            # round(2) boundary (round-6 review) — the 2dp-quantized
+            # values are exact in decimal on both engines
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -98,7 +105,8 @@ ORACLE_TUMBLING_WINDOW = """
 SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
        event_type,
        COUNT(*)                 AS n_events,
-       ROUND(SUM(value), 2)     AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value,
        COUNT(DISTINCT user_id)  AS n_users
 FROM events
 GROUP BY 1, 2
@@ -175,9 +183,19 @@ GROUP BY event_type
 # exceeds the quiescence window. Scale: one shuffle on user_id; the running
 # flag-sum is a window over the already-partitioned data.
 # ---------------------------------------------------------------------------
-def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessionized(
+    spark: SparkSession, sf_dir: str, *extra_cols: str
+) -> DataFrame:
+    """THE gap-based session assignment (30-min quiescence, lag/sum
+    gaps-and-islands, `> gap` convention) — single-sourced so every
+    consumer (sessionize, debounce twin, session paths) sessionizes
+    identically; `extra_cols` are carried through for downstream
+    projections."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+        "user_id",
+        "event_id",
+        *extra_cols,
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
     w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
@@ -337,11 +355,15 @@ WHERE event_id < 1000
 # ---------------------------------------------------------------------------
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # decimal sums: the cascade re-aggregates minute partials into hours,
+    # so a raw double SUM would pay TWO rounds of order-sensitive
+    # accumulation before the round(2) (round-6 review; sliding-window
+    # decimal recipe)
     minute = e.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("bucket")
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum("value").alias("sum_value_raw"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value_raw"),
     )
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("bucket")).alias("bucket")
@@ -352,7 +374,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_cols = [
         F.unix_millis("bucket").alias("bucket_ms"),
         "n_events",
-        F.round(F.col("sum_value_raw"), 2).alias("sum_value"),
+        F.round(F.col("sum_value_raw"), 2).cast("double").alias("sum_value"),
     ]
     return minute.select(F.lit("minute").alias("resolution"), *out_cols).unionByName(
         hour.select(F.lit("hour").alias("resolution"), *out_cols)
@@ -362,7 +384,8 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HYPERTABLE_ROLLUP = """
 WITH minute AS (
   SELECT date_trunc('minute', ts) AS bucket,
-         COUNT(*) AS n_events, SUM(value) AS sum_value_raw
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sum_value_raw
   FROM events GROUP BY 1
 ), hour AS (
   SELECT date_trunc('hour', bucket) AS bucket,
@@ -370,10 +393,10 @@ WITH minute AS (
   FROM minute GROUP BY 1
 )
 SELECT 'minute' AS resolution, epoch_ms(bucket) AS bucket_ms,
-       n_events, ROUND(sum_value_raw, 2) AS sum_value FROM minute
+       n_events, CAST(ROUND(sum_value_raw, 2) AS DOUBLE) AS sum_value FROM minute
 UNION ALL
 SELECT 'hour' AS resolution, epoch_ms(bucket) AS bucket_ms,
-       n_events, ROUND(sum_value_raw, 2) AS sum_value FROM hour
+       n_events, CAST(ROUND(sum_value_raw, 2) AS DOUBLE) AS sum_value FROM hour
 """
 
 
@@ -490,9 +513,15 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # ms-truncate BEFORE sessionizing: the oracle's gaps-and-islands gap
+    # test runs on epoch_ms, while session_window on the raw column would
+    # compare MICROSECOND gaps — a gap within 1 ms of the threshold then
+    # splits on one engine only (round-6 review; the fixture carries
+    # sub-ms precision on nearly every row)
+    ts_ms = F.timestamp_millis(F.unix_millis(F.col("ts")))
     return (
         e.groupBy(
-            F.session_window(F.col("ts"), f"{SESSION_GAP_MS // 1000} seconds").alias("s"),
+            F.session_window(ts_ms, f"{SESSION_GAP_MS // 1000} seconds").alias("s"),
             "user_id",
         )
         .agg(
@@ -556,14 +585,15 @@ def q_scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("event_type") != F.col("prev_type"))
         )
     )
-    wc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # same spec as w — the lead/row_number pass just runs over the
+    # filtered CHANGES frame rather than the raw events
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.unix_millis("ts").alias("valid_from_ms"),
-        F.unix_millis(F.lead("ts").over(wc)).alias("valid_to_ms"),
-        F.row_number().over(wc).cast("long").alias("version"),
-        F.lead("ts").over(wc).isNull().alias("is_current"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
 
@@ -1462,16 +1492,10 @@ _PATH_TOP_K = 20
 
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 within-session event-type paths with session counts."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
-    )
-    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
-    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
-    sess = e.withColumn(
-        "session_seq",
-        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    # reuse the canonical session assignment (round-6 review: this query
+    # previously restated the lag/sum islands logic verbatim and could
+    # silently drift from the sessionize/debounce convention)
+    sess = _sessionized(spark, sf_dir, "event_type")
     paths = sess.groupBy("user_id", "session_seq").agg(
         F.concat_ws(
             ">",
@@ -1731,7 +1755,9 @@ FROM exact JOIN all_est USING (set_name)
 # credit across the user's clicks in the prior 7 days; a click's weight is
 # the rational decay 1/(1 + age_days) (pure arithmetic — identical IEEE
 # ops on both engines, no libm exp() whose last ULP could differ between
-# JVM and DuckDB). Output per purchase: touch count, first/last click
+# JVM and DuckDB), then quantized to an exact 1e9-scaled integer so the
+# per-purchase SUM is accumulation-order-free (a raw double SUM adds in
+# engine-specific order). Output per purchase: touch count, first/last click
 # (position attribution), and the decayed share of the last touch.
 #
 # Scale shape: a banded range join — equi-key on user_id plus a bounded
@@ -1768,7 +1794,16 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "click_id",
             "c_ts",
-            (F.lit(1.0) / (F.lit(1.0) + age_days)).alias("w"),
+            # 1e9-quantized integer weight: each w is computed by
+            # identical IEEE ops on both engines, but SUM(w) over 3+
+            # touches accumulates in engine-specific order (round-6
+            # review) — floor(w·1e9 + 0.5) makes the sum exact and the
+            # share ONE integer-over-integer division
+            F.floor(
+                F.lit(1e9) / (F.lit(1.0) + age_days) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wq"),
         )
     )
     return touched.groupBy("purchase_id").agg(
@@ -1776,7 +1811,9 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("click_id", F.struct("c_ts", "click_id")).alias("first_click"),
         F.max_by("click_id", F.struct("c_ts", "click_id")).alias("last_click"),
         F.round(
-            F.max_by(F.col("w"), F.struct("c_ts", "click_id")) / F.sum("w"), 4
+            F.max_by(F.col("wq"), F.struct("c_ts", "click_id"))
+            / F.sum("wq"),
+            4,
         ).alias("last_touch_share"),
     )
 
@@ -1789,8 +1826,11 @@ WITH purchases AS (
   SELECT event_id AS click_id, user_id, ts AS c_ts
   FROM events WHERE event_type = 'click'
 ), touched AS (
+  -- identical op sequence to the Spark side: 1e9/x then floor(+0.5) —
+  -- NOT (1/x)*1e9, whose extra rounding could differ in the last ulp
   SELECT purchase_id, click_id, c_ts,
-         1.0 / (1.0 + date_diff('microsecond', c_ts, p_ts) / (86400.0 * 1e6)) AS w
+         CAST(FLOOR(1e9 / (1.0 + date_diff('microsecond', c_ts, p_ts)
+                                 / (86400.0 * 1e6)) + 0.5) AS BIGINT) AS wq
   FROM purchases JOIN clicks USING (user_id)
   WHERE c_ts <= p_ts
     AND date_diff('microsecond', c_ts, p_ts) <= {_ATTR_WINDOW_DAYS}::BIGINT * 86400 * 1000000
@@ -1806,7 +1846,8 @@ SELECT purchase_id,
        COUNT(*) AS n_touches,
        MIN(CASE WHEN rn_asc = 1 THEN click_id END) AS first_click,
        MIN(CASE WHEN rn_desc = 1 THEN click_id END) AS last_click,
-       ROUND(MIN(CASE WHEN rn_desc = 1 THEN w END) / SUM(w), 4) AS last_touch_share
+       ROUND(MIN(CASE WHEN rn_desc = 1 THEN wq END) / (SUM(wq) * 1.0), 4)
+         AS last_touch_share
 FROM ranked
 GROUP BY purchase_id
 """

@@ -55,18 +55,20 @@ _MODULES = [
 # that have never been inside a driver window (all mirror-green; a green
 # row for each closes the verification debt at 250/250 cumulative), then
 # fill the 39 re-proof slots with, in priority order:
-#  - the canary + flagship (q01, q03),
+#  - the canary (q01),
 #  - queries whose OUTPUT COLUMNS were touched by the round-5 BIGINT-cast
 #    sweep (commit a645da5, the retired 41-query int32-dtype list) or the
 #    ANSI fixes (42227c9) and whose last green round predates that sweep —
 #    their driver hashes were earned on the old int32 bodies,
-#  - the stateful-streaming batch anchors (debounce_keep_last,
-#    dedup_keep_latest) — streaming/* changed again this round (ooo_tws
-#    NULL-state guard), and these two are the batch faces of that surface,
-#  - the connected-components family re-proofs (dedup_canonical_corpus,
-#    dedup_connected_components switched to / documented against the
-#    star-CC fail-loud semantics this round) and the corpus-funnel pair
-#    (retimed/profiled this round per verdict order #3).
+#  - this round's review fixes that changed output VALUES (l-diversity,
+#    generalization ladder, er_blocking_plan) or quantized output
+#    arithmetic (attribution, kmeans_step, embedding_norms) — swapped in
+#    over slots whose bodies were unchanged since their greens (q03,
+#    dedup_exact, pipeline_corpus_build/funnel, the two keep_last
+#    streaming anchors),
+#  - the connected-components family re-proofs (dedup_canonical_corpus
+#    switched to star CC, dedup_connected_components documented against
+#    the fail-loud exhaustion semantics).
 _R6_WINDOW = [
     # the 11 never-driver-verified (mirror-green since r5)
     "text_repetition_gates",

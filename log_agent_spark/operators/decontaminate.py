@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from log_agent_spark.functions.content import (
+    content_cluster_hash,
+    content_cluster_hash_sql,
+)
 from log_agent_spark.sources.tables import load_table
 
 NGRAM_N = 8
@@ -133,15 +137,21 @@ ORDER BY h.doc_id
 # doc_id % 3 == 0) so the oracle reproduces them exactly.
 # ---------------------------------------------------------------------------
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content_cluster_hash, not raw md5: md5(NULL) = NULL made the
+    # NULL-ness presence test misclassify a NULL-text doc present in
+    # BOTH snapshots as 'added' while the oracle (doc_id presence) said
+    # 'unchanged' — a confirmed live divergence on the degenerate
+    # fixture (round-6 review). The NULL-safe per-doc hash restores
+    # h1/h2 as a valid presence AND change signal.
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     v1 = d.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.md5("text").alias("h1")
+        "doc_id", content_cluster_hash().alias("h1")
     )
     v2 = (
         d.filter(F.col("doc_id") % 5 != 0)
         .select(
             "doc_id",
-            F.md5(
+            content_cluster_hash(
                 F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text"))).otherwise(
                     F.col("text")
                 )
@@ -163,13 +173,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SNAPSHOT_DIFF = """
+ORACLE_SNAPSHOT_DIFF = f"""
 WITH v1 AS (
-  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0
+  SELECT doc_id, {content_cluster_hash_sql()} AS h1
+  FROM documents WHERE doc_id % 7 <> 0
 ),
 v2 AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) AS h2
+         {content_cluster_hash_sql("CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END")} AS h2
   FROM documents WHERE doc_id % 5 <> 0
 ),
 diff AS (
@@ -256,8 +267,6 @@ GROUP BY doc_id ORDER BY doc_id
 def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per contaminated training doc: longest consecutive matched-8-gram
     span (in tokens), total matched n-grams, and island count."""
-    from pyspark.sql.window import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     eval_ngrams = (
         d.filter(F.col("source") == EVAL_SOURCE)
@@ -275,7 +284,7 @@ def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = matched.withColumn(
         "grp",
         F.col("pos")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
     )
     islands = grouped.groupBy("doc_id", "grp").agg(
         F.count("*").alias("run")
@@ -399,8 +408,6 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(contrib, 6).alias("psi_contrib"),
         contrib.alias("_c"),
     )
-    from pyspark.sql.window import Window as W
-
     # psi_total: quantize each bin's contribution to a 1e-9 integer grid
     # before summing — a float SUM over an unordered window accumulates in
     # engine/layout-dependent order and a last-ulp difference could flip
@@ -409,7 +416,7 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_q = F.round(F.col("_c") * 1e9).cast("long")
     return (
         per_bin.withColumn(
-            "psi_total", F.round(F.sum(c_q).over(W.partitionBy()) / 1e9, 6)
+            "psi_total", F.round(F.sum(c_q).over(Window.partitionBy()) / 1e9, 6)
         )
         .drop("_c")
         .orderBy("bin")

@@ -77,10 +77,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(alpha_chars, F.length("text")), 4).alias(
             "alpha_ratio"
         ),
-        (
+        # coalesce FALSE: a NULL-text doc's gates are all NULL and a
+        # NULL boolean surfaces as None on Spark but NaN through DuckDB's
+        # pandas hop (parity sweep) — and semantically a NULL-text doc
+        # does not pass quality
+        F.coalesce(
             (n_tokens >= 10)
             & (F.try_divide(n_stop, n_tokens) < 0.5)
-            & (F.try_divide(alpha_chars, F.length("text")) > 0.5)
+            & (F.try_divide(alpha_chars, F.length("text")) > 0.5),
+            F.lit(False),
         ).alias("passes_quality"),
     )
 
@@ -94,8 +99,8 @@ SELECT doc_id,
        ROUND(n_chars_len * 1.0 / n_tokens, 4) AS avg_token_len,
        ROUND(n_stop * 1.0 / n_tokens, 4)      AS stopword_ratio,
        ROUND(alpha_chars * 1.0 / n_chars_len, 4) AS alpha_ratio,
-       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens < 0.5
-        AND alpha_chars * 1.0 / n_chars_len > 0.5) AS passes_quality
+       COALESCE(n_tokens >= 10 AND n_stop * 1.0 / n_tokens < 0.5
+        AND alpha_chars * 1.0 / n_chars_len > 0.5, FALSE) AS passes_quality
 FROM (
   SELECT doc_id,
          len({_SQL_TOKS}) AS n_tokens,
@@ -183,7 +188,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= FINGERPRINT_K)
         .groupBy("doc_id")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("h")))).alias("fingerprint"))
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .select(
+            "doc_id",
+            # NULL-text doc: collect_list skips its NULL shingle hash and
+            # concat_ws('') would md5 the EMPTY STRING where DuckDB's
+            # string_agg(NULL) yields a NULL fingerprint (parity-sweep
+            # round-6 finding) — emit NULL like the oracle
+            F.when(
+                F.size("hs") > 0, F.md5(F.concat_ws(",", F.col("hs")))
+            ).alias("fingerprint"),
+        )
     )
     return bottom_k
 
@@ -418,8 +433,15 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             ((F.col("s") - 1) / _CHUNK_STEP).cast("long").alias("chunk_idx"),
             F.size(F.slice(F.col("w"), F.col("s"), CHUNK_WORDS)).cast("long").alias("n_chunk_words"),
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("w"), F.col("s"), CHUNK_WORDS))
+            # guard: concat_ws over a NULL slice (NULL-text doc) is ''
+            # on Spark but NULL feeds through on DuckDB (parity sweep)
+            F.when(
+                F.slice(F.col("w"), F.col("s"), CHUNK_WORDS).isNotNull(),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("w"), F.col("s"), CHUNK_WORDS)
+                    )
+                ),
             ).alias("chunk_hash"),
         )
     )

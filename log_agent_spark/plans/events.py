@@ -1690,13 +1690,33 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("click") + F.col("view") - F.col("union"), 4).alias("kmv_est"),
     )
     all_est = est.unionByName(inter)
-    return exact.join(all_est, "set_name").select(
+    # always emit all four set rows: on a slice with no clicks (or no
+    # views) Spark's groupBy-built exact frame simply has no row for the
+    # empty set while the oracle's scalar COUNT(*) subqueries always
+    # count 0 (parity sweep, round 6) — seed the names, left-join the
+    # counts/estimates, and try_divide the n_exact = 0 case to NULL.
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .limit(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(s) for s in ("click", "view", "union", "intersect")])
+            ).alias("set_name")
+        )
+    )
+    full = (
+        seed.join(exact, "set_name", "left")
+        .select("set_name", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+        .join(all_est, "set_name", "left")
+    )
+    return full.select(
         "set_name",
         "n_exact",
         "kmv_est",
-        F.round((F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-            "rel_err"
-        ),
+        F.round(
+            F.try_divide(F.col("kmv_est") - F.col("n_exact"), F.col("n_exact")),
+            4,
+        ).alias("rel_err"),
     )
 
 
@@ -1745,8 +1765,8 @@ WITH hashed AS (
     SELECT user_id FROM clicks INTERSECT SELECT user_id FROM views)
 )
 SELECT set_name, n_exact, kmv_est,
-       ROUND((kmv_est - n_exact) / n_exact, 4) AS rel_err
-FROM exact JOIN all_est USING (set_name)
+       ROUND((kmv_est - n_exact) / NULLIF(n_exact, 0), 4) AS rel_err
+FROM exact LEFT JOIN all_est USING (set_name)
 """
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.operators.similarity import _NORM_Q as _NORM_Q_SQL
 from log_agent_spark.sources.tables import load_table
 
 
@@ -62,9 +63,10 @@ def split_sql(expr: str) -> str:
 def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    # split_expr, not re-inlined fractions: THE one split definition
+    # (round-6 review — the comment above split_expr promised this
+    # reuse, but the fractions were duplicated here and in the manifest)
+    split = split_expr(F.col("doc_id"))
     return (
         d.select(split.alias("split"), bucket.alias("bucket"), "n_chars")
         .groupBy("split")
@@ -79,10 +81,10 @@ def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_HASH_SPLIT = f"""
 WITH b AS (
-  SELECT {_oracle_bucket('doc_id')} AS bucket, n_chars FROM documents
+  SELECT {split_sql('doc_id')} AS split,
+         {_oracle_bucket('doc_id')} AS bucket, n_chars FROM documents
 )
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+SELECT split,
        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
 FROM b GROUP BY 1
@@ -101,8 +103,6 @@ FROM b GROUP BY 1
 def q_sample_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, split): char share within the split vs the source's
     global share — the mixture-preservation check on a hash split."""
-    from pyspark.sql.window import Window as W
-
     d = _t(spark, sf_dir, "documents")
     cells = (
         d.select("source", split_expr(F.col("doc_id")).alias("split"), "n_chars")
@@ -278,7 +278,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # try_divide: a zero-variance group gives sigma = 0.0 and Spark's
+    # IEEE 0.0/0.0 is NaN (which sorts ABOVE 2.5 and flags the whole
+    # group) while DuckDB's 0.0/0.0 is NULL (group excluded) — NULL on
+    # both engines (round-6 review)
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
         e.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -297,7 +301,7 @@ WITH stats AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
   FROM events GROUP BY event_type
 ), z AS (
-  SELECT e.event_type, (e.value - s.mu) / s.sigma AS z
+  SELECT e.event_type, (e.value - s.mu) / NULLIF(s.sigma, 0) AS z
   FROM events e JOIN stats s ON e.event_type = s.event_type
 )
 SELECT event_type, COUNT(*) AS n_anomalies,
@@ -572,8 +576,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dt").isNotNull())
         .groupBy("event_type")
         .agg(
+            # try_divide: a group whose events all share one timestamp
+            # has sum(dt) = 0.0 → NaN on Spark vs NULL on DuckDB
             F.round(
-                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("dt")), F.sum("dt")
+                ),
+                4,
             ).alias("twa_value"),
             F.count("*").alias("n_intervals"),
         )
@@ -589,7 +598,7 @@ WITH d AS (
   FROM events
 )
 SELECT event_type,
-       ROUND(SUM(value * dt) / SUM(dt), 4) AS twa_value,
+       ROUND(SUM(value * dt) / NULLIF(SUM(dt), 0), 4) AS twa_value,
        COUNT(*) AS n_intervals
 FROM d WHERE dt IS NOT NULL GROUP BY event_type
 """
@@ -656,24 +665,35 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    from log_agent_spark.operators.similarity import _NORM_Q, _q_away
+
+    # canonical split (split_expr) and canonical token definition
+    # (empty-string-filtered, like mixture_token_budget and every
+    # decontamination query): round-6 review — the manifest counted
+    # phantom empty tokens from repeated spaces, so budgets planned from
+    # it mis-sized against the token-budget table; avg_norm uses the
+    # quantized-sum recipe (irrational norms sum order-sensitively;
+    # integer-valued n_chars sums are already exact in double).
+    split = split_expr(F.col("doc_id"))
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
     return (
         d.join(e, d.doc_id == e.vec_id)
         .select(
             split.alias("split"),
             "lang",
             "n_chars",
-            F.size(F.split("text", " ")).alias("n_tokens"),
+            ntok.alias("n_tokens"),
             _norm(F.col("emb")).alias("norm"),
         )
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens_total"),
-            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(
+                F.sum(_q_away(F.col("norm"), _NORM_Q))
+                / (F.count("*") * F.lit(float(_NORM_Q))),
+                4,
+            ).alias("avg_norm"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
@@ -682,17 +702,18 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAINING_MANIFEST = f"""
 WITH joined AS (
   SELECT d.doc_id, d.lang, d.n_chars,
-         len(string_split(d.text, ' ')) AS n_tokens,
+         len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS n_tokens,
          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
            AS norm,
-         {_oracle_bucket('d.doc_id')} AS bucket
+         {split_sql('d.doc_id')} AS split
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
   WHERE d.n_chars >= 50
 )
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+SELECT split,
        lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
-       ROUND(AVG(norm), 4) AS avg_norm, ROUND(AVG(n_chars), 2) AS avg_chars
+       ROUND(SUM(CAST(sign(norm * {_NORM_Q_SQL}) * FLOOR(abs(norm * {_NORM_Q_SQL}) + 0.5)
+                      AS BIGINT)) / (COUNT(*) * {float(_NORM_Q_SQL)}), 4) AS avg_norm,
+       ROUND(AVG(n_chars), 2) AS avg_chars
 FROM joined GROUP BY 1, 2
 """
 
@@ -713,11 +734,15 @@ WITH spend AS (
   SELECT c_nationkey, c_name, total_spend,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey
                             ORDER BY total_spend DESC, c_name) AS rk,
-         SUM(total_spend) OVER (PARTITION BY c_nationkey) AS nation_spend
+         -- decimal window sum: total_spend is 2dp but 2dp doubles are
+         -- not exactly representable, so a raw double SUM accumulates
+         -- in engine/layout order (round-6 review)
+         SUM(CAST(total_spend AS DECIMAL(18,2)))
+           OVER (PARTITION BY c_nationkey) AS nation_spend
   FROM spend
 )
 SELECT n.n_name, r.c_name, r.total_spend,
-       ROUND(r.total_spend / r.nation_spend, 6) AS nation_share,
+       ROUND(r.total_spend / CAST(r.nation_spend AS DOUBLE), 6) AS nation_share,
        CAST(r.rk AS BIGINT) AS rk
 FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
 WHERE r.rk <= 2
@@ -791,16 +816,27 @@ FROM d GROUP BY source, rate_pct
 # pass over the corpus.
 # ---------------------------------------------------------------------------
 _MIX_ALPHA = 0.7
+# dyadic grid for quantizing POW outputs before summing: libm pow can
+# differ by an ulp between JVM and DuckDB, and SUM over raw pow doubles
+# accumulates in engine order — quantized BIGINT terms make z exact and
+# every rate ONE deterministic division chain (round-6 review; the
+# doremi-Z / PSI-grid precedent)
+_MIX_POW_Q = 1 << 32
 _MIX_BUDGET_FRAC = 0.5  # B = half the corpus, rebalanced
 
 
 def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    from log_agent_spark.operators.similarity import _q_away
+
     counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    powq = _q_away(F.pow("n_src", _MIX_ALPHA), _MIX_POW_Q)
     denom = counts.agg(
-        F.sum(F.pow("n_src", _MIX_ALPHA)).alias("z"),
+        F.sum(powq).alias("zq"),
         F.sum("n_src").alias("n_total"),
     )
+    # the _MIX_POW_Q scales cancel in powq/zq; every op after the exact
+    # integer sums is a fixed-order IEEE chain, identical on both engines
     rates = (
         counts.crossJoin(F.broadcast(denom))
         .select(
@@ -808,7 +844,7 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_src",
             F.least(
                 F.lit(1.0),
-                (F.pow("n_src", _MIX_ALPHA) / F.col("z"))
+                (powq.cast("double") / F.col("zq").cast("double"))
                 * (F.lit(_MIX_BUDGET_FRAC) * F.col("n_total"))
                 / F.col("n_src"),
             ).alias("rate"),
@@ -831,14 +867,20 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_TEMPERATURE_MIXTURE = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
-), denom AS (
-  SELECT SUM(POW(n_src, {_MIX_ALPHA})) AS z, CAST(SUM(n_src) AS BIGINT) AS n_total
+), powq AS (
+  SELECT source, n_src,
+         CAST(sign(POW(n_src, {_MIX_ALPHA}) * {_MIX_POW_Q})
+              * FLOOR(abs(POW(n_src, {_MIX_ALPHA}) * {_MIX_POW_Q}) + 0.5)
+              AS BIGINT) AS pq
   FROM counts
+), denom AS (
+  SELECT CAST(SUM(pq) AS BIGINT) AS zq, CAST(SUM(n_src) AS BIGINT) AS n_total
+  FROM powq
 ), rates AS (
   SELECT source, n_src,
-         LEAST(1.0, (POW(n_src, {_MIX_ALPHA}) / z)
+         LEAST(1.0, (CAST(pq AS DOUBLE) / CAST(zq AS DOUBLE))
                     * ({_MIX_BUDGET_FRAC} * n_total) / n_src) AS rate
-  FROM counts CROSS JOIN denom
+  FROM powq CROSS JOIN denom
 ), drawn AS (
   SELECT d.source, r.n_src, r.rate,
          {_oracle_bucket('doc_id', 1 << 20)} / {float(1 << 20)!r} AS u
@@ -1035,18 +1077,39 @@ FROM kept GROUP BY source
 # DuckDB (`median`), so the doubles agree; the outlier VERDICT compares
 # integer-scaled thresholds. Flagged rows = |value - median| > 3 * MAD.
 # ---------------------------------------------------------------------------
+def _exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Per-event_type EXACT median as order statistics: the mean of the
+    one or two middle elements of the sorted multiset — one IEEE add and
+    one exact halving, so Spark and DuckDB agree bit-for-bit given
+    identical inputs. Spark's percentile() and DuckDB's median()
+    interpolate with formulas that can differ in the last ulp (round-6
+    review), and here the median feeds a row FILTER (adev > 3*mad) where
+    one ulp moves whole rows."""
+    wk = W.partitionBy("event_type")
+    r = df.select(
+        "event_type",
+        col,
+        F.row_number().over(wk.orderBy(col)).alias("rn"),
+        F.count("*").over(wk).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return mid.groupBy("event_type").agg(
+        (F.sum(col) / F.count(col)).alias(out)
+    )
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
+    med = _exact_median(e, "value", "med")
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_id", "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
+    mad = _exact_median(dev, "adev", "mad")
     flagged = (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("adev") > 3 * F.col("mad"))
@@ -1060,13 +1123,25 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANOMALY_MAD = """
-WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+WITH medr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS med
+  FROM medr WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY event_type
 ), dev AS (
   SELECT event_id, e.event_type, value, med, ABS(value - med) AS adev
   FROM events e JOIN med USING (event_type)
+), madr AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
 ), mad AS (
-  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+  SELECT event_type, SUM(adev) / COUNT(*) AS mad
+  FROM madr WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY event_type
 )
 SELECT event_type, COUNT(*) AS n_outliers,
        ROUND(MIN(med), 4) AS median, ROUND(MIN(mad), 4) AS mad,
@@ -1098,10 +1173,16 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
         ).alias("bs")
     )
+    # bounds rounded to a fixed 4dp grid BEFORE the comparison on both
+    # engines: Spark's percentile and DuckDB's quantile_cont interpolate
+    # with formulas that can differ in the last ulp, and rows TIED with a
+    # bound would flip bins wholesale on a 1-ulp bound difference
+    # (round-6 review); on the grid, both engines compare against the
+    # identical double
     binned = o.crossJoin(F.broadcast(bounds)).select(
         "o_totalprice",
         F.size(
-            F.filter("bs", lambda b: F.col("o_totalprice") > b)
+            F.filter("bs", lambda b: F.col("o_totalprice") > F.round(b, 4))
         ).cast("long").alias("bin"),
     )
     return binned.groupBy("bin").agg(
@@ -1118,7 +1199,7 @@ WITH bounds AS (
   FROM orders
 ), binned AS (
   SELECT o_totalprice,
-         len(list_filter(bs, b -> o_totalprice > b)) AS bin
+         len(list_filter(bs, b -> o_totalprice > ROUND(b, 4))) AS bin
   FROM orders CROSS JOIN bounds
 )
 SELECT bin, COUNT(*) AS n,
@@ -1379,9 +1460,13 @@ def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         "n_chars",
+        # COALESCE 0: a NULL-text doc's score is otherwise NULL, and the
+        # two engines ORDER NULLs differently inside the ntile sort
+        # (Spark asc = NULLS FIRST, DuckDB NaN/NULL last) — parity sweep;
+        # zero alpha chars IS the exact score of a NULL text
         F.expr(
-            "CAST(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
-            " * 10000 DIV greatest(n_chars, 1) AS BIGINT)"
+            "COALESCE(CAST(CAST(length(regexp_replace(text, '[^a-zA-Z]', ''))"
+            " AS BIGINT) * 10000 DIV greatest(n_chars, 1) AS BIGINT), 0)"
         ).alias("score"),
     )
     binned = exact_ntile(
@@ -1401,8 +1486,8 @@ def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CURRICULUM_QUALITY_BINS = f"""
 WITH scored AS (
   SELECT doc_id, n_chars,
-         (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10000)
-           // greatest(n_chars, 1) AS score
+         COALESCE((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10000)
+           // greatest(n_chars, 1), 0) AS score
   FROM documents
 ), binned AS (
   SELECT *, NTILE({_CURRICULUM_BINS}) OVER (ORDER BY score, doc_id) AS bin

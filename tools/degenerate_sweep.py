@@ -20,9 +20,19 @@ Usage::
     python tools/degenerate_sweep.py          # build fixture + run all
     python tools/degenerate_sweep.py q1 q2    # subset
 
-Prints one line per query: ok/EMPTY/CRASH (+ the exception class and
-first line). Exit code 1 if any CRASH. EMPTY (0 rows) is fine — a
-degenerate slice may legitimately produce nothing; only crashes fail.
+Prints one line per query: ok/EMPTY/DIVERGE/CRASH (+ the exception class
+and first line). Exit code 1 if any CRASH or DIVERGE. EMPTY (0 rows) is
+fine — a degenerate slice may legitimately produce nothing.
+
+Round-6 upgrade: the sweep is now a full PARITY gate, not crash-only —
+each query's DuckDB oracle runs over the SAME degenerate fixture and the
+two frames are hash-compared exactly like tools/oracle_check.py. The
+round-6 review found a live Spark-vs-oracle divergence on the planted
+NULL-text doc (corpus_snapshot_diff labeled it 'added' vs 'unchanged')
+that the crash-only sweep could never see. Golden-pinned oracles whose
+Spark side DOES read the sf_dir tables (events_approx_sketches) fall
+back to crash-only here — their frozen parquet describes the real
+fixture, not this one.
 """
 
 from __future__ import annotations
@@ -82,11 +92,25 @@ def build_fixture(dst: str) -> None:
         con.execute(f"COPY ({base}) TO '{out}' (FORMAT parquet)")
 
 
+# golden-pinned oracles that read sf_dir-dependent data on the Spark side:
+# the frozen parquet can't describe the degenerate fixture — crash-only.
+# (ingest_logfile_tree / kafka_envelope read only the /tmp fixture tree on
+# BOTH sides, so their parity still holds and they are compared.)
+_GOLDEN_SKIP = {"events_approx_sketches"}
+
+
 def main() -> None:
+    import duckdb
     from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle_check import frame_hash
 
     dst = tempfile.mkdtemp(prefix="degen_sf_")
     build_fixture(dst)
+    con = duckdb.connect()
+    for t in _KEEP:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
 
     # vanilla session on purpose: ANSI stays at the 4.x default (on), the
     # same environment the driver's correctness harness uses
@@ -99,29 +123,59 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
     names = sys.argv[1:] or list(qs)
     unknown = [n for n in names if n not in qs]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
 
     crashes: dict[str, str] = {}
+    diverged: dict[str, str] = {}
     for name in names:
         try:
-            # collect(), NOT count(): count() lets Catalyst prune the final
+            # toPandas(), NOT count(): count() lets Catalyst prune the final
             # projection, so ANSI crashes in output expressions (ratios,
             # rounds) are silently skipped — the exact class this sweep
             # exists to catch (round-5 review finding: 4 masked crashes)
-            n = len(qs[name](spark, dst).collect())
-            print(f"ok     {name}: {n} rows" if n else f"EMPTY  {name}")
+            spdf = qs[name](spark, dst).toPandas()
+            n = len(spdf)
         except Exception as e:  # noqa: BLE001 — triage sweep, report all
             first = (str(e).strip().splitlines() or [""])[0][:160]
             crashes[name] = f"{type(e).__name__}: {first}"
             print(f"CRASH  {name}: {crashes[name]}")
+            continue
         finally:
             spark.catalog.clearCache()
+        osql = oracles.get(name)
+        if osql is None or name in _GOLDEN_SKIP:
+            print(f"ok     {name}: {n} rows (rows-only)" if n else f"EMPTY  {name}")
+            continue
+        try:
+            dpdf = con.sql(osql).df()
+        except Exception as e:  # noqa: BLE001 — an oracle crash on the
+            # degenerate fixture is a divergence too (Spark side survived)
+            first = (str(e).strip().splitlines() or [""])[0][:160]
+            diverged[name] = f"oracle crash: {type(e).__name__}: {first}"
+            print(f"DIVERGE {name}: {diverged[name]}")
+            continue
+        sn, sh, _ = frame_hash(spdf)
+        dn, dh, _ = frame_hash(dpdf)
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            diverged[name] = "column mismatch"
+        elif sn != dn:
+            diverged[name] = f"rows spark={sn} duck={dn}"
+        elif sh != dh:
+            diverged[name] = "value-hash mismatch"
+        if name in diverged:
+            print(f"DIVERGE {name}: {diverged[name]}")
+        else:
+            print(f"ok     {name}: {n} rows" if n else f"EMPTY  {name} (parity ok)")
 
-    print(f"\n{len(names) - len(crashes)} ok, {len(crashes)} crash")
-    if crashes:
+    print(
+        f"\n{len(names) - len(crashes) - len(diverged)} ok, "
+        f"{len(crashes)} crash, {len(diverged)} diverge"
+    )
+    if crashes or diverged:
         sys.exit(1)
 
 

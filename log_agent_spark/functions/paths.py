@@ -69,9 +69,13 @@ def bsi_parse(df: DataFrame, sub_dir_col: str = "sub_dir") -> DataFrame:
     segs = F.split(F.col(sub_dir_col), "/")
     n = F.size(segs)
     conforms = (n >= 5) & (n <= 6)
-    # second-to-last = the deepest DIRECTORY segment; try_element_at so a
-    # 1-segment (top-level) path yields NULL instead of an ANSI index error
-    test_id = F.try_element_at(segs, (n - 1).cast("int"))
+    # second-to-last = the deepest DIRECTORY segment. Spark 4.1.2 throws
+    # INVALID_INDEX_OF_ZERO even via try_element_at when n == 1 (ADVICE r6 —
+    # the old comment claimed NULL), so clamp the index to >= 1; the when()
+    # keeps non-conforming paths NULL regardless of what the clamp selects.
+    test_id = F.when(
+        conforms, F.try_element_at(segs, F.greatest(n - 1, F.lit(1)).cast("int"))
+    )
     ts_str = F.regexp_extract(test_id, BSI_TIME_RE, 1)
     folder_time = F.when(
         conforms & (ts_str != ""), F.to_timestamp(ts_str, BSI_TIME_FMT)

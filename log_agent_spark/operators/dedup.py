@@ -153,6 +153,11 @@ HAVING COUNT(*) > 1
 # deliberately restricted to a small slice.
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    # Derive the integer gate from the ARGUMENT (ADVICE r6: the gate used the
+    # module constants J_NUM/J_DEN, silently ignoring a caller's threshold —
+    # e.g. threshold=0.0 still filtered at 0.5).
+    t = _Fraction(threshold).limit_denominator(10_000)
+    t_num, t_den = t.numerator, t.denominator
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
@@ -177,7 +182,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
         # gating on round(jaccard, 4) while the oracle gated unrounded let
         # boundary pairs diverge (round-6 review) — 2·inter >= union is
         # exact and identical on both engines for threshold 1/2
-        .filter(F.col("inter") * J_DEN >= F.col("un") * J_NUM)
+        .filter(F.col("inter") * t_den >= F.col("un") * t_num)
         .select(
             "doc_a",
             "doc_b",

@@ -1695,14 +1695,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty set while the oracle's scalar COUNT(*) subqueries always
     # count 0 (parity sweep, round 6) — seed the names, left-join the
     # counts/estimates, and try_divide the n_exact = 0 case to NULL.
-    seed = (
-        load_table(spark, sf_dir, "events")
-        .limit(1)
-        .select(
-            F.explode(
-                F.array(*[F.lit(s) for s in ("click", "view", "union", "intersect")])
-            ).alias("set_name")
-        )
+    # seed from range(1), NOT events.limit(1): on a fully empty events table
+    # the latter yields 0 seed rows while the oracle's scalar-subquery CTE
+    # still emits 4 zero-count rows (ADVICE r6 — the same empty-slice
+    # divergence class the seed was added to fix, one level deeper)
+    seed = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in ("click", "view", "union", "intersect")])
+        ).alias("set_name")
     )
     full = (
         seed.join(exact, "set_name", "left")

@@ -1086,7 +1086,11 @@ def _exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
     review), and here the median feeds a row FILTER (adev > 3*mad) where
     one ulp moves whole rows."""
     wk = W.partitionBy("event_type")
-    r = df.select(
+    # Drop NULLs BEFORE ranking (ADVICE r6): Spark's row_number orders NULLs
+    # FIRST while DuckDB's orders them LAST, so a NULL value would shift the
+    # selected middle ranks differently per engine; percentile()/median()
+    # (which this replaced) both ignored NULLs, so this preserves semantics.
+    r = df.filter(F.col(col).isNotNull()).select(
         "event_type",
         col,
         F.row_number().over(wk.orderBy(col)).alias("rn"),
@@ -1127,7 +1131,7 @@ WITH medr AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), med AS (
   SELECT event_type, SUM(value) / COUNT(*) AS med
   FROM medr WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY event_type
@@ -1138,7 +1142,7 @@ WITH medr AS (
   SELECT event_type, adev,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM dev
+  FROM dev WHERE adev IS NOT NULL
 ), mad AS (
   SELECT event_type, SUM(adev) / COUNT(*) AS mad
   FROM madr WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY event_type

@@ -48,6 +48,17 @@ def test_ngram_jaccard_scores(spark, sf_dir):
         assert out[(i, i + 1_000_000)] == 1.0  # identical text
         near = out.get((i, i + 2_000_000))
         assert near is not None and 0.5 < near < 1.0  # truncated copy
+    # The gate must derive from the ARGUMENT (ADVICE r6: a caller threshold
+    # was silently ignored in favor of the module constant): the default
+    # 0.5-gated output must be exactly the >= 0.5 slice of the unfiltered one.
+    gated = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    assert set(gated) <= set(out)
+    assert all(v >= 0.4999 for v in gated.values())  # 4dp display rounding
+    # every comfortably-above-threshold pair survives the gate
+    assert all(k in gated for k, v in out.items() if v > 0.5001)
 
 
 def test_containment_catches_truncations_jaccard_misses(spark, sf_dir):

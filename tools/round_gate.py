@@ -13,7 +13,9 @@ Steps, in order:
            sf0.01 (the driver-correctness replica).  ~4 min
   sweep    tools/degenerate_sweep.py — every query over the planted
            degenerate fixture (empty/whitespace/NULL-text docs, 'Anon'
-           customer); crashes, not hashes.  ~4 min
+           customer); a full crash + oracle-parity gate since round 6
+           (both engines run and their frames are hash-compared), so a
+           red sweep can mean a hash DIVERGE, not only a crash.  ~4 min
   pytest   python -m pytest tests/ -q.  ~13 min
   bench    python bench.py at sf0.1 — refreshes BENCH_DETAIL.json;
            fails on any query failure or flake.  ~13 min

@@ -218,6 +218,68 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Host-steal canary (VERDICT r6 item 1). BENCH_r06 published a phantom 1.37x
+# slowdown because a multi-hour CPU-steal window on this shared host outlasted
+# the entire run — min-of-N and the cross-run prior both sample INSIDE the
+# window, so no per-query gate can detect it. The canary is a fixed
+# single-threaded pure-Python spin (2.5% min-of-3 jitter on a quiet host,
+# measured 2026-08-15; a JVM probe was tried first and had 17% scheduling/GC
+# jitter) timed at run start / middle / end:
+#   * spread gate:   max/min of the three samples > 1.20 -> steal began or
+#                    ended mid-run;
+#   * absolute gate: min of the three > 1.35x the committed quiet-window
+#                    baseline -> steal spans the whole run (the r6 mode).
+# Either gate -> the JSON line carries "contaminated" and the process exits 3
+# so tools/round_gate.py retries in a later window instead of committing a
+# corrupted artifact.
+# ---------------------------------------------------------------------------
+CANARY_BASELINE_SEC = 0.70  # min-of-3 spin, quiet window, 2026-08-15
+CANARY_SPREAD_LIMIT = 1.20
+CANARY_ABS_LIMIT = 1.35
+_CANARY_ITERS = 8_000_000
+
+
+def _canary_sample() -> float:
+    """Min-of-3 of a fixed single-threaded spin, GC paused: host-speed
+    calibration that is immune to JVM task scheduling and heap state."""
+    import gc
+
+    best = float("inf")
+    gc.disable()
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(_CANARY_ITERS):
+                x = (x * 31 + i) & 0xFFFFFFFF
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        gc.enable()
+    return best
+
+
+def _canary_verdict(canary: dict) -> list[str]:
+    """Annotate the canary dict with spread / vs_baseline and return the
+    contamination findings (empty = run is publishable). Pure, for tests."""
+    c_vals = [canary["start"], canary["mid"], canary["end"]]
+    canary["spread"] = round(max(c_vals) / min(c_vals), 3)
+    canary["vs_baseline"] = round(min(c_vals) / CANARY_BASELINE_SEC, 3)
+    contaminated: list[str] = []
+    if canary["spread"] > CANARY_SPREAD_LIMIT:
+        contaminated.append(
+            f"canary spread {canary['spread']} > {CANARY_SPREAD_LIMIT}"
+            " (steal window began or ended mid-run)"
+        )
+    if canary["vs_baseline"] > CANARY_ABS_LIMIT:
+        contaminated.append(
+            f"canary min {min(c_vals)}s is {canary['vs_baseline']}x the"
+            f" quiet-window baseline {CANARY_BASELINE_SEC}s"
+            " (steal window spans the whole run)"
+        )
+    return contaminated
+
+
 def _scaling_priors() -> dict[str, float]:
     """Per-query sf0.1 seconds from the committed SCALING.md probe table.
 
@@ -255,6 +317,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q01_pricing_summary,anomaly_mad
+    # (harness plumbing checks without the full ~13 min suite)
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [s for s in only.split(",") if s]
+        unknown = [s for s in wanted if s not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        headline = wanted
+
     # JVM + parquet-footer warmup so q1 doesn't pay session startup, and a
     # trivial mapInPandas so the first Pandas-UDF query doesn't pay Python
     # worker-pool startup (one interpreter per core).
@@ -289,7 +362,11 @@ def main() -> None:
     flaky: dict[str, str] = {}  # passed once, then crashed — keep the trace
     retimed: list[str] = []  # queries that needed the third attempt
     retimed_vs_prior: list[str] = []  # third attempt forced by the prior
-    for name in HEADLINE:
+    canary = {"start": round(_canary_sample(), 3)}
+    mid_at = len(headline) // 2
+    for qi, name in enumerate(headline):
+        if qi == mid_at:
+            canary["mid"] = round(_canary_sample(), 3)
         attempts: list[float] = []
         n_attempts = 3 if name in ALWAYS_BEST3 else 2
         i = 0
@@ -347,6 +424,10 @@ def main() -> None:
             if late is not None:
                 flaky[name] = late
 
+    canary.setdefault("mid", canary["start"])  # empty/1-query HEADLINE guard
+    canary["end"] = round(_canary_sample(), 3)
+    contaminated = _canary_verdict(canary)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -369,6 +450,8 @@ def main() -> None:
         "flaky": flaky,
         "retimed_best_of_3": retimed,
         "retimed_vs_prior": retimed_vs_prior,
+        "canary": canary,
+        "contaminated": contaminated,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -376,21 +459,27 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": detail["value"],
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "n_failures": len(failures),
-                "n_flaky": len(flaky),
-                "queries": top10,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    line = {
+        "metric": "total_query_time",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "n_flaky": len(flaky),
+        "canary": canary,
+        "queries": top10,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if contaminated:
+        line["contaminated"] = contaminated
+    print(json.dumps(line))
+    if contaminated:
+        # exit non-zero so round_gate retries in a later window instead of
+        # committing a corrupted artifact (the r6 221.7s lesson); the JSON
+        # line above is still printed so a driver-side run records the
+        # timings WITH the contamination flag rather than nothing.
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -32,3 +32,33 @@ def test_scaling_priors_missing_file(tmp_path, monkeypatch):
     # A missing SCALING.md must degrade to "no priors", not crash the bench.
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     assert bench._scaling_priors() == {}
+
+
+def test_canary_verdict_quiet_run_passes():
+    c = {"start": 0.71, "mid": 0.74, "end": 0.70}
+    assert bench._canary_verdict(c) == []
+    assert c["spread"] == round(0.74 / 0.70, 3)
+    assert c["vs_baseline"] == round(0.70 / bench.CANARY_BASELINE_SEC, 3)
+
+
+def test_canary_verdict_flags_mid_run_steal():
+    # steal begins mid-run: end sample inflated, spread gate fires
+    c = {"start": 0.71, "mid": 0.72, "end": 1.05}
+    findings = bench._canary_verdict(c)
+    assert len(findings) == 1 and "spread" in findings[0]
+
+
+def test_canary_verdict_flags_whole_run_steal():
+    # the r6 mode: a steal window outlasting the run inflates ALL samples
+    # uniformly — spread stays flat, only the absolute gate can catch it
+    c = {"start": 1.4, "mid": 1.45, "end": 1.42}
+    findings = bench._canary_verdict(c)
+    assert len(findings) == 1 and "baseline" in findings[0]
+
+
+def test_canary_sample_is_sane():
+    # one real sample: positive, sub-30s, and plausibly near baseline on
+    # any host this repo runs on (very loose — this is a smoke bound, the
+    # tight comparison lives in the bench gates themselves)
+    t = bench._canary_sample()
+    assert 0.05 < t < 30.0, t

@@ -192,6 +192,63 @@ def test_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_dedup_state_survives_restart_mid_window(spark, tmp_path):
+    """Restart-mid-window recovery (VERDICT r6 stretch): the dedup state
+    store is checkpointed, so a duplicate key arriving in the query's
+    SECOND life — within the watermark horizon of its first-life original
+    — must still be dropped, and a genuinely new key must still pass.
+    File sink (not memory: a memory table restarts empty) accumulates
+    output across both lives."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_until(expect_rows):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            dedup_events_stream(stream, ["key"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    if spark.read.schema(SCHEMA).parquet(out).count() >= expect_rows:
+                        break
+                except Exception:
+                    pass  # sink dir not created yet
+                time.sleep(1)
+        finally:
+            q.stop()
+
+    # first life: two distinct keys, seconds apart (1 min watermark — the
+    # window is still open when the query dies)
+    spark.createDataFrame(
+        _rows([(1, "a", 10), (2, "b", 12)]), SCHEMA
+    ).write.mode("overwrite").parquet(src)
+    run_until(expect_rows=2)
+
+    # while down: a DUPLICATE of key 'a' inside the horizon + a new key
+    spark.createDataFrame(
+        _rows([(3, "a", 11), (4, "c", 13)]), SCHEMA
+    ).write.mode("append").parquet(src)
+    run_until(expect_rows=3)
+
+    got = spark.read.schema(SCHEMA).parquet(out).collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 4], got
+    assert {r.key for r in got} == {"a", "b", "c"}
+    assert spark.read.schema(SCHEMA).parquet(out).filter(
+        F.col("event_id") == 3
+    ).count() == 0
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static dimension join: each event picks up its dim attrs;
     keys missing from the dim survive with nulls (left join)."""

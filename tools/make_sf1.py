@@ -1,0 +1,114 @@
+"""Synthesize a deterministic sf≈1 fixture (10x sf0.1) for scale probing.
+
+The driver fixtures stop at sf0.1 (17 MB), where fixed overhead still
+dominates most queries — SCALING.md's sublinear tails mostly measure
+constant-cost amortization, not asymptotic behavior (VERDICT r6,
+Performance). This tool manufactures one more decade locally: a seeded
+key-shifted union of 10 sf0.1 replicas, written ONCE to a non-driver dir
+(default /root/repo/localdata/sf1, gitignored — ~170 MB of parquet;
+regenerate with `python tools/make_sf1.py`). tools/scale_probe.py picks it
+up via --sf1.
+
+Replica construction (replica 0 is the original, i = 1..9 shifted):
+
+* every id-like column (+10_000_000 * i): primary keys AND the foreign
+  keys that join to them shift together, so per-replica join selectivity
+  and fan-out exactly match sf0.1 — the union scales rows 10x while
+  keeping per-key densities constant (what a real 10x corpus looks like,
+  and what keeps `% 1_000_000` bounded-slice filters selecting the same
+  per-replica residues, since the shift is a multiple of 1e6);
+* documents.text: per-replica substitution cipher over the 10 most
+  frequent letters (translate(text, SRC, rot_i(SRC))) — length, word
+  shape and frequency profile are preserved but virtually every shingle
+  containing any of those letters changes, so replicas do NOT read as
+  near-duplicates of each other (a naive 10x copy would give every doc 9
+  clones and quadratic LSH candidate blowup — scale-UNrepresentative);
+* embeddings.embedding: rotate the 64-dim vector by i positions — new
+  directions (no cross-replica cosine ties), same norms;
+* timestamps and dates unchanged: 10x event/order density per day, the
+  realistic way log volume grows;
+* region/nation: copied as-is (fixed dimensions at every TPC-H SF).
+
+Everything is a pure column expression over the sf0.1 parquet — no RNG,
+no clock — so the output is content-deterministic run-over-run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SRC_SF_DIR = "/root/testdata/sf0.1"
+OUT_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1")
+REPLICAS = 10
+SHIFT = 10_000_000  # > every sf0.1 key; multiple of the 1e6 slice modulus
+
+# 10 distinct frequent letters; replica i ciphers by rotation i (a
+# derangement for every 1 <= i <= 9, so no letter maps to itself)
+_CIPHER_SRC = "etaoinshrd"
+
+# (table, [id-like columns to shift])
+TABLES: list[tuple[str, list[str]]] = [
+    ("region", []),
+    ("nation", []),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey", "o_custkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("events", ["event_id", "user_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _replica(df, name: str, keys: list[str], i: int):
+    out = df
+    for k in keys:
+        out = out.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+    if name == "documents" and i > 0:
+        dst = _CIPHER_SRC[i:] + _CIPHER_SRC[:i]
+        out = out.withColumn("text", F.translate("text", _CIPHER_SRC, dst))
+    if name == "embeddings" and i > 0:
+        n = 64
+        out = out.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", i + 1, n - i), F.slice("embedding", 1, i)
+            ),
+        )
+    return out
+
+
+def main() -> None:
+    from log_agent_spark.session import get_spark
+    from log_agent_spark.sources.tables import load_table
+
+    spark = get_spark("make-sf1")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name, keys in TABLES:
+        base = load_table(spark, SRC_SF_DIR, name)
+        if name in ("region", "nation"):
+            out = base
+        else:
+            parts = [_replica(base, name, keys, i) for i in range(REPLICAS)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        # a handful of files per table: enough scan parallelism for
+        # local[32] without tiny-file overhead
+        out.repartition(8 if name in ("lineitem", "events") else 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"{name:10s} -> {path}  rows={n:,}")
+    print(f"sf1 fixture complete at {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,34 @@ def step_pytest() -> bool:
     return rc == 0
 
 
+# bench exits 3 when its host-steal canary flags the run as contaminated
+# (spread > 1.2 across start/mid/end, or all samples > 1.35x the committed
+# quiet-window baseline — the r6 mode where a steal window outlasted the
+# whole run). The timings are not trustworthy, so wait out the window and
+# retry rather than failing the round on host weather.
+_BENCH_CONTAMINATED_RC = 3
+_BENCH_RETRIES = 2
+_BENCH_RETRY_WAIT_SEC = 600
+
+
 def step_bench() -> bool:
-    rc, out = _run([sys.executable, "bench.py"])
+    rc = 0
+    out = ""
+    for attempt in range(1 + _BENCH_RETRIES):
+        rc, out = _run([sys.executable, "bench.py"])
+        if rc != _BENCH_CONTAMINATED_RC:
+            break
+        if attempt < _BENCH_RETRIES:
+            print(
+                f"GATE bench: canary flagged contamination; retrying in"
+                f" {_BENCH_RETRY_WAIT_SEC}s"
+                f" (attempt {attempt + 2}/{1 + _BENCH_RETRIES})",
+                flush=True,
+            )
+            time.sleep(_BENCH_RETRY_WAIT_SEC)
+    if rc == _BENCH_CONTAMINATED_RC:
+        print("GATE bench: still contaminated after retries")
+        return False
     if rc != 0:
         return False
     # bench prints ONE JSON report line, but the captured stream also
@@ -112,14 +138,21 @@ def step_bench() -> bool:
 
 
 def step_scale() -> bool:
-    rc, out = _run([sys.executable, "tools/scale_probe.py", "--all"])
+    cmd = [sys.executable, "tools/scale_probe.py", "--all"]
+    # the self-synthesized sf~1 decade (tools/make_sf1.py) joins the probe
+    # whenever its gitignored fixture dir exists on this machine
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "localdata/sf1"))
+    if os.path.isdir(sf1_dir):
+        cmd.append("--sf1")
+    rc, out = _run(cmd)
     if rc != 0:
         return False
-    # the probe prints one "tail=x.xx" per query; >~1.2 is its own
-    # documented investigate-before-100TB threshold
+    # the probe prints one "tail=x.xx" per query (and "tail1=x.xx" for the
+    # sf1-probed subset); >~1.2 is its documented
+    # investigate-before-100TB threshold
     bad = [
         m.group(0)
-        for m in re.finditer(r"(\S+)\s+.*tail=\s*([0-9.]+)", out)
+        for m in re.finditer(r"(\S+)\s+.*tail1?=\s*([0-9.]+)", out)
         if float(m.group(2)) > 1.2
     ]
     if bad:

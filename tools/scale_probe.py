@@ -13,6 +13,8 @@ Usage::
 
     python tools/scale_probe.py [query ...]      # default: the heavy set
     python tools/scale_probe.py --all            # every bench HEADLINE query
+    python tools/scale_probe.py --all --sf1      # + the self-synthesized
+        # sf~1 decade (tools/make_sf1.py) on the 25 most expensive queries
 
 Writes SCALING.md (table sorted by slope, descending).
 """
@@ -20,12 +22,21 @@ Writes SCALING.md (table sorted by slope, descending).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 SFS = [("0.001", 0.001), ("0.01", 0.01), ("0.1", 0.1)]
+
+# The sf~1 decade is NOT a driver fixture: it is synthesized once, locally,
+# by tools/make_sf1.py (seeded key-shifted union of 10 sf0.1 replicas) into
+# a gitignored dir. At 17 MB the driver fixtures leave fixed overhead
+# dominant (slopes 0.2-0.5 mostly measure constant-cost amortization,
+# VERDICT r6); the extra decade is where data-bound behavior starts to show.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1")
+SF1_TOP_N = 25  # probe sf1 on the N most expensive queries (by sf0.1 time)
 
 # Default probe set: every query >= ~1.5s in BENCH_DETAIL plus the newest
 # operators — the ones whose scaling behavior matters most.
@@ -67,6 +78,13 @@ def main() -> None:
     from log_agent_spark.session import get_spark
 
     args = [a for a in sys.argv[1:]]
+    with_sf1 = "--sf1" in args
+    args = [a for a in args if a != "--sf1"]
+    if with_sf1 and not os.path.isdir(SF1_DIR):
+        sys.exit(
+            f"--sf1: fixture dir {SF1_DIR} missing — generate it once with"
+            " `python tools/make_sf1.py`"
+        )
     qs = entrymod.queries()
     if "--all" in args:
         from bench import HEADLINE
@@ -107,11 +125,32 @@ def main() -> None:
         # tail slope over the last decade (sf0.01 → sf0.1) — the sensitive
         # number: asymptotic growth once fixed overhead starts to amortize
         tail = math.log(times[2] / times[1]) / math.log(10.0)
-        rows.append((name, times, slope, tail))
+        rows.append([name, times, slope, tail, None, None])
         print(
             f"{name:34s} {times[0]:6.2f} {times[1]:6.2f} {times[2]:6.2f}"
             f"  slope={slope:5.2f} tail={tail:5.2f}"
         )
+
+    if with_sf1:
+        # second pass: the SF1_TOP_N most expensive queries (by the sf0.1
+        # time just measured) get the extra decade; tail1 = log-log slope
+        # over sf0.1 -> sf1, the least-overhead-contaminated number we can
+        # produce in this container
+        probe = sorted(rows, key=lambda r: -r[1][2])[:SF1_TOP_N]
+        for row in probe:
+            name = row[0]
+            fn = qs[name]
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[4] = best
+            row[5] = math.log(best / row[1][2]) / math.log(10.0)
+            print(f"{name:34s} sf1 {best:6.2f}  tail1={row[5]:5.2f}")
 
     rows.sort(key=lambda r: -r[3])
     lines = [
@@ -122,13 +161,22 @@ def main() -> None:
         "(the query hasn't hit its data-bound regime yet); >~1.2 = super-linear,",
         "investigate before 100 TB. Generated by `python tools/scale_probe.py`.",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | slope | tail slope (0.01→0.1) |",
-        "|---|---|---|---|---|---|",
+        "The sf1 columns (when present) come from the self-synthesized 10x",
+        "fixture (`tools/make_sf1.py`, key-shifted sf0.1 union — not a driver",
+        "fixture) probed on the most expensive queries via `--sf1`; tail",
+        "(0.1→1) is the log-log slope over that final decade, the least",
+        "overhead-contaminated scaling number measurable in this container.",
+        "",
+        "| query | sf0.001 s | sf0.01 s | sf0.1 s | slope | tail slope (0.01→0.1) | sf1 s | tail slope (0.1→1) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for name, times, slope, tail in rows:
+    for name, times, slope, tail, t1, tail1 in rows:
+        sf1_cells = (
+            f" {t1:.2f} | {tail1:.2f} |" if t1 is not None else "  |  |"
+        )
         lines.append(
             f"| `{name}` | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f}"
-            f" | {slope:.2f} | {tail:.2f} |"
+            f" | {slope:.2f} | {tail:.2f} |" + sf1_cells
         )
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -742,8 +742,18 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) /
 # family the SemDeDup paper uses; centroids here are deterministic (the
 # first K vectors — operators/similarity.py's IVF coarse quantizer, whose
 # k-means update step is `ann_kmeans_step`) so the oracle can replay them.
+#
+# K scales with the corpus: cells of ~_SEMANTIC_CELL_TARGET vectors, floor
+# _SEMANTIC_CELLS_MIN. A CONSTANT K makes within-cell comparison O(n²/K) —
+# quadratic asymptotically, with join parallelism capped at K (observed:
+# 9-task stages at sf1) — while fixed cell SIZE makes it O(n·T/2), linear,
+# with parallelism growing alongside the data. The floor keeps K = 16 at
+# the oracle-checked fixture SFs (corpus ≤ 2,200 < 16·256), so driver
+# hashes are unchanged; the sf1 probe and anything larger get the scaled
+# cell count. Derived via the scalar-join idiom on both engines.
 # ---------------------------------------------------------------------------
-_SEMANTIC_CELLS = 16
+_SEMANTIC_CELLS_MIN = 16
+_SEMANTIC_CELL_TARGET = 256
 
 
 def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,8 +772,16 @@ def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     corpus = emb.unionByName(planted)
-    centroids = corpus.filter(F.col("vec_id") < _SEMANTIC_CELLS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    kf = corpus.agg(
+        F.greatest(
+            F.lit(_SEMANTIC_CELLS_MIN),
+            F.ceil(F.count("*") / F.lit(float(_SEMANTIC_CELL_TARGET))),
+        ).alias("k")
+    )
+    centroids = (
+        corpus.crossJoin(F.broadcast(kf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb"))
     )
     cells = ivf_assign(corpus, centroids).withColumn("norm", _norm(F.col("emb")))
     lhs, rhs = cells.hint("merge").alias("a"), cells.hint("merge").alias("b")
@@ -799,7 +817,9 @@ WITH base AS (
   SELECT * FROM base UNION ALL SELECT * FROM planted
 ), cent AS (
   SELECT vec_id AS centroid_id, emb AS c_emb FROM corpus
-  WHERE vec_id < {_SEMANTIC_CELLS}
+  WHERE vec_id < (SELECT GREATEST({_SEMANTIC_CELLS_MIN},
+                                  CEIL(COUNT(*) / {float(_SEMANTIC_CELL_TARGET)!r}))
+                  FROM corpus)
 ), assigned AS (
   SELECT vec_id, emb, centroid_id AS cell FROM (
     SELECT c.vec_id, c.emb, cent.centroid_id,

@@ -453,8 +453,13 @@ def main() -> None:
         "canary": canary,
         "contaminated": contaminated,
     }
+    # a SPARK_GRAFT_BENCH_ONLY smoke run must not clobber the committed
+    # full-suite artifact (review r7): its detail goes to a sidecar file
+    detail_name = (
+        "BENCH_DETAIL.subset.json" if only else "BENCH_DETAIL.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -469,8 +474,10 @@ def main() -> None:
         "n_flaky": len(flaky),
         "canary": canary,
         "queries": top10,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
+    if only:
+        line["subset"] = True
     if contaminated:
         line["contaminated"] = contaminated
     print(json.dumps(line))

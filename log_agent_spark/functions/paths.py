@@ -83,7 +83,7 @@ def bsi_parse(df: DataFrame, sub_dir_col: str = "sub_dir") -> DataFrame:
     out = (
         df.withColumn("bsi_family", F.when(conforms, F.element_at(segs, 1)))
         .withColumn("bsi_model", F.when(conforms, F.element_at(segs, 2)))
-        .withColumn("bsi_test_id", F.when(conforms, test_id))
+        .withColumn("bsi_test_id", test_id)  # already conforms-guarded
         .withColumn("folder_time", folder_time)
     )
     if "create_time" in df.columns:

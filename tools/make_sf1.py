@@ -74,11 +74,15 @@ def _replica(df, name: str, keys: list[str], i: int):
         dst = _CIPHER_SRC[i:] + _CIPHER_SRC[:i]
         out = out.withColumn("text", F.translate("text", _CIPHER_SRC, dst))
     if name == "embeddings" and i > 0:
-        n = 64
+        # derive the dim per row rather than hardcoding 64: a regenerated
+        # fixture at another dim would otherwise silently get truncated
+        # vectors in replicas 1-9 (review r7)
+        n = F.size("embedding")
         out = out.withColumn(
             "embedding",
             F.concat(
-                F.slice("embedding", i + 1, n - i), F.slice("embedding", 1, i)
+                F.slice(F.col("embedding"), F.lit(i + 1), n - i),
+                F.slice(F.col("embedding"), F.lit(1), F.lit(i)),
             ),
         )
     return out

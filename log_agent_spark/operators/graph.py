@@ -538,18 +538,34 @@ ORACLE_PAGERANK = _pagerank_oracle()
 # (orientation changes the join strategy, not the triangle set).
 # ---------------------------------------------------------------------------
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Endpoints travel as int32 through the array-heavy stages: the
+    # adjacency arrays + intersect shuffle is allocation-bound, and
+    # halving element width measured 14.2 -> 12.2s min / 34 -> 16s mean
+    # at sf1 (the bigint form showed 2-3x GC-driven run-to-run swings).
+    # The range guard is FOLDED INTO the pk value (when/otherwise
+    # raise_error): an out-of-int32-range partkey (possible at extreme
+    # SFs; non-ANSI casts wrap SILENTLY) errors loudly instead of
+    # wrapping to a wrong answer. A standalone assert_true column gets
+    # pruned by Catalyst the moment it's dropped (verified), so it can't
+    # carry this check. Output partkey is cast back to bigint.
+    pk_guarded = F.when(
+        F.col("l_partkey") < F.lit(2_147_483_648),
+        F.col("l_partkey").cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("triangle_count int32 fast path: partkey exceeds int32")
+        ).cast("int")
+    )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        .select("l_orderkey", pk_guarded.alias("pk"))
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
         # NOT persisted although two branches (degree pass, orientation
         # join) consume it: the trailing distinct's Exchange is shared as
@@ -600,7 +616,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corners.groupBy("node")
         .agg(F.count("*").alias("tri_cnt"))
-        .select(F.col("node").alias("partkey"), "tri_cnt")
+        .select(F.col("node").cast("bigint").alias("partkey"), "tri_cnt")
     )
 
 

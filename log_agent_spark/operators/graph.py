@@ -542,25 +542,33 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adjacency arrays + intersect shuffle is allocation-bound, and
     # halving element width measured 14.2 -> 12.2s min / 34 -> 16s mean
     # at sf1 (the bigint form showed 2-3x GC-driven run-to-run swings).
-    # The range guard is FOLDED INTO the pk value (when/otherwise
-    # raise_error): an out-of-int32-range partkey (possible at extreme
-    # SFs; non-ANSI casts wrap SILENTLY) errors loudly instead of
-    # wrapping to a wrong answer. A standalone assert_true column gets
-    # pruned by Catalyst the moment it's dropped (verified), so it can't
-    # carry this check. Output partkey is cast back to bigint.
-    pk_guarded = F.when(
-        F.col("l_partkey") < F.lit(2_147_483_648),
-        F.col("l_partkey").cast("int"),
-    ).otherwise(
-        F.raise_error(
-            F.lit("triangle_count int32 fast path: partkey exceeds int32")
-        ).cast("int")
-    )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", pk_guarded.alias("pk"))
-        .distinct()
-    )
+    # Width is chosen ADAPTIVELY: a one-column max() precheck (narrow
+    # parquet scan, trivially parallel, no shuffle — negligible next to
+    # the distinct + self-join it precedes) picks int32 when every key
+    # fits, bigint otherwise. TPC-H partkeys exceed int32 around
+    # sf ≈ 10k, i.e. exactly the 100 TB regime this engine targets, so
+    # the narrow path must DOWNGRADE there, not abort. The in-plan
+    # when/raise_error guard stays on the int32 path as the correctness
+    # backstop (one branch per row, free next to the shuffle win): if
+    # the data ever changed between precheck and run, an out-of-range
+    # key errors loudly instead of wrapping silently (non-ANSI casts
+    # wrap; a standalone assert_true column gets pruned by Catalyst the
+    # moment it's dropped — verified). Output partkey is bigint either
+    # way, so the schema is width-independent.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    max_pk = lineitem.agg(F.max("l_partkey")).first()[0] or 0
+    if max_pk < 2_147_483_648:
+        pk = F.when(
+            F.col("l_partkey") < F.lit(2_147_483_648),
+            F.col("l_partkey").cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.lit("triangle_count int32 fast path: partkey exceeds int32")
+            ).cast("int")
+        )
+    else:
+        pk = F.col("l_partkey")
+    li = lineitem.select("l_orderkey", pk.alias("pk")).distinct()
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")

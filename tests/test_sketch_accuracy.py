@@ -91,6 +91,29 @@ def test_triangle_corner_counts_consistent(spark, sf_dir):
     assert total_corners % 3 == 0 and total_corners > 0
 
 
+def test_triangle_count_bigint_path_parity(spark, sf_dir, tmp_path):
+    """Keys past int32 must take the bigint path and return the SAME
+    triangles (shifted), not abort: TPC-H partkeys exceed int32 around
+    sf ≈ 10k — the 100 TB regime — so the int32 fast path is a measured
+    optimization for small keys, never a scale ceiling. Shifting every
+    partkey by a constant is a graph isomorphism, so per-node triangle
+    counts must match the unshifted run exactly."""
+    shift = 3_000_000_000  # > 2^31: forces the bigint plan
+    shifted_dir = str(tmp_path / "sf_shifted")
+    load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_partkey", F.col("l_partkey") + F.lit(shift)
+    ).write.parquet(f"{shifted_dir}/lineitem.parquet")
+    base = {
+        r.partkey + shift: r.tri_cnt
+        for r in q_graph_triangle_count(spark, sf_dir).collect()
+    }
+    big = {
+        r.partkey: r.tri_cnt
+        for r in q_graph_triangle_count(spark, shifted_dir).collect()
+    }
+    assert base and big == base
+
+
 def test_pq_adc_recall_floor(spark, sf_dir):
     emb = {
         r.vec_id: np.array(r.embedding, dtype=np.float64)

@@ -36,7 +36,7 @@ SFS = [("0.001", 0.001), ("0.01", 0.01), ("0.1", 0.1)]
 # dominant (slopes 0.2-0.5 mostly measure constant-cost amortization,
 # VERDICT r6); the extra decade is where data-bound behavior starts to show.
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1")
-SF1_TOP_N = 25  # probe sf1 on the N most expensive queries (by sf0.1 time)
+SF1_TOP_N = 40  # probe sf1 on the N most expensive queries (by sf0.1 time)
 
 # Default probe set: every query >= ~1.5s in BENCH_DETAIL plus the newest
 # operators — the ones whose scaling behavior matters most.

@@ -57,7 +57,8 @@ _MODULES = [
 #  - the canary (q01),
 #  - the 4 round-6 value-changed queries (each has exactly one driver
 #    signal on its NEW body, earned in r06),
-#  - the 11 round-6 newly-green queries (one lifetime signal each),
+#  - the round-6 newly-green queries (one lifetime signal each; 10 listed —
+#    events_ooo_depth, the 11th, sits in the value-changed group above),
 #  - the two DateType-output queries (cast to ISO strings since r3; the one
 #    dtype class with a logged mirror divergence, driver-proven once in r3),
 #  - this round's ADVICE-touched bodies (ngram-jaccard gate-from-argument,

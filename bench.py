@@ -234,7 +234,17 @@ HEADLINE = [
 # so tools/round_gate.py retries in a later window instead of committing a
 # corrupted artifact.
 # ---------------------------------------------------------------------------
-CANARY_BASELINE_SEC = 0.70  # min-of-3 spin, quiet window, 2026-08-15
+# Min-of-3 spin on THIS grading host's quiet window (2026-08-15). The
+# absolute gate is a per-host calibration by construction — the spin's
+# wall-clock shifts tens of percent across CPU models and CPython builds —
+# so on any other machine (or after an interpreter upgrade) recalibrate
+# rather than letting every run flag contaminated: run
+# `python -c "import bench; print(bench._canary_sample())"` in a known-quiet
+# window and export SPARK_GRAFT_CANARY_BASELINE with that value. The
+# committed constant stays authoritative for the grading container family.
+CANARY_BASELINE_SEC = float(
+    os.environ.get("SPARK_GRAFT_CANARY_BASELINE", "0.70")
+)
 CANARY_SPREAD_LIMIT = 1.20
 CANARY_ABS_LIMIT = 1.35
 _CANARY_ITERS = 8_000_000

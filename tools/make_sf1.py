@@ -111,6 +111,14 @@ def main() -> None:
         ).parquet(path)
         n = spark.read.parquet(path).count()
         print(f"{name:10s} -> {path}  rows={n:,}")
+    # sentinel LAST (review r7): consumers (scale_probe, round_gate's
+    # --sf1 auto-enable) must treat a dir without it as incomplete — an
+    # interrupted generation otherwise crashes the probe mid-pass with a
+    # confusing missing-table AnalysisException
+    import json
+
+    with open(os.path.join(OUT_DIR, "_COMPLETE.json"), "w") as f:
+        json.dump({"tables": [t for t, _ in TABLES], "source": SRC_SF_DIR}, f)
     print(f"sf1 fixture complete at {OUT_DIR}")
 
 

@@ -47,12 +47,19 @@ CHAIN_ARTIFACTS = {"BENCH_DETAIL.json", "SCALING.md", "COVERAGE.json"}
 
 def _run(cmd: list[str]) -> tuple[int, str]:
     """Stream child output while capturing it for verdict parsing."""
+    # Strip smoke-run scoping from the child environment: a leftover
+    # SPARK_GRAFT_BENCH_ONLY in the operator's shell would scope the bench
+    # step to 1-2 queries (detail diverted to the sidecar file, committed
+    # BENCH_DETAIL.json silently stale) while still parsing as a green
+    # report — the gate must always measure the full suite.
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_BENCH_ONLY"}
     proc = subprocess.Popen(
         cmd,
         cwd=REPO,
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
         text=True,
+        env=env,
     )
     lines: list[str] = []
     assert proc.stdout is not None
@@ -130,6 +137,11 @@ def step_bench() -> bool:
     if rep is None:
         print("GATE bench: no report line found in bench output")
         return False
+    # defense in depth vs the env-strip in _run: a subset report must
+    # never pass as the round's full-suite bench signal
+    if rep.get("subset"):
+        print("GATE bench: got a SPARK_GRAFT_BENCH_ONLY subset report")
+        return False
     n_fail = rep.get("n_failures", 0)
     n_flaky = rep.get("n_flaky", 0)
     if n_fail or n_flaky:
@@ -142,7 +154,9 @@ def step_scale() -> bool:
     # the self-synthesized sf~1 decade (tools/make_sf1.py) joins the probe
     # whenever its gitignored fixture dir exists on this machine
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "localdata/sf1"))
-    if os.path.isdir(sf1_dir):
+    # _COMPLETE.json is written LAST by make_sf1 — a bare isdir would
+    # enable --sf1 on an interrupted (partial) fixture build
+    if os.path.isfile(os.path.join(sf1_dir, "_COMPLETE.json")):
         cmd.append("--sf1")
     rc, out = _run(cmd)
     if rc != 0:

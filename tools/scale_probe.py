@@ -14,7 +14,8 @@ Usage::
     python tools/scale_probe.py [query ...]      # default: the heavy set
     python tools/scale_probe.py --all            # every bench HEADLINE query
     python tools/scale_probe.py --all --sf1      # + the self-synthesized
-        # sf~1 decade (tools/make_sf1.py) on the 25 most expensive queries
+        # sf~1 decade (tools/make_sf1.py) on the SF1_TOP_N (40) most
+        # expensive queries
 
 Writes SCALING.md (table sorted by slope, descending).
 """
@@ -80,10 +81,13 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     with_sf1 = "--sf1" in args
     args = [a for a in args if a != "--sf1"]
-    if with_sf1 and not os.path.isdir(SF1_DIR):
+    # the sentinel is written LAST by make_sf1, so its presence proves the
+    # fixture is complete — a bare isdir would pass an interrupted build
+    # and crash the probe mid-pass on the first missing table
+    if with_sf1 and not os.path.isfile(os.path.join(SF1_DIR, "_COMPLETE.json")):
         sys.exit(
-            f"--sf1: fixture dir {SF1_DIR} missing — generate it once with"
-            " `python tools/make_sf1.py`"
+            f"--sf1: fixture at {SF1_DIR} missing or incomplete — (re)generate"
+            " it with `python tools/make_sf1.py`"
         )
     qs = entrymod.queries()
     if "--all" in args:
@@ -158,7 +162,8 @@ def main() -> None:
 
     rows.sort(key=lambda r: -r[3])
     lines = [
-        "# SCALING — measured runtime vs scale factor (local[32], warm best-of-2)",
+        "# SCALING — measured runtime vs scale factor (local[32], warm;"
+        " best-of-2 at sf0.001-0.1, best-of-3 at sf1)",
         "",
         "log-log slope of runtime vs sf over sf0.001/0.01/0.1. ~1.0 = scan-bound",
         "linear (the target); << 1.0 = fixed overhead dominates at this scale",

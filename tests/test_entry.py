@@ -25,6 +25,24 @@ def test_queries_oracles_aligned():
     assert missing == ROWS_ONLY, f"unexpected rows-only queries: {missing - ROWS_ONLY}"
 
 
+def test_driver_window_invariants():
+    """The per-round driver window only earns correctness signal if its
+    entries actually occupy the first ~50 queries() slots (the driver
+    checks iteration order, not the list) — a rotation typo here silently
+    wastes a whole round's driver signal, so pin every invariant: exactly
+    50 names, no duplicates, each resolvable, each first in iteration
+    order, each with an oracle (rows-only checks are a weaker signal and
+    should not spend a window slot)."""
+    window = entrymod.DRIVER_WINDOW
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(window) == 50
+    assert len(set(window)) == len(window)
+    assert set(window) <= set(qs)
+    assert set(window) == set(list(qs)[:50])
+    assert set(window) <= set(oracles)
+
+
 def test_all_queries_run_smoke(spark, sf_dir):
     """Every declared query must at least plan + execute at sf0.001."""
     for name, fn in entrymod.queries().items():

@@ -25,11 +25,13 @@ Pipeline, all built-in expressions:
 
 Scale (100 TB intent): per-(user, day) counts partial-aggregate
 map-side; the spine densification joins on user — one shuffle each. The
-SAX-word join is the ANN-bucket shape: candidates within buckets only;
-a hot word (everyone flat-ish) is the documented skew case — salt the
-word or lengthen it (more segments / bigger alphabet), exactly like
-narrowing an LSH band. The final distance join moves only
-candidate-pair series (28 rows each), not the corpus.
+SAX-word join is the ANN-bucket shape: candidates within buckets only,
+and the word LENGTHENS as the population grows (``_SAX_SEG_LADDER``,
+exactly like narrowing an LSH band) so bucket sizes — and with them the
+within-bucket pair join — stay bounded instead of growing linearly with
+users (fixed 4-segment words measured tail slope 1.67 over sf0.1→sf1).
+The final distance join moves only candidate-pair series (28 rows
+each), not the corpus.
 """
 
 from __future__ import annotations
@@ -41,9 +43,26 @@ from log_agent_spark.sources.tables import load_table
 
 _TS_ANCHOR = "2024-01-01"  # fixture epoch (TESTDATA.md); day 0 of the window
 _TS_D = 28  # window length: 4 whole weeks inside the 30-day fixture span
-_TS_SEG = 7  # PAA segment length -> 4 segments
+_TS_SEG = 7  # PAA segment length -> 4 segments (the FLOOR granularity)
 _TS_K = 10
 _BPS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles, alphabet size 4
+
+# Word granularity scales with the user population (the SemDeDup cell
+# pattern, and iSAX's lengthen-on-split idea): a FIXED 4-segment word has
+# only 4^4 possible buckets, so bucket sizes grow linearly with users and
+# the within-bucket candidate join grows QUADRATICALLY — measured tail
+# slope 1.67 over sf0.1→sf1 (1.27 s → 59 s). Finer segments multiply the
+# bucket space (4^14 at seg=2), restoring linear candidate volume exactly
+# like narrowing an LSH band. The floor keeps every driver-checked SF
+# (sf0.001-0.1, ≤ 1,500 users, and the degenerate fixture) on the original
+# 4-segment words, so the static oracle stays a strict mirror there; the
+# finer index trades some recall for boundedness, the standard
+# granularity/recall knob of every bucketed index in this repo.
+_SAX_SEG_LADDER = (  # (max users, PAA segment length; must divide _TS_D)
+    (2_000, 7),
+    (200_000, 2),
+    (float("inf"), 1),
+)
 
 
 def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +76,11 @@ def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("v"))
     )
     users = counts.select("user_id").distinct()
+    # structural parameter -> needs an eager precheck (the triangle-count
+    # width pattern): one distinct-count over the windowed users picks the
+    # segment length; negligible next to the spine join it precedes
+    n_users = users.count()
+    seg_len = next(s for cap, s in _SAX_SEG_LADDER if n_users <= cap)
     spine = users.select(
         "user_id", F.explode(F.sequence(F.lit(0), F.lit(_TS_D - 1))).alias("idx")
     )
@@ -78,9 +102,9 @@ def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zi"),
     )
     segs = z.groupBy(
-        "user_id", F.floor(F.col("idx") / _TS_SEG).cast("int").alias("seg")
+        "user_id", F.floor(F.col("idx") / seg_len).cast("int").alias("seg")
     ).agg(F.sum("zi").alias("ss"))
-    p = F.col("ss") / F.lit(_TS_SEG * 1000.0)
+    p = F.col("ss") / F.lit(seg_len * 1000.0)
     sym = (
         F.when(p < _BPS[0], "a")
         .when(p < _BPS[1], "b")
@@ -94,7 +118,7 @@ def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 *[
                     F.max(F.when(F.col("seg") == i, F.col("sym")))
-                    for i in range(_TS_D // _TS_SEG)
+                    for i in range(_TS_D // seg_len)
                 ]
             ).alias("word")
         )

@@ -557,11 +557,34 @@ _PHASH_BITS_PER_BAND = 4
 _PHASH_MAX_HAMMING = 3
 _PHASH_PROBE = "e"
 
+# Hash WIDTH scales with the corpus (the SemDeDup-cell / SAX-word pattern):
+# at the 16-bit floor each band carries 4 bits — 16 possible values — so
+# band buckets grow linearly with corpus size and the candidate join
+# quadratically (~n²/8 pairs regardless of data). Wider hashes multiply the
+# per-band value space (8 bits -> 256, 16 bits -> 65,536) keeping buckets
+# bounded, while the near-dup BAR stays absolute (hamming <= 3: "almost
+# identical payload" is a fixed quality judgment, not corpus-relative) and
+# the 4-band pigeonhole recall guarantee (3 errors can't touch all 4 bands)
+# is width-independent. The floor keeps every driver-checked SF (<= 2,000
+# media) on the original 16-bit hash, so the static oracle remains a
+# strict mirror there.
+_PHASH_BLOCK_LADDER = (  # (max corpus rows, blocks == hash bits)
+    (2_000, 16),
+    (200_000, 32),
+    # 60, not 64: the hash folds as sum(bit_b << b) into a SIGNED bigint,
+    # so bit 63 would overflow / go negative and break the shiftright band
+    # extraction; 60 is the widest multiple of _PHASH_BANDS that stays
+    # positive (15-bit bands, 32,768 values each)
+    (float("inf"), 60),
+)
 
-def phash_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, phash): 16-bit average-hash of a string payload per row.
 
-    The lineage is cut with a checkpoint pin: the 16-block hash expression
+def phash_table(
+    df: DataFrame, id_col: str, payload_col: str, blocks: int = _PHASH_BLOCKS
+) -> DataFrame:
+    """(id, phash): ``blocks``-bit average-hash of a string payload per row.
+
+    The lineage is cut with a checkpoint pin: the per-block hash expression
     tree would otherwise be inlined into BOTH sides of the downstream band
     self-join and the distinct — Catalyst plan compilation explodes
     (observed as a hang at sf0.01). The output table is 16 B/row; inside a
@@ -571,7 +594,7 @@ def phash_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     m = df.select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias("p")
     ).withColumn(
-        "l", F.greatest(F.floor(F.length("p") / _PHASH_BLOCKS).cast("int"), F.lit(1))
+        "l", F.greatest(F.floor(F.length("p") / blocks).cast("int"), F.lit(1))
     )
     ints = [
         (
@@ -582,20 +605,23 @@ def phash_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 )
             )
         ).alias(f"i{b}")
-        for b in range(_PHASH_BLOCKS)
+        for b in range(blocks)
     ]
     w = m.select("media_id", *ints)
-    total = sum(F.col(f"i{b}") for b in range(_PHASH_BLOCKS))
+    total = sum(F.col(f"i{b}") for b in range(blocks))
     phash = sum(
-        (F.col(f"i{b}") * _PHASH_BLOCKS > total).cast("bigint") * (1 << b)
-        for b in range(_PHASH_BLOCKS)
+        (F.col(f"i{b}") * blocks > total).cast("bigint") * (1 << b)
+        for b in range(blocks)
     )
     return w.select("media_id", phash.alias("phash")).transform(pin_checkpoint)
 
 
-def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
+def phash_neardup_pairs(
+    hashed: DataFrame, blocks: int = _PHASH_BLOCKS
+) -> DataFrame:
     """Banded-LSH near-dup pairs (hamming <= _PHASH_MAX_HAMMING) from a
     (media_id, phash) table — never all-pairs."""
+    bits_per_band = blocks // _PHASH_BANDS
     bands = hashed.select(
         "media_id",
         "phash",
@@ -605,8 +631,8 @@ def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         (
-                            F.shiftright("phash", b * _PHASH_BITS_PER_BAND)
-                            % (1 << _PHASH_BITS_PER_BAND)
+                            F.shiftright("phash", b * bits_per_band)
+                            % (1 << bits_per_band)
                         ).alias("val"),
                     )
                     for b in range(_PHASH_BANDS)
@@ -638,12 +664,13 @@ def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
 @pinned_query("media_phash_")
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashed = phash_table(
-        media_corpus(docs).withColumn("p", F.col("content").cast("string")),
-        "media_id",
-        "p",
-    )
-    return phash_neardup_pairs(hashed)
+    corpus = media_corpus(docs).withColumn("p", F.col("content").cast("string"))
+    # structural parameter -> eager precheck (the triangle-count width
+    # pattern): one count picks the hash width off the ladder
+    n = corpus.count()
+    blocks = next(w for cap, w in _PHASH_BLOCK_LADDER if n <= cap)
+    hashed = phash_table(corpus, "media_id", "p", blocks)
+    return phash_neardup_pairs(hashed, blocks)
 
 
 def _phash_sql() -> str:

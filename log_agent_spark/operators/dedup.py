@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.ladder import is_floor, pick_rung
 from log_agent_spark.scratch import pin, pinned_query
 
 from log_agent_spark.functions.content import (
@@ -685,15 +686,14 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESH
 
     # structural parameter -> eager precheck (the triangle-count width
     # pattern): one count picks the bucket width off the ladder
-    n = vectors.count()
-    dims = next(d for cap, d in _COSINE_SIGN_DIM_LADDER if n <= cap)
+    dims = pick_rung(vectors.count(), _COSINE_SIGN_DIM_LADDER)
     b = vectors.select(
         "vec_id",
         "emb",
         sign_bucket(F.col("emb"), dims).alias("bucket"),
         _norm(F.col("emb")).alias("norm"),
     )
-    if dims > _COSINE_SIGN_DIM_LADDER[0][1]:
+    if not is_floor(dims, _COSINE_SIGN_DIM_LADDER):
         # scale path only: hamming-1 multi-probe on the LHS recovers the
         # pairs a finer bucket splits (one near-zero component flipping
         # sign) — each unordered pair still matches exactly one probe, so

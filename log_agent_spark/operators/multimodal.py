@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.ladder import pick_rung
 from log_agent_spark.scratch import pin_checkpoint, pinned_query
 from log_agent_spark.sources.tables import load_table
 
@@ -565,11 +566,14 @@ _PHASH_PROBE = "e"
 # bounded, while the near-dup BAR stays absolute (hamming <= 3: "almost
 # identical payload" is a fixed quality judgment, not corpus-relative) and
 # the 4-band pigeonhole recall guarantee (3 errors can't touch all 4 bands)
-# is width-independent. The floor keeps every driver-checked SF (<= 2,000
-# media) on the original 16-bit hash, so the static oracle remains a
-# strict mirror there.
+# is width-independent. The floor keeps every driver-checked SF on the
+# original 16-bit hash — sf0.1's documents table is 5,000 rows (every one
+# non-NULL text -> 5,000 media), so the floor cap must clear THAT, not the
+# 2,000-row embeddings table (review r7b caught the floor calibrated
+# against the wrong table) — so the static oracle remains a strict mirror
+# at every driver-checked SF.
 _PHASH_BLOCK_LADDER = (  # (max corpus rows, blocks == hash bits)
-    (2_000, 16),
+    (6_000, 16),
     (200_000, 32),
     # 60, not 64: the hash folds as sum(bit_b << b) into a SIGNED bigint,
     # so bit 63 would overflow / go negative and break the shiftright band
@@ -667,8 +671,7 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = media_corpus(docs).withColumn("p", F.col("content").cast("string"))
     # structural parameter -> eager precheck (the triangle-count width
     # pattern): one count picks the hash width off the ladder
-    n = corpus.count()
-    blocks = next(w for cap, w in _PHASH_BLOCK_LADDER if n <= cap)
+    blocks = pick_rung(corpus.count(), _PHASH_BLOCK_LADDER)
     hashed = phash_table(corpus, "media_id", "p", blocks)
     return phash_neardup_pairs(hashed, blocks)
 

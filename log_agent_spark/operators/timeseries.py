@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.ladder import pick_rung
 from log_agent_spark.sources.tables import load_table
 
 _TS_ANCHOR = "2024-01-01"  # fixture epoch (TESTDATA.md); day 0 of the window
@@ -80,7 +81,7 @@ def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width pattern): one distinct-count over the windowed users picks the
     # segment length; negligible next to the spine join it precedes
     n_users = users.count()
-    seg_len = next(s for cap, s in _SAX_SEG_LADDER if n_users <= cap)
+    seg_len = pick_rung(n_users, _SAX_SEG_LADDER)
     spine = users.select(
         "user_id", F.explode(F.sequence(F.lit(0), F.lit(_TS_D - 1))).alias("idx")
     )

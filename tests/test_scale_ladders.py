@@ -46,9 +46,12 @@ def test_cosine_upper_rung_multiprobe_recovers_flipped_sign(spark):
     n_filler = 4_100  # > ladder floor of 4,000 -> 9-bit rung + multiprobe
 
     def vec(seed: int) -> list[float]:
-        # hash-spread pseudo-random in [-1, 1): fillers are mutually far
+        # hash-spread pseudo-random in [-1, 1); the modulus must be a
+        # prime > n_filler so the generator's period exceeds the seed
+        # range (a 2,000 modulus made seeds 2,000 apart bit-identical —
+        # review r7b) — distinct seeds give distinct, mutually-far vectors
         return [
-            (((seed * 2_654_435_761 + j * 40_503) % 2_000) / 1_000.0) - 1.0
+            (((seed * 2_654_435_761 + j * 40_503) % 8_191) / 4_095.5) - 1.0
             for j in range(dim)
         ]
 

@@ -68,7 +68,13 @@ def main() -> None:
                 ),
             )
         elif name == "lineitem":
-            first = df.limit(1).drop("l_orderkey", "l_partkey", "l_linenumber")
+            # deterministic template row (a bare limit(1) returns an
+            # arbitrary split's row — review r7b)
+            first = (
+                df.orderBy("l_orderkey", "l_linenumber")
+                .limit(1)
+                .drop("l_orderkey", "l_partkey", "l_linenumber")
+            )
             mega = (
                 spark.range(MEGA_BASKET)
                 .select(

@@ -76,7 +76,12 @@ def main() -> None:
             " `python tools/make_skew.py`"
         )
     qs = entrymod.queries()
-    names = sys.argv[1:] or [n for n in PROBE if n in qs]
+    names = sys.argv[1:] or list(PROBE)
+    # loud on unknowns (CLI typo or a PROBE entry drifting after a query
+    # rename) — a silently dropped pathology reads as "covered" in SKEW.md
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown} (not in queries())")
     spark = get_spark("skew-probe")
     rows = []
     for name in names:

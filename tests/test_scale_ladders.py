@@ -111,3 +111,20 @@ def test_sax_fine_rung_keeps_clone_pairs(spark, tmp_path):
         assert [day_count(r.u1, d) for d in range(28)] == [
             day_count(r.u2, d) for d in range(28)
         ]
+
+
+def test_pick_rung_validates_and_selects():
+    import pytest
+
+    from log_agent_spark.ladder import is_floor, pick_rung
+
+    ladder = ((10, 4), (100, 8), (float("inf"), 16))
+    assert pick_rung(0, ladder) == 4
+    assert pick_rung(10, ladder) == 4  # caps are inclusive
+    assert pick_rung(11, ladder) == 8
+    assert pick_rung(10**12, ladder) == 16
+    assert is_floor(4, ladder) and not is_floor(8, ladder)
+    with pytest.raises(ValueError):
+        pick_rung(5, ((100, 4), (10, 8), (float("inf"), 16)))  # unordered
+    with pytest.raises(ValueError):
+        pick_rung(5, ((10, 4), (100, 8)))  # no unbounded rung

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.baskets import (
+    BASKET_CAP as _BASKET_CAP,
+    capped_basket_items,
+    capped_pp_sql,
+)
 from log_agent_spark.scratch import pin, pin_checkpoint, pinned_query
 
 from log_agent_spark.sources.tables import load_table
@@ -541,7 +546,10 @@ ORACLE_PAGERANK = _pagerank_oracle()
 # _JACCARD_DEG_CAP precedent): C(cap,2) bounds the edges any one order can
 # emit. 512 is ~70x TPC-H's max basket of 7, so it is a pathology valve,
 # not a sampling knob, and every driver-checked SF passes untruncated.
-_BASKET_CAP = 512
+# Round 8: the cap lives in log_agent_spark/baskets.py (shared by every
+# basket-pair consumer — this module's whole graph family plus
+# plans/analytics.py's basket lift) and is MIRRORED in each DuckDB oracle
+# via capped_pp_sql(), so the oracles stay exact mirrors past the cap.
 
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,24 +587,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Basket cap (hub pruning, the _JACCARD_DEG_CAP pattern): a single
     # order with b distinct parts emits C(b,2) edges from ONE join key —
     # a per-key quadratic no partitioning can split (measured 2.24x on
-    # the planted 1,200-part mega order, tools/skew_probe.py). Keep the
-    # _BASKET_CAP lowest partkeys per order (deterministic truncation,
-    # documented approximation for super-baskets). The row_number window
-    # partitions on the SAME key as the self-join below, so Catalyst
-    # feeds the join from the window's exchange — the cap costs a sort
-    # within partitions, not a shuffle. TPC-H baskets max out at 7
-    # lineitems, so every driver-checked SF passes through untruncated
-    # and the oracle stays a strict mirror.
-    li = (
-        li.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("l_orderkey").orderBy("pk")
-            ),
-        )
-        .filter(F.col("rn") <= _BASKET_CAP)
-        .drop("rn")
-    )
+    # the planted 1,200-part mega order, tools/skew_probe.py). The shared
+    # builder keeps the _BASKET_CAP lowest partkeys per order — the int32
+    # cast is monotone, so ordering by pk selects the same sublist as
+    # ordering by l_partkey, i.e. exactly what capped_pp_sql() mirrors.
+    li = capped_basket_items(li, "l_orderkey", "pk")
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -656,10 +651,8 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TRIANGLE_COUNT = """
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+ORACLE_TRIANGLE_COUNT = f"""
+WITH pp AS ({capped_pp_sql()}), edges AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -703,6 +696,11 @@ def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    # Hub valve (round 8, VERDICT r7 item 1): without it, a super-basket
+    # of b parts emits C(b,2) rows from ONE join key into every consumer
+    # of this projection (LPA, k-core, modularity, degree power law,
+    # jaccard). Mirrored in each consumer's oracle via capped_pp_sql().
+    li = capped_basket_items(li)
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(b, "l_orderkey")
@@ -750,9 +748,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_oracle() -> str:
     base = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+WITH pp AS ({capped_pp_sql()}), edges AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -838,9 +834,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_oracle() -> str:
     base = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), e0 AS (
+WITH pp AS ({capped_pp_sql()}), e0 AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1048,9 +1042,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _modularity_oracle() -> str:
     return f"""
 WITH labels AS ({ORACLE_LABEL_PROPAGATION}),
-pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+pp AS ({capped_pp_sql()}), edges AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1127,9 +1119,7 @@ def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_DEGREE_POWERLAW = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+WITH pp AS ({capped_pp_sql()}), edges AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1231,9 +1221,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_JACCARD = f"""
-WITH pp AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+WITH pp AS ({capped_pp_sql()}), edges AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pp a JOIN pp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

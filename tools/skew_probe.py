@@ -27,11 +27,21 @@ SKEWED = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/root/repo/localdata/skew01")
 # Measured verdicts (kept in the tool so regeneration preserves them);
 # rendered into SKEW.md's notes column.
 NOTES = {
-    "graph_triangle_count": "mega order bounded by the _BASKET_CAP=512 "
+    "graph_triangle_count": "mega order bounded by the BASKET_CAP=512 "
     "hub valve (pre-cap ratio was 2.24): C(cap,2) edges max per order",
-    "events_attribution_multitouch": "bot user = one large per-user window "
-    "group (a straggler task, not OOM: WindowExec spills); real pipelines "
-    "cap per-user history upstream — documented, semantics-preserving cut",
+    "graph_label_propagation": "r8: shared capped_basket_items valve in "
+    "_lpa_edges (baskets.py) bounds the co-purchase projection",
+    "graph_kcore": "r8: same shared _lpa_edges valve",
+    "graph_modularity": "r8: same shared _lpa_edges valve",
+    "graph_degree_powerlaw": "r8: same shared _lpa_edges valve",
+    "graph_jaccard_neighbors": "r8: shared _lpa_edges valve + the "
+    "_JACCARD_DEG_CAP wedge cap",
+    "basket_part_pairs_lift": "r8: pair join reads the capped builder; "
+    "marginals/n_orders stay uncapped (true frequencies)",
+    "events_attribution_multitouch": "r8: executable valve — attribution "
+    "reads only the _ATTR_DAY_CLICK_CAP=32 most recent clicks per "
+    "(user, day), mirrored in the oracle; bounds the per-purchase touch "
+    "set (pre-valve ratio was 1.72)",
     "dedup_minhash_lsh": "pair OUTPUT is inherently C(c,2) in a true "
     "dup cluster of c docs; the cluster-form queries "
     "(dedup_connected_components / dedup_cluster_sizes, ratio ~1.0) are "
@@ -50,8 +60,14 @@ PROBE = [
     "events_attribution_multitouch",
     "events_sax_similarity",
     "cohort_ltv",
-    # mega order (lineitem.l_orderkey self-joins):
+    # mega order (lineitem.l_orderkey self-joins) — every consumer of the
+    # shared capped basket builder (VERDICT r7 item 1):
     "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_degree_powerlaw",
+    "graph_jaccard_neighbors",
     "basket_part_pairs_lift",
     "lineitem_sequence_audit",
     # giant duplicate cluster (documents.text):

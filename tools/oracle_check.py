@@ -125,6 +125,17 @@ def frame_hash(pdf) -> tuple[int, str, dict]:
 def main() -> int:
     only = set(sys.argv[1:])
     import __spark_entry__ as entrymod
+
+    # loud on unknowns BEFORE starting Spark (ported from skew_probe.py,
+    # VERDICT r7 item 2): `oracle_check.py --help` or a typo'd/renamed
+    # query name used to filter EVERYTHING out and print ALL PASS — a
+    # green mirror step that checked nothing, in the round gate's path.
+    known = set(entrymod.queries())
+    unknown = sorted(only - known)
+    if unknown:
+        print(f"unknown queries: {unknown} (not in queries())")
+        return 2
+
     from log_agent_spark.session import get_spark
 
     spark = get_spark("oracle_check")
@@ -135,9 +146,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         # queries that persist/checkpoint would otherwise pin storage for
         # the remaining ~190 queries of the run (bench.py hygiene note)
         spark.catalog.clearCache()
@@ -222,7 +235,13 @@ def main() -> int:
         else:
             extra = f" [dtype diff: {dt_diff}]" if dt_diff else ""
             print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s){extra}")
-    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    # an empty selection must never print ALL PASS (defense in depth
+    # behind the unknown-name check above)
+    if checked == 0:
+        print("\nNO QUERIES CHECKED")
+        return 2
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}"
+          f" ({checked} checked)")
     return 1 if failures else 0
 
 

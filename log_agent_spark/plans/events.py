@@ -1785,8 +1785,23 @@ FROM exact LEFT JOIN all_est USING (set_name)
 # (same family as events_range_join / the as-of funnel). The per-purchase
 # aggregation is one hash agg keyed by the purchase event; no window over
 # the full event stream, no driver loop.
+#
+# Hot-user valve (round 8, VERDICT r7 item 4 — previously the one skew
+# residual whose mitigation was advisory): a bot user holding p purchases
+# and c clicks emits p×c banded-join rows from ONE user_id key — AQE can
+# split the join, but the output itself is the quadratic. Executable cut,
+# mirrored verbatim in the oracle: attribution considers at most the
+# _ATTR_DAY_CLICK_CAP most RECENT clicks per (user, calendar day) — the
+# "cap per-user history upstream" semantics real pipelines apply, made
+# in-engine. Each purchase then meets ≤ (window+1)·cap touches. 32 is >5×
+# the honest fixture maximum (6 clicks/user/day at sf0.1, measured), so
+# every driver-checked SF passes untruncated; the planted bot (~147
+# clicks/day, tools/make_skew.py) is clamped. The row_number window
+# partitions per (user, day) — thousands of groups even for the bot, so
+# the valve itself cannot become a straggler window.
 # ---------------------------------------------------------------------------
 _ATTR_WINDOW_DAYS = 7
+_ATTR_DAY_CLICK_CAP = 32
 
 
 def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,6 +1814,18 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    # keep only the _ATTR_DAY_CLICK_CAP most recent clicks per (user, day)
+    # BEFORE the banded join — bounds the per-purchase touch set and the
+    # hot-user join output (see the valve note above; click_id breaks ts
+    # ties, so both engines keep the identical sublist)
+    wday = W.partitionBy("user_id", F.to_date("c_ts")).orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= _ATTR_DAY_CLICK_CAP)
+        .drop("rn")
     )
     age_days = (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(86400.0 * 1e6)
     touched = (
@@ -1843,8 +1870,13 @@ WITH purchases AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts
   FROM events WHERE event_type = 'purchase'
 ), clicks AS (
-  SELECT event_id AS click_id, user_id, ts AS c_ts
-  FROM events WHERE event_type = 'click'
+  -- mirror of the per-(user, day) recency cap: see _ATTR_DAY_CLICK_CAP
+  SELECT click_id, user_id, c_ts FROM (
+    SELECT event_id AS click_id, user_id, ts AS c_ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn <= {_ATTR_DAY_CLICK_CAP}
 ), touched AS (
   -- identical op sequence to the Spark side: 1e9/x then floor(+0.5) —
   -- NOT (1/x)*1e9, whose extra rounding could differ in the last ulp

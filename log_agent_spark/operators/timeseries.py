@@ -64,6 +64,14 @@ _SAX_SEG_LADDER = (  # (max users, PAA segment length; must divide _TS_D)
     (200_000, 2),
     (float("inf"), 1),
 )
+# The divide constraint is executable, not comment-only (ADVICE r7): a
+# rung edit to a non-divisor would make range(_TS_D // seg_len) silently
+# drop the trailing partial segment from every SAX word.
+for _cap, _seg in _SAX_SEG_LADDER:
+    if _TS_D % _seg != 0:
+        raise ValueError(
+            f"_SAX_SEG_LADDER rung {_seg} does not divide _TS_D={_TS_D}"
+        )
 
 
 def q_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:

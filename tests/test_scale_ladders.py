@@ -128,3 +128,13 @@ def test_pick_rung_validates_and_selects():
         pick_rung(5, ((100, 4), (10, 8), (float("inf"), 16)))  # unordered
     with pytest.raises(ValueError):
         pick_rung(5, ((10, 4), (100, 8)))  # no unbounded rung
+
+
+def test_sax_ladder_rungs_divide_series_length():
+    """Every SAX rung must evenly segment the 28-day series — enforced at
+    import (ADVICE r7: the constraint was comment-only; a non-divisor rung
+    silently dropped the trailing partial segment from every word)."""
+    from log_agent_spark.operators import timeseries as ts
+
+    for _cap, seg in ts._SAX_SEG_LADDER:
+        assert ts._TS_D % seg == 0, (seg, ts._TS_D)

@@ -51,8 +51,13 @@ def _run(cmd: list[str]) -> tuple[int, str]:
     # SPARK_GRAFT_BENCH_ONLY in the operator's shell would scope the bench
     # step to 1-2 queries (detail diverted to the sidecar file, committed
     # BENCH_DETAIL.json silently stale) while still parsing as a green
-    # report — the gate must always measure the full suite.
-    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_BENCH_ONLY"}
+    # report — the gate must always measure the full suite. Same hazard
+    # class for SPARK_GRAFT_CANARY_BASELINE (ADVICE r7): a stale per-host
+    # calibration exported for another machine would silently loosen (or
+    # falsely trip) the contamination gate on committed artifacts — gate
+    # runs always use bench.py's committed constant.
+    _STRIP = {"SPARK_GRAFT_BENCH_ONLY", "SPARK_GRAFT_CANARY_BASELINE"}
+    env = {k: v for k, v in os.environ.items() if k not in _STRIP}
     proc = subprocess.Popen(
         cmd,
         cwd=REPO,

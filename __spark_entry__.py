@@ -50,86 +50,80 @@ _MODULES = [
 # in iteration order, so the window below is rotated each round until every
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
 # map; rounds 1-6 verified all 250 distinct queries at least once).
-# Round-7 window, per VERDICT r6's orders — SECOND-signal re-proofs (after
-# r6, 211 queries hold exactly one lifetime driver signal; the r6 zero-drift
-# audit proved their outputs bit-identical since their greens, so ~32
-# re-proof slots per round rotate oldest-first until every query holds >= 2):
+# Round-8 window, per VERDICT r7's orders (items 1/4/5):
 #  - the canary (q01),
-#  - the 4 round-6 value-changed queries (each has exactly one driver
-#    signal on its NEW body, earned in r06),
-#  - the round-6 newly-green queries (one lifetime signal each; 10 listed —
-#    events_ooo_depth, the 11th, sits in the value-changed group above),
-#  - the two DateType-output queries (cast to ISO strings since r3; the one
-#    dtype class with a logged mirror divergence, driver-proven once in r3),
-#  - this round's ADVICE-touched bodies (ngram-jaccard gate-from-argument,
-#    anomaly_mad NULL-rank fix, kmv_set_ops range(1) seed, bsi_parse
-#    index clamp behind ingest_logfile_tree),
-#  - oldest-first fill from the round-1 single-signal set (the remaining
-#    r1 singles — q21/q22, recursive_tree_rollup, set_ops,
-#    subquery_above_avg, window_lag_gap, window_running_sum — plus the r2+
-#    singles carry the dated reason above until their rotation round).
-_R7_WINDOW = [
+#  - this round's 8 value-stable-but-body-changed queries: the shared
+#    capped_basket_items hub valve rewrote the 7 basket-pair consumers'
+#    bodies AND their oracles (cap 512 >> TPC-H max basket 7, so sf0.01
+#    values are unchanged — re-proven by the driver here), and the
+#    attribution valve rewrote events_attribution_multitouch (cap 32 > 5x
+#    the honest 6 clicks/user/day, values unchanged likewise),
+#  - oldest-first second-signal fill (after r7, 165 queries hold exactly
+#    one lifetime driver signal): the 7 remaining round-1 singles, ALL 33
+#    round-2 singles, and the oldest round-3 single (corpus_drift_psi) in
+#    the last slot; the remaining r3+ singles rotate in from r9 onward.
+_R8_WINDOW = [
     # canary
     "q01_pricing_summary",
-    # r6 value-changed bodies: second signal on the new values
-    "privacy_ldiversity",
-    "privacy_generalization_ladder",
-    "er_blocking_plan",
-    "events_ooo_depth",
-    # r6 newly-green: second signal
-    "text_repetition_gates",
-    "split_leakage_audit",
-    "ingest_text_files",
-    "kafka_envelope",
-    "privacy_tcloseness",
-    "governance_license_taint",
-    "dq_schema_drift",
-    "dp_contribution_bounds",
-    "er_match_pairs",
-    "er_golden_record",
-    # DateType-output families (day cast to ISO string on both engines)
-    "events_seasonal_anomaly",
-    "events_incremental_rollup",
-    # round-7 ADVICE-touched bodies
-    "dedup_ngram_jaccard",
-    "anomaly_mad",
-    "events_kmv_set_ops",
-    "ingest_logfile_tree",
-    # oldest-first second-signal fill: round-1 singles
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "events_top_movers",
-    "filter_oversize",
-    "join_anti",
-    "join_broadcast",
-    "join_full_outer",
-    "join_semi",
-    "lateral_explode",
-    "nation_share_of_region",
-    "pandas_udaf_geomean",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_banded_revenue",
-    "q20_promotion_suppliers",
+    # r8 body-changed: shared basket hub valve (VERDICT r7 item 1)
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_degree_powerlaw",
+    "graph_jaccard_neighbors",
+    "basket_part_pairs_lift",
+    # r8 body-changed: per-(user, day) click cap (VERDICT r7 item 4)
+    "events_attribution_multitouch",
+    # round-1 singles (oldest single-signal queries)
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "recursive_tree_rollup",
+    "set_ops",
+    "subquery_above_avg",
+    "window_lag_gap",
+    "window_running_sum",
+    # round-2 singles, alphabetical fill
+    "ann_int8_topk",
+    "ann_ivf",
+    "ann_matryoshka_recall",
+    "dedup_bloom_prefilter",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_group_split",
+    "dedup_incremental",
+    "dedup_lsh_quality",
+    "dedup_minhash_estimate",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clustered",
+    "dedup_simhash",
+    "dedup_soft_weights",
+    "dedup_source_overlap",
+    "dedup_split_leakage",
+    "media_aspect_buckets",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_kind_stats",
+    "media_shard_manifest",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "text_bpe_merge_step",
+    "text_langid_confusion",
+    "text_pack_sequences",
+    "text_perplexity_filter",
+    "text_quality_classifier",
+    "text_unigram_logprob",
+    "text_vocab_growth",
+    "text_zipf_fit",
+    # oldest round-3 single takes the last slot
+    "corpus_drift_psi",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R7_WINDOW
+DRIVER_WINDOW = _R8_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -140,13 +134,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R7_WINDOW if name not in full]
+    missing = [name for name in _R8_WINDOW if name not in full]
     if missing:
         # a typo in the window list must fail loudly, not silently shrink
         # the driver's 50-slot verification window (and must survive -O,
         # so no assert)
         raise ValueError(f"window names not in queries(): {missing}")
-    out = {name: full[name] for name in _R7_WINDOW}
+    out = {name: full[name] for name in _R8_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

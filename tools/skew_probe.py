@@ -82,30 +82,43 @@ PROBE = [
 ]
 
 
-def main() -> None:
-    import __spark_entry__ as entrymod
-    from log_agent_spark.session import get_spark
+_SF1_UNIFORM = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/localdata/sf1")
+_SF1_SKEWED = os.environ.get(
+    "SPARK_GRAFT_SF1SKEW_DIR", "/root/repo/localdata/sf1skew"
+)
 
-    if not os.path.isfile(os.path.join(SKEWED, "_COMPLETE.json")):
-        sys.exit(
-            f"skew fixture at {SKEWED} missing/incomplete — generate with"
-            " `python tools/make_skew.py`"
-        )
-    qs = entrymod.queries()
-    names = sys.argv[1:] or list(PROBE)
-    # loud on unknowns (CLI typo or a PROBE entry drifting after a query
-    # rename) — a silently dropped pathology reads as "covered" in SKEW.md
-    unknown = [n for n in names if n not in qs]
-    if unknown:
-        sys.exit(f"unknown queries: {unknown} (not in queries())")
-    spark = get_spark("skew-probe")
+# sf1 composition leg (VERDICT r7 item 6): the hot-key question only
+# bites where C(n,2) dominates, which 17 MB cannot show — probe the
+# capped basket family, the r8 attribution valve, and the r7 ladder
+# families one decade up, against `make_sf1.py --skew` (12,000-part mega
+# order = 23x BASKET_CAP; bot user at 10x absolute volume). Pair-OUTPUT
+# dedup queries are deliberately absent: their output is inherently
+# C(c,2) in a true dup cluster (see NOTES) — the sf0.1 leg already
+# carries that verdict and the cluster-form queries represent them here.
+SF1_PROBE = [
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_degree_powerlaw",
+    "graph_jaccard_neighbors",
+    "basket_part_pairs_lift",
+    "events_attribution_multitouch",
+    "events_sax_similarity",
+    "dedup_semantic_clustered",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+]
+
+
+def _measure(spark, qs, names, uniform_dir, skewed_dir, reps=2):
     rows = []
     for name in names:
         fn = qs[name]
         times = {}
-        for label, d in (("uniform", UNIFORM), ("skewed", SKEWED)):
+        for label, d in (("uniform", uniform_dir), ("skewed", skewed_dir)):
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.time()
@@ -117,8 +130,52 @@ def main() -> None:
         rows.append((name, times["uniform"], times["skewed"], ratio))
         print(f"{name:34s} uniform {times['uniform']:6.2f}s"
               f"  skewed {times['skewed']:6.2f}s  ratio {ratio:5.2f}")
-
     rows.sort(key=lambda r: -r[3])
+    return rows
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from log_agent_spark.session import get_spark
+
+    if not os.path.isfile(os.path.join(SKEWED, "_COMPLETE.json")):
+        sys.exit(
+            f"skew fixture at {SKEWED} missing/incomplete — generate with"
+            " `python tools/make_skew.py`"
+        )
+    qs = entrymod.queries()
+    args = [a for a in sys.argv[1:] if a != "--no-sf1"]
+    no_sf1 = "--no-sf1" in sys.argv[1:]
+    names = args or list(PROBE)
+    # loud on unknowns (CLI typo or a PROBE entry drifting after a query
+    # rename) — a silently dropped pathology reads as "covered" in SKEW.md
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown} (not in queries())")
+    spark = get_spark("skew-probe")
+    rows = _measure(spark, qs, names, UNIFORM, SKEWED)
+
+    # A subset run is a spot-check: print, never rewrite the committed
+    # artifact with partial coverage (the oracle_check vacuous-pass class)
+    if args:
+        print(f"subset run ({len(rows)} queries) — SKEW.md NOT rewritten")
+        return
+
+    sf1_rows = None
+    sf1_ready = all(
+        os.path.isfile(os.path.join(d, "_COMPLETE.json"))
+        for d in (_SF1_UNIFORM, _SF1_SKEWED)
+    )
+    if sf1_ready and not no_sf1:
+        print("\n-- sf1 composition leg (sf1 vs sf1skew) --")
+        sf1_rows = _measure(spark, qs, SF1_PROBE, _SF1_UNIFORM, _SF1_SKEWED)
+    elif not no_sf1:
+        print(
+            "sf1/sf1skew fixtures missing — skipping the sf1 leg "
+            "(generate with tools/make_sf1.py and tools/make_sf1.py --skew); "
+            "SKEW.md will carry the sf0.1 table only"
+        )
+
     lines = [
         "# SKEW — hot-key robustness (planted-skew sf0.1 vs uniform, local[32], best-of-2)",
         "",
@@ -137,9 +194,32 @@ def main() -> None:
             f"| `{name}` | {tu:.2f} | {ts:.2f} | {r:.2f} |"
             f" {NOTES.get(name, '')} |"
         )
+    if sf1_rows is not None:
+        lines += [
+            "",
+            "## sf1 composition leg (planted-skew sf1 vs uniform sf1, best-of-2)",
+            "",
+            "Fixture (`tools/make_sf1.py --skew`): the same pathologies one",
+            "decade up — 12,000-part mega order (23x BASKET_CAP: the hub",
+            "valve must absorb ~72M potential edges down to ~131k), bot",
+            "user at 10x absolute event volume, dup cluster held at 800",
+            "(pair-output queries are inherently C(c,2) in a dup cluster;",
+            "cluster-form queries represent them here). Probes the capped",
+            "basket family, the r8 attribution valve, and the r7 ladder",
+            "families where C(n,2) actually dominates.",
+            "",
+            "| query | sf1 uniform s | sf1 skewed s | ratio | notes |",
+            "|---|---|---|---|---|",
+        ]
+        for name, tu, ts, r in sf1_rows:
+            lines.append(
+                f"| `{name}` | {tu:.2f} | {ts:.2f} | {r:.2f} |"
+                f" {NOTES.get(name, '')} |"
+            )
     with open("/root/repo/SKEW.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote SKEW.md ({len(rows)} queries)")
+    n_total = len(rows) + (len(sf1_rows) if sf1_rows else 0)
+    print(f"wrote SKEW.md ({n_total} measurements)")
 
 
 if __name__ == "__main__":

@@ -59,9 +59,9 @@ _MODULES = [
 #    attribution valve rewrote events_attribution_multitouch (cap 32 > 5x
 #    the honest 6 clicks/user/day, values unchanged likewise),
 #  - oldest-first second-signal fill (after r7, 165 queries hold exactly
-#    one lifetime driver signal): the 7 remaining round-1 singles, ALL 33
-#    round-2 singles, and the oldest round-3 single (corpus_drift_psi) in
-#    the last slot; the remaining r3+ singles rotate in from r9 onward.
+#    one lifetime driver signal): the 7 remaining round-1 singles and ALL
+#    33 round-2 singles; the last slot goes to this round's net-new
+#    skew_pairgen_radar, and the r3+ singles rotate in from r9 onward.
 _R8_WINDOW = [
     # canary
     "q01_pricing_summary",
@@ -117,8 +117,10 @@ _R8_WINDOW = [
     "text_unigram_logprob",
     "text_vocab_growth",
     "text_zipf_fit",
-    # oldest round-3 single takes the last slot
-    "corpus_drift_psi",
+    # the round-8 net-new operator takes the last slot so it earns driver
+    # signal in its introduction round (the r6-newly-green precedent);
+    # corpus_drift_psi (the oldest r3 single) rotates in at r9
+    "skew_pairgen_radar",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

@@ -202,6 +202,7 @@ HEADLINE = [
     "governance_license_taint",
     "dq_schema_drift",
     "join_cardinality_estimate",
+    "skew_pairgen_radar",
     "text_judge_agreement",
     "ann_ndcg_report",
     "label_noise_audit",
@@ -363,7 +364,16 @@ def main() -> None:
     # 4.27 s; an off-window min-of-3 re-measure gave 3.37 s — a 27%
     # phantom regression flagged in VERDICT r5). Three attempts from the
     # start buys the outside-the-window sample unconditionally.
-    ALWAYS_BEST3 = {"pipeline_corpus_funnel"}
+    # text_contamination_spans / graph_degree_powerlaw: the r7 artifact
+    # published them at 2.15x / 1.58x their committed history with their
+    # code untouched and ambient only 1.13x (VERDICT r7 item 3) — the
+    # same both-attempts-stolen mode; adjudicated by an off-window
+    # min-of-3 re-measure (see BENCH_DETAIL.json retime note, r8).
+    ALWAYS_BEST3 = {
+        "pipeline_corpus_funnel",
+        "text_contamination_spans",
+        "graph_degree_powerlaw",
+    }
     # The SCALING.md prior only describes sf0.1 runs; at any other SF the
     # cross-run check would compare apples to oranges, so disable it.
     priors = _scaling_priors() if SF_DIR.rstrip("/").endswith("sf0.1") else {}
@@ -379,6 +389,11 @@ def main() -> None:
             canary["mid"] = round(_canary_sample(), 3)
         attempts: list[float] = []
         n_attempts = 3 if name in ALWAYS_BEST3 else 2
+        if name in ALWAYS_BEST3:
+            # surface the unconditional escalation in the published
+            # artifact (VERDICT r7 item 3: the outliers must appear in
+            # retimed_best_of_3, not silently get a third attempt)
+            retimed.append(name)
         i = 0
         while i < n_attempts:
             i += 1

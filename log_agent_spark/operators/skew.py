@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log_agent_spark.baskets import BASKET_CAP as _PAIRGEN_CAP
+from log_agent_spark.functions.content import (
+    content_cluster_hash,
+    content_cluster_hash_sql,
+)
 from log_agent_spark.sources.tables import load_table
 
 SALT_BUCKETS = 16
@@ -327,15 +332,139 @@ ORACLE_JOIN_CARDINALITY_ESTIMATE = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Pair-generation blowup radar — the third leg of the planning family
+# (skew_key_profile says where the ROW hotspots are; join_cardinality
+# says how big a two-table join gets; this says how big every SELF-join
+# PAIR space gets, which is what actually decides whether the BASKET_CAP
+# hub valve / attribution click cap bite). For each pair-generating key
+# the engine self-joins on — order baskets (co-purchase graph family),
+# per-user event history (attribution), exact-content dup clusters
+# (dedup pair listings) — report the C(n,2) pair mass, the single
+# hottest key's share of it, and the mass a 512-item cap removes. At
+# 100 TB this is the query an operator runs BEFORE the graph/dedup
+# suite, the same way skew_key_profile precedes join planning.
+#
+# Scale shape: one map-side-combinable count per key domain (the basket
+# leg dedups (order, part) first — one extra shuffle), then a 1-row agg
+# per domain; nothing downstream of the per-key counts exceeds the key
+# cardinality. Pair arithmetic: n(n-1) is computed in BIGINT and /2
+# passes through DOUBLE (exact — the product is even and < 2^53 until a
+# single key holds ~9.5e7 rows, far past where the cap has already
+# flagged it; DuckDB's integer '/' widens identically).
+# ---------------------------------------------------------------------------
+def pairgen_profile(per_key: DataFrame, label: str) -> DataFrame:
+    """1-row blowup profile over a (key, n) per-key count frame."""
+    pairs = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("bigint")
+    capped_n = F.least(F.col("n"), F.lit(_PAIRGEN_CAP))
+    capped_pairs = ((capped_n * (capped_n - 1)) / F.lit(2)).cast("bigint")
+    return (
+        per_key.agg(
+            F.count("*").alias("n_keys"),
+            F.max("n").alias("max_n"),
+            F.sum(pairs).alias("pair_mass"),
+            F.max(pairs).alias("top_pair_mass"),
+            F.sum(
+                F.when(F.col("n") > _PAIRGEN_CAP, F.lit(1)).otherwise(F.lit(0))
+            ).alias("keys_over_cap"),
+            F.sum(capped_pairs).alias("capped_pair_mass"),
+        )
+        .select(
+            F.lit(label).alias("source"),
+            "n_keys",
+            "max_n",
+            "pair_mass",
+            F.round(
+                F.when(
+                    F.col("pair_mass") > 0,
+                    F.col("top_pair_mass") / F.col("pair_mass"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_pair_share"),
+            "keys_over_cap",
+            "capped_pair_mass",
+        )
+    )
+
+
+def q_skew_pairgen_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C(n,2) blowup audit over the three self-join pair spaces the
+    engine generates: order baskets, per-user event histories, and
+    exact-content duplicate clusters."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    clusters = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(content_cluster_hash().alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        pairgen_profile(baskets, "lineitem.l_orderkey basket")
+        .unionByName(pairgen_profile(users, "events.user_id history"))
+        .unionByName(pairgen_profile(clusters, "documents dup-cluster"))
+    )
+
+
+def _pairgen_sql(per_key: str, label: str) -> str:
+    return f"""
+  SELECT '{label}' AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_n,
+         CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS pair_mass,
+         ROUND(CASE WHEN SUM(CAST(n * (n - 1) / 2 AS BIGINT)) > 0
+               THEN MAX(CAST(n * (n - 1) / 2 AS BIGINT))
+                    / CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS DOUBLE)
+               ELSE 0.0 END, 4) AS top_pair_share,
+         CAST(SUM(CASE WHEN n > {_PAIRGEN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS keys_over_cap,
+         CAST(SUM(CAST(LEAST(n, {_PAIRGEN_CAP})
+                       * (LEAST(n, {_PAIRGEN_CAP}) - 1) / 2 AS BIGINT))
+              AS BIGINT) AS capped_pair_mass
+  FROM ({per_key})"""
+
+
+ORACLE_SKEW_PAIRGEN_RADAR = (
+    _pairgen_sql(
+        """SELECT COUNT(*) AS n FROM (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           ) GROUP BY l_orderkey""",
+        "lineitem.l_orderkey basket",
+    )
+    + "\nUNION ALL\n"
+    + _pairgen_sql(
+        "SELECT COUNT(*) AS n FROM events GROUP BY user_id",
+        "events.user_id history",
+    )
+    + "\nUNION ALL\n"
+    + _pairgen_sql(
+        f"""SELECT COUNT(*) AS n FROM documents
+            GROUP BY {content_cluster_hash_sql()}""",
+        "documents dup-cluster",
+    )
+)
+
+
 QUERIES = {
     "skew_salted_distinct": q_skew_salted_distinct,
     "skew_salted_join": q_skew_salted_join,
     "skew_key_profile": q_skew_key_profile,
     "join_cardinality_estimate": q_join_cardinality_estimate,
+    "skew_pairgen_radar": q_skew_pairgen_radar,
 }
 ORACLES = {
     "skew_salted_distinct": ORACLE_SKEW_SALTED_DISTINCT,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "skew_key_profile": ORACLE_SKEW_KEY_PROFILE,
     "join_cardinality_estimate": ORACLE_JOIN_CARDINALITY_ESTIMATE,
+    "skew_pairgen_radar": ORACLE_SKEW_PAIRGEN_RADAR,
 }

@@ -81,3 +81,28 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pairgen_profile_cap_math(spark):
+    """Pin the C(n,2) radar arithmetic: a 600-item key crosses the 512
+    cap (1 key over, pair mass 600*599/2, capped mass 512*511/2) and the
+    hot key's share rounds to ~1.0 against a 1-pair long tail."""
+    from log_agent_spark.operators.skew import pairgen_profile
+
+    per_key = spark.createDataFrame([(1, 600), (2, 2)], ["k", "n"]).select("n")
+    row = pairgen_profile(per_key, "synthetic").collect()[0]
+    assert row.source == "synthetic"
+    assert row.n_keys == 2 and row.max_n == 600
+    assert row.pair_mass == 600 * 599 // 2 + 1
+    assert row.keys_over_cap == 1
+    assert row.capped_pair_mass == 512 * 511 // 2 + 1
+    assert row.top_pair_share == 1.0  # 179700/179701 rounds to 1.0
+
+
+def test_pairgen_profile_empty_domain_is_zero_not_null(spark):
+    from log_agent_spark.operators.skew import pairgen_profile
+
+    per_key = spark.createDataFrame([], "n long")
+    row = pairgen_profile(per_key, "empty").collect()[0]
+    assert row.n_keys == 0
+    assert row.top_pair_share == 0.0

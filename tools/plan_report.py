@@ -50,6 +50,13 @@ REPRESENTATIVES = [
     ("pHash near-dup (banded LSH on an adaptive-width average-hash; bit_count(xor) exact filter within bands)", "media_phash_neardup"),
     ("Cosine near-dup (sign-bucket self-join; bucket width scales with corpus, hamming-1 multiprobe above the floor)", "dedup_embedding_cosine"),
     ("Triangle count (oriented adjacency-array intersect; endpoint width picked by max-key precheck)", "graph_triangle_count"),
+    # round-8-touched families: the shared basket hub valve and the
+    # attribution click cap — the evidence is the row_number cap feeding
+    # the self-join from its own exchange (no extra shuffle) plus the
+    # in-plan CollectMetrics truncation counter
+    ("Shared capped co-purchase edge builder (cap window exchange feeds the pair self-join; CollectMetrics truncation counter in-plan)", "graph_label_propagation"),
+    ("Basket lift (capped pair join; marginal joins left to the planner/AQE — broadcast at this SF by size, shuffle at 100x the part dim)", "basket_part_pairs_lift"),
+    ("Multitouch attribution (per-(user, day) recency cap ahead of the banded user join — the hot-user valve)", "events_attribution_multitouch"),
 ]
 
 

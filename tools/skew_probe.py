@@ -40,8 +40,10 @@ NOTES = {
     "marginals/n_orders stay uncapped (true frequencies)",
     "events_attribution_multitouch": "r8: executable valve — attribution "
     "reads only the _ATTR_DAY_CLICK_CAP=32 most recent clicks per "
-    "(user, day), mirrored in the oracle; bounds the per-purchase touch "
-    "set (pre-valve ratio was 1.72)",
+    "(user, day), mirrored in the oracle (pre-valve sf0.1 ratio 1.72). "
+    "sf1 residual ~2x is the BOUNDED linear term (hot user's purchases x "
+    "<=256 touches, an AQE-splittable join output): uncapped at sf1skew "
+    "measures 102s vs 4.8s capped — a 21x valve",
     "dedup_minhash_lsh": "pair OUTPUT is inherently C(c,2) in a true "
     "dup cluster of c docs; the cluster-form queries "
     "(dedup_connected_components / dedup_cluster_sizes, ratio ~1.0) are "
@@ -112,6 +114,17 @@ SF1_PROBE = [
 
 
 def _measure(spark, qs, names, uniform_dir, skewed_dir, reps=2):
+    # Per-fixture warmup (untimed): the first query against a cold fixture
+    # pays parquet footer reads, page-cache faults and JIT, and can
+    # measure 2-3x itself (the r8 sf1 leg published graph_kcore at 1.68
+    # when a warm best-of-3 gave 0.94) — same reason bench.py warms up
+    # before its suite. One full count per table touches every footer and
+    # page of both fixtures.
+    import glob as _glob
+
+    for d in (uniform_dir, skewed_dir):
+        for p in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            spark.read.parquet(p).count()
     rows = []
     for name in names:
         fn = qs[name]

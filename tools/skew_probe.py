@@ -181,7 +181,13 @@ def main() -> None:
     )
     if sf1_ready and not no_sf1:
         print("\n-- sf1 composition leg (sf1 vs sf1skew) --")
-        sf1_rows = _measure(spark, qs, SF1_PROBE, _SF1_UNIFORM, _SF1_SKEWED)
+        # best-of-3: the array-heavy sf1 graph queries show documented
+        # 2-3x GC-driven run-to-run swings (graph.py int32 note; one r8
+        # pass published triangle's sf1 uniform at 47s when min-of-3
+        # windows give ~13s) — two attempts are not enough here
+        sf1_rows = _measure(
+            spark, qs, SF1_PROBE, _SF1_UNIFORM, _SF1_SKEWED, reps=3
+        )
     elif not no_sf1:
         print(
             "sf1/sf1skew fixtures missing — skipping the sf1 leg "
@@ -210,7 +216,7 @@ def main() -> None:
     if sf1_rows is not None:
         lines += [
             "",
-            "## sf1 composition leg (planted-skew sf1 vs uniform sf1, best-of-2)",
+            "## sf1 composition leg (planted-skew sf1 vs uniform sf1, best-of-3)",
             "",
             "Fixture (`tools/make_sf1.py --skew`): the same pathologies one",
             "decade up — 12,000-part mega order (23x BASKET_CAP: the hub",

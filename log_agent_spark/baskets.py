@@ -40,6 +40,7 @@ def capped_basket_items(
     key: str = "l_orderkey",
     item: str = "l_partkey",
     cap: int = BASKET_CAP,
+    observation=None,
 ) -> DataFrame:
     """Truncate each basket to its ``cap`` smallest ``item``s.
 
@@ -49,6 +50,11 @@ def capped_basket_items(
     every consumer runs next, so Catalyst feeds that join straight from
     the window's exchange — the cap costs a sort within partitions, not
     an extra shuffle (verified in the triangle plan, PLANS.md).
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to read the
+    truncation counters directly after the first action
+    (``obs.get["truncated_rows"]``); by default the metrics publish
+    under a string name (Spark UI / QueryExecutionListener).
     """
     ranked = df.withColumn(
         "__basket_rn", F.row_number().over(W.partitionBy(key).orderBy(item))
@@ -57,7 +63,7 @@ def capped_basket_items(
     # exactly the dropped ones. Metric name carries the key so composed
     # plans with two capped builders on different keys don't collide.
     ranked = ranked.observe(
-        f"basket_cap:{key}",
+        observation if observation is not None else f"basket_cap:{key}",
         F.sum(
             F.when(F.col("__basket_rn") > cap, F.lit(1)).otherwise(F.lit(0))
         ).alias("truncated_rows"),

@@ -96,3 +96,18 @@ def test_consumers_route_through_the_shared_valve():
     ):
         assert f"rn <= {BASKET_CAP}" in graph.ORACLES[name], name
     assert f"rn <= {BASKET_CAP}" in analytics.ORACLE_BASKET_PART_PAIRS_LIFT
+
+
+def test_truncation_counters_readable_via_observation(spark):
+    """The identifiability contract end-to-end (not just a plan-string
+    check): an Observation handed to the builder returns the exact
+    dropped-row and truncated-basket counts after the first action."""
+    from pyspark.sql import Observation
+
+    rows = [(1, i) for i in range(8)] + [(2, 1), (2, 2)]
+    obs = Observation("basket_cap_test")
+    df = capped_basket_items(_pairs(spark, rows), cap=3, observation=obs)
+    assert df.count() == 5
+    got = obs.get
+    assert got["truncated_rows"] == 5  # rn 4..8 of basket 1
+    assert got["truncated_baskets"] == 1

@@ -89,6 +89,10 @@ _R8_WINDOW = [
     "ann_matryoshka_recall",
     "dedup_bloom_prefilter",
     "dedup_containment",
+    # r8 body-changed late addition: the stop-shingle DF valve rewrote
+    # dedup_ngram_jaccard's body + oracle (values unchanged — fixture max
+    # shingle df 199 < cap 512); text_zipf_fit carries to r9 for it
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_group_split",
@@ -116,7 +120,6 @@ _R8_WINDOW = [
     "text_quality_classifier",
     "text_unigram_logprob",
     "text_vocab_growth",
-    "text_zipf_fit",
     # the round-8 net-new operator takes the last slot so it earns driver
     # signal in its introduction round (the r6-newly-green precedent);
     # corpus_drift_psi (the oldest r3 single) rotates in at r9

@@ -98,6 +98,51 @@ def shingles(docs: DataFrame, n: int = SHINGLE_LEN) -> DataFrame:
     return docs.select("doc_id", F.explode(arr).alias("shingle"))
 
 
+# Stop-shingle valve (round 8, the BASKET_CAP class on the SHINGLE key):
+# the shingle equi-join in the Jaccard/containment scorers emits C(df, 2)
+# pair rows from ONE shingle key, so a boilerplate shingle shared by df
+# docs is a per-key quadratic no partitioning can split — and a shingle
+# that common carries ~zero similarity information (it's the stopword of
+# the shingle space; DF-pruning is the standard prefix-filter-family
+# mitigation). Shingles with document frequency > SHINGLE_DF_CAP are
+# dropped from BOTH the intersection and the size counts, so the score
+# stays a well-defined Jaccard/containment over the informative shingle
+# space. 512 is ~2.6x the fixture slice's maximum df (199, measured —
+# the slice only holds ~200 docs), so every driver-checked SF passes
+# unpruned and the oracles (which mirror the prune verbatim) stay exact
+# mirrors past the cap.
+SHINGLE_DF_CAP = 512
+
+
+def df_capped_shingles(sh: DataFrame, cap: int | None = None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap`` (default:
+    the module's SHINGLE_DF_CAP, read at call time).
+
+    The hot-shingle list is tiny by construction (only keys above the
+    cap), and the df aggregation shuffles on the same key as the pair
+    join every caller runs next, so its exchange is reusable."""
+    if cap is None:
+        cap = SHINGLE_DF_CAP
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def _df_capped_sql(cap: int = SHINGLE_DF_CAP) -> str:
+    """DuckDB twin of df_capped_shingles over a CTE named ``sh`` (shingles
+    are never NULL — substring of non-NULL text — so NOT IN is safe)."""
+    return f"""
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {cap}
+  )
+"""
+
+
 def _shingles_sql(src: str, n: int = SHINGLE_LEN) -> str:
     # DuckDB 1.0 can't lateral-join generate_series on a column; unnest the
     # list-valued scalar form instead.
@@ -159,7 +204,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     # e.g. threshold=0.0 still filtered at 0.5).
     t = _Fraction(threshold).limit_denominator(10_000)
     t_num, t_den = t.numerator, t.denominator
-    sh = shingles(docs)
+    # stop-shingle valve BEFORE sizes: Jaccard is scored over the pruned
+    # (informative) shingle space on both the numerator and denominator
+    sh = df_capped_shingles(shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -204,11 +251,12 @@ ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH corpus AS (
   SELECT * FROM ({PLANTED_DUPS_SQL}) WHERE doc_id % 1000000 < 100
 ), sh AS ({_shingles_sql("SELECT * FROM corpus")}),
+shp AS ({_df_capped_sql()}),
 sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shp GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -242,7 +290,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, with both directional scores (4dp)."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
     docs = docs.filter(F.col("doc_id") % 1_000_000 < 100)
-    sh = shingles(docs)
+    sh = df_capped_shingles(shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -272,11 +320,12 @@ ORACLE_DEDUP_CONTAINMENT = f"""
 WITH corpus AS (
   SELECT * FROM ({PLANTED_DUPS_SQL}) WHERE doc_id % 1000000 < 100
 ), sh AS ({_shingles_sql("SELECT * FROM corpus")}),
+shp AS ({_df_capped_sql()}),
 sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shp GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -160,3 +160,48 @@ def test_minhash_estimate_calibration(spark, sf_dir):
         near = by.get((i, i + 2_000_000))
         if near is not None:
             assert abs(near.est_jaccard - near.exact_jaccard) <= 4 / k
+
+
+def test_stop_shingle_valve_prunes_hot_shingle_only(spark):
+    """DF-pruning (SHINGLE_DF_CAP class): a shingle shared by more docs
+    than the cap is dropped from intersections AND sizes, so pairs glued
+    ONLY by boilerplate disappear while true near-dups keep their score;
+    below the cap the valve is the identity."""
+    from log_agent_spark.operators.dedup import (
+        df_capped_shingles,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    boiler = "COMMON-HEADER "  # > SHINGLE_LEN chars, shared by every doc
+    # bodies must be mutually shingle-DISJOINT (distinct repeated chars),
+    # so any pair among docs 0-4 is glued ONLY by the boiler shingles
+    docs = spark.createDataFrame(
+        [(i, boiler + chr(ord("a") + i) * 40) for i in range(5)]
+        + [(100, boiler + "same tail text"), (101, boiler + "same tail text")],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs)
+    pruned = df_capped_shingles(sh, cap=6)  # 7 docs share boiler shingles
+    # boiler-spanning shingles (df=7) gone; doc-unique shingles survive
+    assert (
+        pruned.groupBy("shingle").count().filter("count > 6").count() == 0
+    )
+    assert pruned.count() < sh.count()
+    # identity below the cap
+    assert df_capped_shingles(sh, cap=7).count() == sh.count()
+    # end-to-end: with the hot shingles pruned at cap 6, only the true
+    # near-dup pair (100, 101) survives the 0.5 gate — no boiler-glued
+    # pairs among the 5 unique-body docs
+    import log_agent_spark.operators.dedup as dd
+
+    orig = dd.SHINGLE_DF_CAP
+    dd.SHINGLE_DF_CAP = 6
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()
+        }
+    finally:
+        dd.SHINGLE_DF_CAP = orig
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), pairs

@@ -389,11 +389,6 @@ def main() -> None:
             canary["mid"] = round(_canary_sample(), 3)
         attempts: list[float] = []
         n_attempts = 3 if name in ALWAYS_BEST3 else 2
-        if name in ALWAYS_BEST3:
-            # surface the unconditional escalation in the published
-            # artifact (VERDICT r7 item 3: the outliers must appear in
-            # retimed_best_of_3, not silently get a third attempt)
-            retimed.append(name)
         i = 0
         while i < n_attempts:
             i += 1
@@ -440,6 +435,14 @@ def main() -> None:
                     # one extra run to publish.
                     n_attempts = 3
                     retimed_vs_prior.append(name)
+        # Surface the unconditional ALWAYS_BEST3 escalation in the
+        # published artifact (VERDICT r7 item 3) — but only AFTER all
+        # three attempts actually completed: appending before the loop
+        # would publish a first-attempt-crashed query as "best-of-3"
+        # (ADVICE r8). A partial measurement lands in failures/flaky,
+        # never in retimed_best_of_3.
+        if name in ALWAYS_BEST3 and len(attempts) == n_attempts:
+            retimed.append(name)
         # keep a clean earlier measurement even if a later attempt failed,
         # but record the late failure as flaky instead of dropping it
         # (ADVICE r2: a pass-then-crash query must not report as clean)

@@ -114,15 +114,17 @@ def shingles(docs: DataFrame, n: int = SHINGLE_LEN) -> DataFrame:
 SHINGLE_DF_CAP = 512
 
 
-def df_capped_shingles(sh: DataFrame, cap: int | None = None) -> DataFrame:
-    """Drop shingles whose document frequency exceeds ``cap`` (default:
-    the module's SHINGLE_DF_CAP, read at call time).
+def df_capped_shingles(sh: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap``.
+
+    The default binds SHINGLE_DF_CAP at import — the SAME freeze point as
+    the ORACLE_DEDUP_* SQL strings built through ``_df_capped_sql()``, so
+    a runtime mutation of the module global can never diverge the engine
+    from its oracle mirror (ADVICE r8: the previous call-time read could).
 
     The hot-shingle list is tiny by construction (only keys above the
     cap), and the df aggregation shuffles on the same key as the pair
     join every caller runs next, so its exchange is reusable."""
-    if cap is None:
-        cap = SHINGLE_DF_CAP
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))

@@ -336,14 +336,23 @@ ORACLE_JOIN_CARDINALITY_ESTIMATE = "\nUNION ALL\n".join(
 # Pair-generation blowup radar — the third leg of the planning family
 # (skew_key_profile says where the ROW hotspots are; join_cardinality
 # says how big a two-table join gets; this says how big every SELF-join
-# PAIR space gets, which is what actually decides whether the BASKET_CAP
-# hub valve / attribution click cap bite). For each pair-generating key
-# the engine self-joins on — order baskets (co-purchase graph family),
-# per-user event history (attribution), exact-content dup clusters
-# (dedup pair listings) — report the C(n,2) pair mass, the single
-# hottest key's share of it, and the mass a 512-item cap removes. At
-# 100 TB this is the query an operator runs BEFORE the graph/dedup
-# suite, the same way skew_key_profile precedes join planning.
+# PAIR space gets, which is what actually decides whether the engine's
+# valves bite). Each leg measures the EXACT key granularity and cap of
+# the valve that governs it (ADVICE r8: a leg whose cap/key matches no
+# implemented valve is misleading as a planning diagnostic):
+#   * order baskets per l_orderkey against BASKET_CAP=512 — the shared
+#     capped_basket_items hub valve (baskets.py) every co-purchase
+#     consumer reads;
+#   * CLICKS per (user_id, calendar day) against _ATTR_DAY_CLICK_CAP=32
+#     — the attribution valve's own key and cap (plans/events.py);
+#   * exact-content dup clusters against BASKET_CAP as a WHAT-IF: the
+#     pair-listing queries carry no cap by design (their output is
+#     inherently C(c,2); the cluster-form queries are the scale
+#     representation — see QUERIES.md), so this leg quantifies the mass
+#     a cap WOULD remove, it does not describe an implemented valve.
+# The ``cap`` column makes each row self-describing; keys_over_cap > 0
+# on a valved leg means the valve actively truncates at that scale
+# (tools/skew_probe.py turns that into a loud gate — VERDICT r8 item 5).
 #
 # Scale shape: one map-side-combinable count per key domain (the basket
 # leg dedups (order, part) first — one extra shuffle), then a 1-row agg
@@ -353,10 +362,11 @@ ORACLE_JOIN_CARDINALITY_ESTIMATE = "\nUNION ALL\n".join(
 # single key holds ~9.5e7 rows, far past where the cap has already
 # flagged it; DuckDB's integer '/' widens identically).
 # ---------------------------------------------------------------------------
-def pairgen_profile(per_key: DataFrame, label: str) -> DataFrame:
-    """1-row blowup profile over a (key, n) per-key count frame."""
+def pairgen_profile(per_key: DataFrame, label: str, cap: int = _PAIRGEN_CAP) -> DataFrame:
+    """1-row blowup profile over a (key, n) per-key count frame, against
+    the pair-valve ``cap`` that governs (or would govern) that key."""
     pairs = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("bigint")
-    capped_n = F.least(F.col("n"), F.lit(_PAIRGEN_CAP))
+    capped_n = F.least(F.col("n"), F.lit(cap))
     capped_pairs = ((capped_n * (capped_n - 1)) / F.lit(2)).cast("bigint")
     return (
         per_key.agg(
@@ -365,12 +375,13 @@ def pairgen_profile(per_key: DataFrame, label: str) -> DataFrame:
             F.sum(pairs).alias("pair_mass"),
             F.max(pairs).alias("top_pair_mass"),
             F.sum(
-                F.when(F.col("n") > _PAIRGEN_CAP, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("n") > cap, F.lit(1)).otherwise(F.lit(0))
             ).alias("keys_over_cap"),
             F.sum(capped_pairs).alias("capped_pair_mass"),
         )
         .select(
             F.lit(label).alias("source"),
+            F.lit(cap).cast("bigint").alias("cap"),
             "n_keys",
             "max_n",
             "pair_mass",
@@ -389,8 +400,11 @@ def pairgen_profile(per_key: DataFrame, label: str) -> DataFrame:
 
 def q_skew_pairgen_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C(n,2) blowup audit over the three self-join pair spaces the
-    engine generates: order baskets, per-user event histories, and
-    exact-content duplicate clusters."""
+    engine generates — order baskets vs the BASKET_CAP hub valve,
+    per-(user, day) clicks vs the attribution click cap, and dup
+    clusters vs a what-if cap (no valve implemented there by design)."""
+    from log_agent_spark.plans.events import _ATTR_DAY_CLICK_CAP
+
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -398,9 +412,10 @@ def q_skew_pairgen_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n"))
     )
-    users = (
+    user_day_clicks = (
         load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
     clusters = (
@@ -410,14 +425,21 @@ def q_skew_pairgen_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairgen_profile(baskets, "lineitem.l_orderkey basket")
-        .unionByName(pairgen_profile(users, "events.user_id history"))
-        .unionByName(pairgen_profile(clusters, "documents dup-cluster"))
+        .unionByName(
+            pairgen_profile(
+                user_day_clicks,
+                "events clicks per (user_id, day)",
+                cap=_ATTR_DAY_CLICK_CAP,
+            )
+        )
+        .unionByName(pairgen_profile(clusters, "documents dup-cluster (what-if)"))
     )
 
 
-def _pairgen_sql(per_key: str, label: str) -> str:
+def _pairgen_sql(per_key: str, label: str, cap: int = _PAIRGEN_CAP) -> str:
     return f"""
   SELECT '{label}' AS source,
+         CAST({cap} AS BIGINT) AS cap,
          CAST(COUNT(*) AS BIGINT) AS n_keys,
          CAST(MAX(n) AS BIGINT) AS max_n,
          CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS pair_mass,
@@ -425,33 +447,42 @@ def _pairgen_sql(per_key: str, label: str) -> str:
                THEN MAX(CAST(n * (n - 1) / 2 AS BIGINT))
                     / CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS DOUBLE)
                ELSE 0.0 END, 4) AS top_pair_share,
-         CAST(SUM(CASE WHEN n > {_PAIRGEN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
            AS keys_over_cap,
-         CAST(SUM(CAST(LEAST(n, {_PAIRGEN_CAP})
-                       * (LEAST(n, {_PAIRGEN_CAP}) - 1) / 2 AS BIGINT))
+         CAST(SUM(CAST(LEAST(n, {cap})
+                       * (LEAST(n, {cap}) - 1) / 2 AS BIGINT))
               AS BIGINT) AS capped_pair_mass
   FROM ({per_key})"""
 
 
-ORACLE_SKEW_PAIRGEN_RADAR = (
-    _pairgen_sql(
-        """SELECT COUNT(*) AS n FROM (
-             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-           ) GROUP BY l_orderkey""",
-        "lineitem.l_orderkey basket",
+def _radar_oracle_sql() -> str:
+    from log_agent_spark.plans.events import _ATTR_DAY_CLICK_CAP
+
+    return (
+        _pairgen_sql(
+            """SELECT COUNT(*) AS n FROM (
+                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               ) GROUP BY l_orderkey""",
+            "lineitem.l_orderkey basket",
+        )
+        + "\nUNION ALL\n"
+        + _pairgen_sql(
+            """SELECT COUNT(*) AS n FROM events
+               WHERE event_type = 'click'
+               GROUP BY user_id, CAST(ts AS DATE)""",
+            "events clicks per (user_id, day)",
+            cap=_ATTR_DAY_CLICK_CAP,
+        )
+        + "\nUNION ALL\n"
+        + _pairgen_sql(
+            f"""SELECT COUNT(*) AS n FROM documents
+                GROUP BY {content_cluster_hash_sql()}""",
+            "documents dup-cluster (what-if)",
+        )
     )
-    + "\nUNION ALL\n"
-    + _pairgen_sql(
-        "SELECT COUNT(*) AS n FROM events GROUP BY user_id",
-        "events.user_id history",
-    )
-    + "\nUNION ALL\n"
-    + _pairgen_sql(
-        f"""SELECT COUNT(*) AS n FROM documents
-            GROUP BY {content_cluster_hash_sql()}""",
-        "documents dup-cluster",
-    )
-)
+
+
+ORACLE_SKEW_PAIRGEN_RADAR = _radar_oracle_sql()
 
 
 QUERIES = {

@@ -67,7 +67,10 @@ GROUP BY user_id, island_key
 # ---------------------------------------------------------------------------
 # Retention cohort matrix: users grouped by first-activity week; for each
 # (cohort_week, weeks_since) the count of still-active users. Scale: the
-# first-seen table is |users| rows → broadcast back onto the fact; one
+# first-seen table is |users| rows — it GROWS with the data, so no
+# broadcast hint (billions of users at 100 TB would OOM a forced BHJ);
+# AQE picks broadcast at fixture scale and a shuffle join beyond the
+# threshold. Both sides shuffle on the same user_id key, then one
 # aggregation shuffle on a tiny composite key.
 # ---------------------------------------------------------------------------
 def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +79,7 @@ def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .withColumn(
             "weeks_since", F.datediff(F.col("week"), F.col("cohort_week")) / 7
         )
@@ -335,7 +338,10 @@ FROM scored GROUP BY r_quart, f_quart, m_quart
 # extended price on quantity plus corr/covar/stddev — the built-in
 # regr_* / corr aggregates both engines implement, all computed in the
 # same single partial-aggregable pass as any sum (no second scan, no
-# window). Part is the broadcast dim; one fact shuffle on p_brand.
+# window). Part grows 200k×sf — a growing table never gets a broadcast
+# HINT (SCALE.md policy: hints only on nation/region/stats-sized frames);
+# AQE broadcasts the 2-column slice at fixture scale and falls back to a
+# shuffle join when it outgrows the threshold. One fact shuffle on p_brand.
 # Rounded to 4dp: the sums-of-products differ only in accumulation order.
 # ---------------------------------------------------------------------------
 def q_stats_regression_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +350,7 @@ def q_stats_regression_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
@@ -496,9 +502,12 @@ FROM series
 # Cohort LTV matrix: customers grouped by FIRST-order month, revenue
 # accumulated by months-since-acquisition — the (cohort, age) lifetime-
 # value triangle. The cohort assignment is one per-customer aggregate
-# joined back (broadcast — |customers| keys, 2 small columns); the matrix
-# is then a single (cohort, age) aggregate. Month arithmetic is integer
-# (12*y + m deltas); revenue sums round 2dp.
+# joined back — |customers| keys GROWS with sf, so no broadcast hint
+# (AQE broadcasts while the 2-column slice fits, shuffle-joins beyond;
+# both sides already hash on o_custkey, so the unhinted join reuses the
+# aggregate's exchange). The matrix is then a single (cohort, age)
+# aggregate. Month arithmetic is integer (12*y + m deltas); revenue sums
+# round 2dp.
 # ---------------------------------------------------------------------------
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -509,7 +518,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.select("o_custkey", month_idx.alias("midx"), "o_totalprice")
-        .join(F.broadcast(firsts), "o_custkey")
+        .join(firsts, "o_custkey")
         .groupBy(
             F.col("cohort_idx").cast("long").alias("cohort_idx"),
             (F.col("midx") - F.col("cohort_idx")).cast("long").alias("months_since"),
@@ -656,7 +665,10 @@ FROM deltas
 # supplier nation — the SLA scorecard. One broadcast of orders' (key,
 # date) slice? No: orders is the bigger side, so the lineitem⨝orders join
 # shuffles on orderkey once, then one exact-percentile aggregate per
-# nation (25 groups). Lead times are exact integer days.
+# nation (25 groups). Lead times are exact integer days. supplier grows
+# 10k×sf, so it carries no broadcast hint (AQE broadcasts the 2-column
+# slice while it fits, shuffle-joins beyond); nation is 25 rows forever —
+# that hint stays.
 # ---------------------------------------------------------------------------
 def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -671,7 +683,7 @@ def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
             ).alias("lead_days"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return lead.groupBy("n_name").agg(
@@ -743,9 +755,11 @@ LIMIT 15
 # Share-of-parent in a hierarchy: each nation's revenue as a fraction of
 # its region's — the drill-down ratio every rollup report shows next to
 # the absolute number. One fact aggregation keyed (region, nation) after
-# broadcast dim joins; the parent total is a window over the aggregate on
+# the dim joins; the parent total is a window over the aggregate on
 # the same region key (no second scan, no self-join). Decimal-exact sums
-# feed the ratio, rounded 4dp.
+# feed the ratio, rounded 4dp. customer grows 150k×sf, so it carries no
+# broadcast hint (AQE decides); nation/region are 25/5 rows forever —
+# those hints stay.
 # ---------------------------------------------------------------------------
 def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -753,7 +767,7 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")

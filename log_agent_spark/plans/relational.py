@@ -810,8 +810,11 @@ def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphan_ord = (
         o.select("o_custkey")
+        # customer grows 150k×sf: no broadcast hint on the anti-join build
+        # side (AQE converts to broadcast-anti while the key column fits,
+        # shuffle-anti beyond — a forced hint is an OOM at 100 TB)
         .join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             o.o_custkey == c.c_custkey,
             "left_anti",
         )

@@ -88,8 +88,33 @@ def pin(df: DataFrame) -> DataFrame:
 
 
 def pin_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint(eager=True) + record the checkpoint's internal RDD
-    (the persisted block owner) for release at wrapped-query end."""
+    """Truncate lineage for an iterative round + record the release handle.
+
+    Two modes (VERDICT r8 item 3 — fault-tolerance at cluster scale):
+
+    * No checkpoint dir configured (the local[-] default): eager
+      ``localCheckpoint`` — blocks live on executor-local storage. Fast
+      (no FS round-trip), but NOT fault-tolerant: the truncated lineage
+      cannot be recomputed, so losing one executor mid-query kills the
+      whole iterative job. Fine on local[32]; on a preemptible cluster
+      it turns one executor loss into a full-job retry.
+    * ``sc.setCheckpointDir(...)`` configured: eager RELIABLE
+      ``checkpoint()`` — each round's state is written to the (HDFS/S3)
+      checkpoint dir, so an executor loss recomputes nothing and loses
+      nothing. Costs one distributed FS write per round; the files'
+      lifecycle follows the checkpoint dir (set
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to GC
+      them with the RDD, or point the dir at a TTL'd bucket path).
+
+    The mode is per-session config, not per-call: a 100 TB operator sets
+    the checkpoint dir once and every iterative operator (k-core, CC,
+    power iteration) becomes preemption-safe without code changes.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        # reliable mode: data lives in the checkpoint dir, not in executor
+        # block storage — nothing to unpersist at wrapped-query end
+        return df.checkpoint(eager=True)
     out = df.localCheckpoint(eager=True)
     pins = _ACTIVE_PINS.get()
     if pins is not None:

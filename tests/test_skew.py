@@ -97,6 +97,47 @@ def test_pairgen_profile_cap_math(spark):
     assert row.keys_over_cap == 1
     assert row.capped_pair_mass == 512 * 511 // 2 + 1
     assert row.top_pair_share == 1.0  # 179700/179701 rounds to 1.0
+    assert row.cap == 512  # self-describing: which valve this row measures
+
+
+def test_pairgen_profile_takes_the_legs_own_cap(spark):
+    """ADVICE r8: each radar leg measures ITS valve's cap — the attribution
+    leg runs at _ATTR_DAY_CLICK_CAP=32, not the basket 512."""
+    from log_agent_spark.operators.skew import pairgen_profile
+    from log_agent_spark.plans.events import _ATTR_DAY_CLICK_CAP
+
+    per_key = spark.createDataFrame([(1, 40), (2, 2)], ["k", "n"]).select("n")
+    row = pairgen_profile(per_key, "clicks", cap=_ATTR_DAY_CLICK_CAP).collect()[0]
+    assert row.cap == 32
+    assert row.keys_over_cap == 1  # 40 > 32, invisible to a 512 cap
+    assert row.capped_pair_mass == 32 * 31 // 2 + 1
+
+
+def test_radar_gate_flags_unacked_hot_source():
+    """VERDICT r8 item 5: keys_over_cap > 0 on a source with no RADAR_ACK
+    entry must gate; acked or cold sources must not. Pure — no Spark."""
+    import importlib
+
+    probe = importlib.import_module("tools.skew_probe")
+    rows = [
+        # acked + hot: fine (the valve is the acknowledgment)
+        {"source": "lineitem.l_orderkey basket", "cap": 512, "max_n": 12000,
+         "keys_over_cap": 1, "pair_mass": 9, "capped_pair_mass": 5},
+        # unacked + cold: fine (nothing crossed the cap)
+        {"source": "brand-new pair space", "cap": 512, "max_n": 10,
+         "keys_over_cap": 0, "pair_mass": 45, "capped_pair_mass": 45},
+        # unacked + hot: MUST flag
+        {"source": "brand-new hot pair space", "cap": 512, "max_n": 9000,
+         "keys_over_cap": 3, "pair_mass": 9, "capped_pair_mass": 5},
+    ]
+    bad = probe.radar_violations(rows)
+    assert len(bad) == 1 and "brand-new hot pair space" in bad[0]
+    # every radar leg the engine actually emits is acknowledged
+    assert set(probe.RADAR_ACK) == {
+        "lineitem.l_orderkey basket",
+        "events clicks per (user_id, day)",
+        "documents dup-cluster (what-if)",
+    }
 
 
 def test_pairgen_profile_empty_domain_is_zero_not_null(spark):

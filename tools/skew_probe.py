@@ -89,6 +89,50 @@ _SF1_SKEWED = os.environ.get(
     "SPARK_GRAFT_SF1SKEW_DIR", "/root/repo/localdata/sf1skew"
 )
 
+# ---------------------------------------------------------------------------
+# Pairgen-radar gate (VERDICT r8 item 5): the radar MEASURES C(n,2) pair
+# mass per self-join key space; this makes it bite. Every radar source
+# whose keys_over_cap > 0 at a probed scale must be ACKNOWLEDGED below —
+# either by the implemented valve that truncates it or by an explicit
+# no-valve-by-design rationale. A hot pair space with NO entry here means
+# someone added a pair generator (or a fixture pathology) without a
+# valve decision, and the probe exits non-zero instead of letting SKEW.md
+# silently read as "covered".
+# ---------------------------------------------------------------------------
+RADAR_ACK = {
+    "lineitem.l_orderkey basket": (
+        "valved: capped_basket_items BASKET_CAP=512 (baskets.py), "
+        "truncation observable via Observation counters"
+    ),
+    "events clicks per (user_id, day)": (
+        "valved: _ATTR_DAY_CLICK_CAP=32 most-recent clicks per (user, day) "
+        "(plans/events.py), mirrored in the oracle"
+    ),
+    "documents dup-cluster (what-if)": (
+        "no valve BY DESIGN: pair-listing queries are debugging views whose "
+        "output is inherently C(c,2); cluster-form queries "
+        "(dedup_connected_components / dedup_cluster_sizes) are the scale "
+        "representation — see QUERIES.md"
+    ),
+}
+
+
+def radar_violations(rows, ack=None) -> list[str]:
+    """Sources whose pair space crossed its cap WITHOUT an acknowledged
+    valve note. ``rows`` are radar result rows (source / cap / max_n /
+    keys_over_cap attrs or mapping). Pure, for tests."""
+    ack = RADAR_ACK if ack is None else ack
+    bad = []
+    for r in rows:
+        get = r.get if hasattr(r, "get") else lambda k, _r=r: getattr(_r, k)
+        if get("keys_over_cap") and get("source") not in ack:
+            bad.append(
+                f"{get('source')}: {get('keys_over_cap')} keys over "
+                f"cap={get('cap')} (max_n={get('max_n')}) with NO valve "
+                "acknowledgment in tools/skew_probe.py RADAR_ACK"
+            )
+    return bad
+
 # sf1 composition leg (VERDICT r7 item 6): the hot-key question only
 # bites where C(n,2) dominates, which 17 MB cannot show — probe the
 # capped basket family, the r8 attribution valve, and the r7 ladder
@@ -174,6 +218,15 @@ def main() -> None:
         print(f"subset run ({len(rows)} queries) — SKEW.md NOT rewritten")
         return
 
+    # pairgen-radar gate: measure every self-join pair space against its
+    # valve's cap ON THE SKEWED FIXTURE(S); any over-cap source must be
+    # acknowledged in RADAR_ACK or the probe fails loudly (VERDICT r8
+    # item 5 — the radar's output gates, it is no longer advisory)
+    radar_fn = qs["skew_pairgen_radar"]
+    radar_report: list[tuple[str, list]] = [
+        ("skew01", radar_fn(spark, SKEWED).collect())
+    ]
+
     sf1_rows = None
     sf1_ready = all(
         os.path.isfile(os.path.join(d, "_COMPLETE.json"))
@@ -188,6 +241,7 @@ def main() -> None:
         sf1_rows = _measure(
             spark, qs, SF1_PROBE, _SF1_UNIFORM, _SF1_SKEWED, reps=3
         )
+        radar_report.append(("sf1skew", radar_fn(spark, _SF1_SKEWED).collect()))
     elif not no_sf1:
         print(
             "sf1/sf1skew fixtures missing — skipping the sf1 leg "
@@ -235,10 +289,37 @@ def main() -> None:
                 f"| `{name}` | {tu:.2f} | {ts:.2f} | {r:.2f} |"
                 f" {NOTES.get(name, '')} |"
             )
+    violations: list[str] = []
+    lines += [
+        "",
+        "## Pairgen radar (C(n,2) pair mass vs each valve's cap, on the skewed fixtures)",
+        "",
+        "Gate: any source with `keys_over_cap > 0` must be acknowledged in",
+        "`tools/skew_probe.py RADAR_ACK` (the valve that truncates it, or a",
+        "no-valve-by-design rationale) — an unacknowledged hot pair space",
+        "fails this probe (exit 1).",
+        "",
+        "| fixture | source | cap | max_n | keys>cap | pair mass | capped mass | valve |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for fixture, radar_rows in radar_report:
+        violations += [f"[{fixture}] {v}" for v in radar_violations(radar_rows)]
+        for r in radar_rows:
+            ack = RADAR_ACK.get(r.source, "**UNACKNOWLEDGED**")
+            lines.append(
+                f"| {fixture} | {r.source} | {r.cap} | {r.max_n} |"
+                f" {r.keys_over_cap} | {r.pair_mass} | {r.capped_pair_mass} |"
+                f" {ack} |"
+            )
     with open("/root/repo/SKEW.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     n_total = len(rows) + (len(sf1_rows) if sf1_rows else 0)
     print(f"wrote SKEW.md ({n_total} measurements)")
+    if violations:
+        sys.exit(
+            "pairgen radar gate FAILED — hot pair space(s) without a valve"
+            " acknowledgment:\n  " + "\n  ".join(violations)
+        )
 
 
 if __name__ == "__main__":

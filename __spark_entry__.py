@@ -50,85 +50,83 @@ _MODULES = [
 # in iteration order, so the window below is rotated each round until every
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
 # map; rounds 1-6 verified all 250 distinct queries at least once).
-# Round-8 window, per VERDICT r7's orders (items 1/4/5):
+# Round-9 window, per VERDICT r8's orders (items 1/2) + ADVICE r8:
 #  - the canary (q01),
-#  - this round's 8 value-stable-but-body-changed queries: the shared
-#    capped_basket_items hub valve rewrote the 7 basket-pair consumers'
-#    bodies AND their oracles (cap 512 >> TPC-H max basket 7, so sf0.01
-#    values are unchanged — re-proven by the driver here), and the
-#    attribution valve rewrote events_attribution_multitouch (cap 32 > 5x
-#    the honest 6 clicks/user/day, values unchanged likewise),
-#  - oldest-first second-signal fill (after r7, 165 queries hold exactly
-#    one lifetime driver signal): the 7 remaining round-1 singles and ALL
-#    33 round-2 singles; the last slot goes to this round's net-new
-#    skew_pairgen_radar, and the r3+ singles rotate in from r9 onward.
-_R8_WINDOW = [
+#  - the 6 broadcast-hint-sweep queries (VERDICT r8 item 1 + the same-class
+#    cohort_ltv): hint removal never changes values, but the bodies changed
+#    so they get driver re-proof (dq_constraint_audit doubles as an r3
+#    single),
+#  - skew_pairgen_radar: ADVICE r8 re-keyed its attribution leg to
+#    (user, day) clicks at _ATTR_DAY_CLICK_CAP and added a `cap` column —
+#    values AND schema changed, oracle rewritten to match,
+#  - dedup_ngram_jaccard / dedup_containment (the stop-shingle cap is now
+#    an import-frozen explicit parameter) and dedup_minhash_lsh (in-plan
+#    pair-mass Observation) — value-stable body changes, re-proven,
+#  - oldest-first second-signal fill (after r8, ~112 queries hold exactly
+#    one lifetime signal): text_zipf_fit (the r2 single displaced from r8),
+#    then the r3 singles alphabetically; window_range_frame + the r4
+#    singles rotate in from r10 onward.
+_R9_WINDOW = [
     # canary
     "q01_pricing_summary",
-    # r8 body-changed: shared basket hub valve (VERDICT r7 item 1)
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_modularity",
-    "graph_degree_powerlaw",
-    "graph_jaccard_neighbors",
-    "basket_part_pairs_lift",
-    # r8 body-changed: per-(user, day) click cap (VERDICT r7 item 4)
-    "events_attribution_multitouch",
-    # round-1 singles (oldest single-signal queries)
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "recursive_tree_rollup",
-    "set_ops",
-    "subquery_above_avg",
-    "window_lag_gap",
-    "window_running_sum",
-    # round-2 singles, alphabetical fill
-    "ann_int8_topk",
-    "ann_ivf",
-    "ann_matryoshka_recall",
-    "dedup_bloom_prefilter",
-    "dedup_containment",
-    # r8 body-changed late addition: the stop-shingle DF valve rewrote
-    # dedup_ngram_jaccard's body + oracle (values unchanged — fixture max
-    # shingle df 199 < cap 512); text_zipf_fit carries to r9 for it
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_group_split",
-    "dedup_incremental",
-    "dedup_lsh_quality",
-    "dedup_minhash_estimate",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clustered",
-    "dedup_simhash",
-    "dedup_soft_weights",
-    "dedup_source_overlap",
-    "dedup_split_leakage",
-    "media_aspect_buckets",
-    "media_decode_meta",
-    "media_frame_sample",
-    "media_kind_stats",
-    "media_shard_manifest",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "text_bpe_merge_step",
-    "text_langid_confusion",
-    "text_pack_sequences",
-    "text_perplexity_filter",
-    "text_quality_classifier",
-    "text_unigram_logprob",
-    "text_vocab_growth",
-    # the round-8 net-new operator takes the last slot so it earns driver
-    # signal in its introduction round (the r6-newly-green precedent);
-    # corpus_drift_psi (the oldest r3 single) rotates in at r9
+    # r9 body-changed: forced-broadcast sweep (VERDICT r8 item 1)
+    "events_retention_cohort",
+    "cohort_ltv",
+    "stats_regression_by_brand",
+    "supplier_leadtime",
+    "nation_share_of_region",
+    "dq_constraint_audit",
+    # r9 body+schema-changed: radar legs re-keyed to their real valves
     "skew_pairgen_radar",
+    # r9 value-stable body changes (cap freezing, pair-mass observation)
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    # oldest single-signal queries: the r2 single, then r3 alphabetical
+    "text_zipf_fit",
+    "corpus_drift_psi",
+    "corpus_snapshot_diff",
+    "dedup_repeated_spans",
+    "events_ab_test_ztest",
+    "events_approx_sketches",
+    "events_asof_join",
+    "events_countmin_heavyhitters",
+    "events_cusum_shift",
+    "events_dwell_percentiles",
+    "events_forecast_backtest",
+    "events_forecast_holt",
+    "events_forecast_holt_winters",
+    "events_funnel",
+    "events_hll_incremental",
+    "events_hll_report",
+    "events_hypertable_rollup",
+    "events_quantile_sketch_report",
+    "events_range_join",
+    "events_sax_similarity",
+    "events_session_window_native",
+    "events_trend_robust",
+    "events_user_lifecycle",
+    "events_weekly_load_profile",
+    "filter_patterns",
+    "graph_bfs_hops",
+    "graph_pagerank",
+    "lineitem_sequence_audit",
+    "media_features",
+    "order_backlog",
+    "orders_join_ivm",
+    "pipeline_corpus_funnel",
+    "q12_late_shipments",
+    "scalar_functions",
+    "skew_salted_distinct",
+    "skew_salted_join",
+    "text_contamination_spans",
+    "text_inverted_index",
+    "text_ngram_novelty",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R8_WINDOW
+DRIVER_WINDOW = _R9_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,13 +137,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R8_WINDOW if name not in full]
+    missing = [name for name in _R9_WINDOW if name not in full]
     if missing:
         # a typo in the window list must fail loudly, not silently shrink
         # the driver's 50-slot verification window (and must survive -O,
         # so no assert)
         raise ValueError(f"window names not in queries(): {missing}")
-    out = {name: full[name] for name in _R8_WINDOW}
+    out = {name: full[name] for name in _R9_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

@@ -39,6 +39,14 @@ def upsert_parquet(
 ) -> None:
     """Upsert ``incoming`` into the parquet table at ``table_dir`` on key."""
     key = key or LOGFILE_KEY
+    # Empty batch = no-op BEFORE any write (round-9 soak finding): a
+    # debounced stream's first micro-batch is routinely empty (nothing has
+    # quiesced yet), and overwriting the table dir with a 0-row frame
+    # writes _SUCCESS with no part files — every later batch then dies on
+    # UNABLE_TO_INFER_SCHEMA reading it back, which a supervisor restart
+    # replays forever. One isEmpty() job per batch is the cheap insurance.
+    if incoming.isEmpty():
+        return
     # collapse within-batch duplicates so replays are idempotent
     incoming = incoming.dropDuplicates(key)
     partitioned = bool(partition_col) and partition_col in incoming.columns

@@ -36,6 +36,26 @@ def test_upsert_insert_then_update(spark, tmp_path):
     assert rows == {"a.log": 99, "b.log": 2, "c.log": 3}
 
 
+def test_upsert_empty_batch_is_a_noop(spark, tmp_path):
+    """Round-9 soak finding: a debounced stream's FIRST micro-batch is
+    routinely empty; bootstrapping the table from it wrote a schema-less
+    parquet dir that poisoned every later batch (UNABLE_TO_INFER_SCHEMA),
+    which a supervisor restart replays forever. Empty in → no write, both
+    before the table exists and after."""
+    table = str(tmp_path / "logfile_empty")
+    cols = ["file_date", "file_time", "folder", "pack", "name", "size"]
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d0 = dt.date(2024, 1, 1)
+    full = spark.createDataFrame([(d0, t0, "f", "", "a.log", 1)], cols)
+    empty = full.limit(0)
+
+    upsert_parquet(spark, empty, table)  # bootstrap from an empty batch
+    assert not os.path.isdir(table)  # nothing written — next batch is clean
+    upsert_parquet(spark, full, table)
+    upsert_parquet(spark, empty, table)  # empty against an existing table
+    assert spark.read.parquet(table).count() == 1
+
+
 def test_upsert_rewrites_only_batch_partitions(spark, tmp_path):
     """The bounded-I/O contract behind the 100 TB claim: an incoming
     batch must rewrite ONLY the file_date partitions it touches — the

@@ -57,6 +57,13 @@ REPRESENTATIVES = [
     ("Shared capped co-purchase edge builder (cap window exchange feeds the pair self-join; CollectMetrics truncation counter in-plan)", "graph_label_propagation"),
     ("Basket lift (capped pair join; marginal joins left to the planner/AQE — broadcast at this SF by size, shuffle at 100x the part dim)", "basket_part_pairs_lift"),
     ("Multitouch attribution (per-(user, day) recency cap ahead of the banded user join — the hot-user valve)", "events_attribution_multitouch"),
+    # round-9-touched family: the forced-broadcast sweep — the compiled
+    # plan must carry NO broadcast hint on a growing build side (the
+    # static explain shows the unhinted join under AdaptiveSparkPlan;
+    # tests/test_broadcast_hint_sweep.py pins that AQE's FINAL plan still
+    # converts to BroadcastHashJoin at fixture scale)
+    ("Retention cohort (per-user first-seen join UNHINTED — AQE picks broadcast at this SF, shuffle join at 100x)", "events_retention_cohort"),
+    ("Supplier lead time (supplier dim unhinted, nation hint kept — only constant-size tables carry hints)", "supplier_leadtime"),
 ]
 
 

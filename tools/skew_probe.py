@@ -47,7 +47,8 @@ NOTES = {
     "dedup_minhash_lsh": "pair OUTPUT is inherently C(c,2) in a true "
     "dup cluster of c docs; the cluster-form queries "
     "(dedup_connected_components / dedup_cluster_sizes, ratio ~1.0) are "
-    "the scale representation",
+    "the scale representation — r9: the emitted pair mass is now "
+    "observable in-plan (lsh_pair_mass Observation; QUERIES.md)",
     "dedup_exact": "800-row hash group -> one window group; linear work, "
     "single-task locality only",
     "events_sessionize": "time-ordered running window: skew shifts rows "

@@ -30,7 +30,11 @@ NOTES = {
     "graph_triangle_count": "mega order bounded by the BASKET_CAP=512 "
     "hub valve (pre-cap ratio was 2.24): C(cap,2) edges max per order",
     "graph_label_propagation": "r8: shared capped_basket_items valve in "
-    "_lpa_edges (baskets.py) bounds the co-purchase projection",
+    "_lpa_edges (baskets.py) bounds the co-purchase projection. r9 sf1 "
+    "adjudication: the probe published 4.52/8.31 (1.84) with code "
+    "untouched; an immediate off-window best-of-3 re-measure gave "
+    "11.56/6.72 (0.58) — swings in BOTH directions on identical "
+    "fixtures, the documented sf1 graph GC noise (r8 committed 0.97)",
     "graph_kcore": "r8: same shared _lpa_edges valve",
     "graph_modularity": "r8: same shared _lpa_edges valve",
     "graph_degree_powerlaw": "r8: same shared _lpa_edges valve",

@@ -11,6 +11,13 @@ scale-killers a refactor can introduce anywhere:
    (the ranking helper's P-row offset table, a post-limit k-row frame, a
    calendar-bounded series, a fixed histogram) — every allowance is
    explicit below with its bound.
+3. a broadcast HINT forced onto a RAW scan of a table that grows with
+   the data (the r9 sweep's policy, mechanized): hints survive into the
+   optimized logical plan as ``Join ... Hint=(strategy=broadcast)``, so
+   this is the one place forced-vs-AQE-chosen broadcasts are
+   distinguishable. The lint flags hinted sides whose subtree scans a
+   growing base table with NO Aggregate/Limit bound; every remaining
+   site is allowlisted with its disposition.
 """
 
 from __future__ import annotations
@@ -40,16 +47,36 @@ UNPARTITIONED_WINDOW_OK = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    # body plans via the shared helper: pinned_query-wrapped queries
-    # return a readback scan; the lint must see the BODY's distributed
-    # plan, and any storage the unwrapped bodies pin is released per call
-    from tests._plans import body_plan
+def all_plans(spark):
+    # ONE body build per query yields both plan strings: the executed
+    # physical plan (lints 1-2) and the optimized logical plan, where
+    # join hints are still visible (lint 3). pinned_query-wrapped queries
+    # return a readback scan, so unwrap to the BODY's distributed plan;
+    # any storage the unwrapped bodies pin is released per call.
+    from log_agent_spark.scratch import _persistent_ids, _release_new
 
-    return {
-        name: body_plan(fn, spark, SF)
-        for name, fn in entrymod.queries().items()
-    }
+    execp: dict[str, str] = {}
+    optp: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        before = _persistent_ids(spark)
+        try:
+            df = getattr(fn, "__wrapped__", fn)(spark, SF)
+            qe = df._jdf.queryExecution()
+            optp[name] = qe.optimizedPlan().toString()
+            execp[name] = qe.executedPlan().toString()
+        finally:
+            _release_new(spark, before)
+    return execp, optp
+
+
+@pytest.fixture(scope="module")
+def plans(all_plans):
+    return all_plans[0]
+
+
+@pytest.fixture(scope="module")
+def opt_plans(all_plans):
+    return all_plans[1]
 
 
 def test_no_cartesian_product_anywhere(plans):
@@ -91,3 +118,135 @@ def test_no_unpartitioned_window_over_unbounded_input(plans):
                 continue
             bad.setdefault(name, node[:100])
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Lint 3: no broadcast HINT forced onto a raw scan of a growing table.
+# ---------------------------------------------------------------------------
+
+# Column-name signatures identifying the growing base tables' Relations in
+# optimized-plan text (nation/region are constant-size and deliberately
+# absent — hinting those is the policy's GOOD case).
+GROWING_RELATION_SIGS = {
+    "lineitem": "l_orderkey#",
+    "orders": "o_orderkey#",
+    "customer": "c_custkey#",
+    "part": "p_partkey#",
+    "partsupp": "ps_partkey#",
+    "supplier": "s_suppkey#",
+    "events": "event_id#",
+    "documents": "doc_id#",
+    "embeddings": "emb#",
+}
+# An Aggregate or Limit between the hint and the scan bounds the broadcast
+# side (k-row stats, top-k, codebooks): exempt. Filters do NOT bound — a
+# filtered slice of a growing table still grows with sf.
+_BOUNDING_OPS = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+
+# Known hinted raw growing-dim sites, each with its disposition. These are
+# the classic TPC-H dim hints (part/supplier slices): same policy class the
+# r9 sweep fixed in analytics/relational, SCHEDULED for the r10 sweep so
+# their driver re-proof gets r10 window slots (hint removal never changes
+# values; AQE picks BHJ at fixture scale — see the r9-swept precedents in
+# tests/test_broadcast_hint_sweep.py). A NEW name appearing here without a
+# disposition is exactly what this lint exists to catch.
+FORCED_BROADCAST_ALLOWLIST = {
+    "q02_min_cost_supplier": "r10 sweep (part + supplier dims)",
+    "q07_volume_shipping": "r10 sweep (supplier dim)",
+    "q08_market_share": "r10 sweep (part + supplier dims)",
+    "q09_product_profit": "r10 sweep (part + supplier dims)",
+    "q11_important_stock": "r10 sweep (supplier dim x2)",
+    "q14_promo_effect": "r10 sweep (part dim)",
+    "q16_supplier_part_counts": "r10 sweep (part + complaint suppliers)",
+    "q17_small_qty_revenue": "r10 sweep (part dim x2)",
+    "q19_banded_revenue": "r10 sweep (part dim)",
+    "q20_promotion_suppliers": "r10 sweep (part semi-join)",
+    "q21_waiting_suppliers": "r10 sweep (supplier dim)",
+}
+
+
+def _op_offset(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def forced_growing_broadcasts(opt_plan: str):
+    """Yield (table, join_line) for every broadcast-HINTED join side whose
+    subtree scans a growing base table raw (no Aggregate/Limit bound).
+    Pure text parser over TreeNode.generateTreeString output."""
+    lines = opt_plan.splitlines()
+    for idx, line in enumerate(lines):
+        if "strategy=broadcast" not in line or "Join" not in line:
+            continue
+        d = _op_offset(line)
+        sub = []
+        for j in range(idx + 1, len(lines)):
+            if _op_offset(lines[j]) <= d and lines[j].strip():
+                break
+            sub.append(lines[j])
+        child_idx = [k for k, l in enumerate(sub) if _op_offset(l) == d + 3]
+        if not child_idx:
+            continue
+        right_start = None
+        for k in child_idx:
+            if sub[k][d : d + 2] == "+-":
+                right_start = k
+        left_sub = sub[:right_start] if right_start is not None else sub
+        right_sub = sub[right_start:] if right_start is not None else []
+        sides = []
+        if "leftHint=(strategy=broadcast" in line:
+            sides.append(left_sub)
+        if "rightHint=(strategy=broadcast" in line:
+            sides.append(right_sub)
+        for side in sides:
+            text = "\n".join(side)
+            if any(b in text for b in _BOUNDING_OPS):
+                continue
+            for table, sig in GROWING_RELATION_SIGS.items():
+                if any("Relation" in l and sig in l for l in side):
+                    yield table, line.strip()[:120]
+                    break
+
+
+def test_forced_broadcast_parser_on_canned_plan():
+    """Pure parser check: hinted raw dim flagged; aggregate-bounded side
+    and unhinted joins not."""
+    plan = "\n".join(
+        [
+            "Aggregate [x], [x]",
+            "+- Join Inner, (l_partkey#1L = p_partkey#2L), rightHint=(strategy=broadcast)",
+            "   :- Join Inner, (a#3 = b#4)",
+            "   :  :- Relation [l_orderkey#0L,l_partkey#1L] parquet",
+            "   :  +- Aggregate [c_custkey#9L], [c_custkey#9L]",
+            "   :     +- Relation [c_custkey#9L] parquet",
+            "   +- Filter isnotnull(p_partkey#2L)",
+            "      +- Relation [p_partkey#2L,p_name#5] parquet",
+        ]
+    )
+    assert list(forced_growing_broadcasts(plan)) == [
+        ("part", plan.splitlines()[1].strip()[:120])
+    ]
+    # aggregate-bounded hinted side: exempt
+    bounded = plan.replace(
+        "   +- Filter isnotnull(p_partkey#2L)",
+        "   +- Aggregate [p_partkey#2L], [p_partkey#2L]",
+    )
+    assert list(forced_growing_broadcasts(bounded)) == []
+
+
+def test_no_forced_broadcast_of_growing_table(opt_plans):
+    bad = {}
+    for name, plan in opt_plans.items():
+        found = list(forced_growing_broadcasts(plan))
+        if found and name not in FORCED_BROADCAST_ALLOWLIST:
+            bad[name] = found
+    assert not bad, bad
+    # the allowlist must not go stale: every allowlisted name still hints
+    stale = [
+        n
+        for n in FORCED_BROADCAST_ALLOWLIST
+        if not list(forced_growing_broadcasts(opt_plans[n]))
+    ]
+    assert not stale, f"allowlist entries with no remaining hint: {stale}"

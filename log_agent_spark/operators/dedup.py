@@ -200,15 +200,21 @@ HAVING COUNT(*) > 1
 # Scale: ONLY for candidate pairs (LSH output); the all-pairs form below is
 # deliberately restricted to a small slice.
 # ---------------------------------------------------------------------------
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
     # Derive the integer gate from the ARGUMENT (ADVICE r6: the gate used the
     # module constants J_NUM/J_DEN, silently ignoring a caller's threshold —
-    # e.g. threshold=0.0 still filtered at 0.5).
+    # e.g. threshold=0.0 still filtered at 0.5). Same discipline for the
+    # stop-shingle cap (ADVICE r8): an explicit parameter frozen at import,
+    # never a call-time read of the module global the oracle can't see.
     t = _Fraction(threshold).limit_denominator(10_000)
     t_num, t_den = t.numerator, t.denominator
     # stop-shingle valve BEFORE sizes: Jaccard is scored over the pruned
     # (informative) shingle space on both the numerator and denominator
-    sh = df_capped_shingles(shingles(docs))
+    sh = df_capped_shingles(shingles(docs), cap=df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -464,9 +470,25 @@ def lsh_candidate_pairs(
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    """LSH candidate-pair listing — the DEBUGGING view of the minhash
+    family. Its output is inherently C(c,2) in a true duplicate cluster
+    of c docs (no valve can cut it without changing the answer); the
+    cluster-form queries (dedup_connected_components /
+    dedup_cluster_sizes) are the production representation at 100 TB —
+    see QUERIES.md. What CAN be made visible is the blowup itself: an
+    in-plan Observation counts the emitted pair mass (the baskets.py
+    pattern — zero extra jobs, visible in the Spark UI / any
+    QueryExecutionListener), so an operator sees the quadratic *before*
+    shipping the listing downstream. Pass an ``Observation`` to read
+    ``candidate_pairs`` directly after the first action."""
     docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(docs)
+    return lsh_candidate_pairs(docs).observe(
+        observation if observation is not None else "lsh_pair_mass",
+        F.count(F.lit(1)).alias("candidate_pairs"),
+    )
 
 
 _ROWS_PER_BAND = NUM_PERMS // NUM_BANDS

@@ -193,15 +193,27 @@ def test_stop_shingle_valve_prunes_hot_shingle_only(spark):
     # end-to-end: with the hot shingles pruned at cap 6, only the true
     # near-dup pair (100, 101) survives the 0.5 gate — no boiler-glued
     # pairs among the 5 unique-body docs
-    import log_agent_spark.operators.dedup as dd
-
-    orig = dd.SHINGLE_DF_CAP
-    dd.SHINGLE_DF_CAP = 6
-    try:
-        pairs = {
-            (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()
-        }
-    finally:
-        dd.SHINGLE_DF_CAP = orig
+    # the cap is an explicit parameter (frozen default) — mutating the
+    # module global must NOT move the gate (ADVICE r8), so tune via arg
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, df_cap=6).collect()
+    }
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs), pairs
+
+
+def test_lsh_pair_listing_mass_is_observable(spark, sf_dir):
+    """Stretch r8 item 6: the pair listing's inherent C(c,2) output mass
+    is observable in-plan — the counter equals the emitted pair count
+    (zero extra jobs), so an operator sees the blowup before shipping
+    the listing; the cluster-form queries remain the production form."""
+    from pyspark.sql import Observation
+
+    from log_agent_spark.operators.dedup import q_dedup_minhash_lsh
+
+    obs = Observation("lsh_pair_mass_test")
+    df = q_dedup_minhash_lsh(spark, sf_dir, observation=obs)
+    n = df.count()
+    assert n > 0
+    assert obs.get["candidate_pairs"] == n

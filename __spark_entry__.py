@@ -78,10 +78,13 @@ _R9_WINDOW = [
     "dq_constraint_audit",
     # r9 body+schema-changed: radar legs re-keyed to their real valves
     "skew_pairgen_radar",
-    # r9 value-stable body changes (cap freezing, pair-mass observation)
+    # r9 value-stable body changes (cap freezing, pair-mass observation,
+    # flat-ntile RFM — text_ngram_novelty yields its slot to it and
+    # rotates at r10 with window_range_frame)
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_minhash_lsh",
+    "customer_rfm",
     # oldest single-signal queries: the r2 single, then r3 alphabetical
     "text_zipf_fit",
     "corpus_drift_psi",
@@ -121,7 +124,6 @@ _R9_WINDOW = [
     "skew_salted_join",
     "text_contamination_spans",
     "text_inverted_index",
-    "text_ngram_novelty",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

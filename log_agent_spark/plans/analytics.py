@@ -294,14 +294,31 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("monetary", 2).alias("monetary"),
         )
     )
-    scored = exact_ntile(
-        per_cust, 4, [F.asc("recency_days"), F.asc("o_custkey")], "r_quart"
+    # FLAT ntiles, not chained (round 9): nesting the three rankings made
+    # each exact_ntile's input embed the previous ranking's WHOLE subtree,
+    # and with_global_order consumes its input in three places — the
+    # compiled plan re-derived the per-customer aggregate up to 58 times
+    # (range-partition exchanges are sampling-based and largely escape
+    # exchange reuse). Three INDEPENDENT minimal-frame rankings of the
+    # same per_cust, joined back on the key, bound the re-derivation to
+    # one ranking's fan-out each (measured 3.1 s → 2.2 s at sf0.1; at
+    # 100 TB the upstream is the dominant cost, so the bound matters
+    # more). The three key joins co-locate on o_custkey. Values are
+    # identical: each ntile sees the same total order either way.
+    rq = exact_ntile(
+        per_cust, 4, [F.asc("recency_days"), F.asc("o_custkey")],
+        "r_quart", key_cols=["o_custkey"],
     )
-    scored = exact_ntile(
-        scored, 4, [F.desc("frequency"), F.asc("o_custkey")], "f_quart"
+    fq = exact_ntile(
+        per_cust, 4, [F.desc("frequency"), F.asc("o_custkey")],
+        "f_quart", key_cols=["o_custkey"],
     )
-    scored = exact_ntile(
-        scored, 4, [F.desc("monetary"), F.asc("o_custkey")], "m_quart"
+    mq = exact_ntile(
+        per_cust, 4, [F.desc("monetary"), F.asc("o_custkey")],
+        "m_quart", key_cols=["o_custkey"],
+    )
+    scored = (
+        per_cust.join(rq, "o_custkey").join(fq, "o_custkey").join(mq, "o_custkey")
     )
     return scored.groupBy("r_quart", "f_quart", "m_quart").agg(
         F.count("*").alias("n_customers"),

@@ -225,8 +225,11 @@ def main() -> int:
     emitted = spark.read.parquet(records_dir).count()
 
     gates = {
-        # one standing query, bounded restarts (0 on a healthy host)
-        "restarts<=5": bool(restarts_seen and restarts_seen[0] <= 5) or stop_flag.is_set(),
+        # one standing query, bounded restarts (0 on a healthy host); the
+        # supervisor thread must have RETURNED (supervise reports its
+        # restart count on clean shutdown) — a still-wedged thread or a
+        # missing report is a failure, not a pass
+        "restarts<=5": bool(restarts_seen) and restarts_seen[0] <= 5,
         f">=~{N_WAVES} data micro-batches": len(batches) >= int(N_WAVES * 0.9),
         "state_rows bounded by live keys": bool(states) and max(states) <= N_PATHS * 2,
         f"latency flat (late/early <= {LATENCY_DRIFT_LIMIT})": 0 < drift <= LATENCY_DRIFT_LIMIT,
@@ -279,8 +282,13 @@ def main() -> int:
         "```",
         "",
     ]
-    with open("/root/repo/SOAK.md", "w") as f:
-        f.write("\n".join(lines))
+    # a --waves smoke run is a spot-check: print, never clobber the
+    # committed full-length artifact (the skew_probe subset discipline)
+    if waves >= 110:
+        with open("/root/repo/SOAK.md", "w") as f:
+            f.write("\n".join(lines))
+    else:
+        print(f"smoke run ({waves} waves) — SOAK.md NOT rewritten")
     shutil.rmtree(root, ignore_errors=True)
     ok = all(gates.values())
     print("SOAK", "PASS" if ok else "FAIL")

@@ -139,3 +139,105 @@ def test_time_weighted_avg_convexity_and_interval_count(spark):
         assert r.n_intervals == s.n - 1
         if r.twa_value is not None:
             assert s.lo - 1e-9 <= r.twa_value <= s.hi + 1e-9
+
+
+def test_tumbling_window_partitions_events(spark):
+    """Tumbling hour windows partition the stream: per-cell counts sum to
+    the table count, every window boundary is hour-aligned, and distinct
+    users never exceed events in a cell."""
+    rows = _q("events_tumbling_window")(spark, SF).collect()
+    assert sum(r.n_events for r in rows) == load_table(spark, SF, "events").count()
+    for r in rows:
+        assert r.hour_ms % 3_600_000 == 0
+        assert 0 < r.n_users <= r.n_events
+
+
+def test_pivot_cells_partition_events(spark):
+    from log_agent_spark.plans.events import EVENT_TYPES
+
+    e = load_table(spark, SF, "events")
+    rows = _q("events_pivot")(spark, SF).collect()
+    assert len(rows) == e.select("user_id").distinct().count()
+    assert (
+        sum(sum(getattr(r, t) for t in EVENT_TYPES) for r in rows) == e.count()
+    )
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Σ transitions == Σ_user (events - 1), and each from-state's
+    probabilities are its counts normalized (python-replayed, 4dp)."""
+    e = load_table(spark, SF, "events")
+    expected_pairs = e.count() - e.select("user_id").distinct().count()
+    rows = _q("events_transition_matrix")(spark, SF).collect()
+    assert sum(r.n for r in rows) == expected_pairs
+    by_from: dict[str, int] = {}
+    for r in rows:
+        by_from[r.from_state] = by_from.get(r.from_state, 0) + r.n
+    for r in rows:
+        assert abs(r.p - round(r.n / by_from[r.from_state], 4)) < 1e-9
+
+
+def test_pareto_python_replay(spark):
+    """Full replay: per-customer revenue sorted desc in python, sequential
+    cumsum, first 80% crossing — rank and share must match the engine's
+    distributed range-partitioned cumsum."""
+    from log_agent_spark.plans.analytics import PARETO_TARGET
+
+    per_cust = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    ranked = sorted(per_cust, key=lambda r: (-r.rev, r.o_custkey))
+    total = sum(r.rev for r in ranked)
+    cum, n_top = 0.0, None
+    for i, r in enumerate(ranked, start=1):
+        cum += r.rev
+        if cum >= PARETO_TARGET * total:
+            n_top, share = i, cum / total
+            break
+    row = _q("pareto_revenue_concentration")(spark, SF).collect()[0]
+    assert row.n_customers == len(ranked)
+    assert row.n_top == n_top
+    assert abs(row.top_fraction - round(n_top / len(ranked), 4)) < 1e-9
+    # the distributed cumsum adds doubles in a different association than
+    # the sequential replay; the 4dp-rounded share may differ by one ulp
+    # of the rounding grid
+    assert abs(row.revenue_share - round(share, 4)) <= 1e-4
+
+
+def test_hhi_bounds(spark):
+    """HHI of a part lies in [1/n_suppliers, 1]; single-supplier parts are
+    exactly 1."""
+    for r in _q("part_supplier_hhi")(spark, SF).collect():
+        assert r.n_parts > 0
+        assert r.min_hhi >= round(1.0 / r.n_suppliers, 4) - 1e-9
+        assert r.max_hhi <= 1.0 + 1e-9
+        if r.n_suppliers == 1:
+            assert r.min_hhi == r.max_hhi == 1.0
+
+
+def test_source_mixture_accounts_every_document(spark):
+    d = load_table(spark, SF, "documents")
+    rows = _q("sample_source_mixture")(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert len(rows) == d.select("source").distinct().count()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.rate_pct is not None:
+            assert 10 <= r.rate_pct <= 86
+
+
+def test_token_frequency_python_replay(spark):
+    """Top-20 token frequencies replayed with collections.Counter over a
+    plain python split — no Spark expression on the replay side."""
+    import collections
+
+    texts = [
+        r.text for r in load_table(spark, SF, "documents").select("text").collect()
+    ]
+    ctr = collections.Counter(t for s in texts if s for t in s.split(" ") if t != "")
+    expected = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.token, r.freq) for r in _q("text_token_frequency")(spark, SF).collect()]
+    assert got == expected

@@ -241,3 +241,146 @@ def test_token_frequency_python_replay(spark):
     expected = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.token, r.freq) for r in _q("text_token_frequency")(spark, SF).collect()]
     assert got == expected
+
+
+def test_keep_latest_python_replay(spark):
+    """Per (user, type) the survivor is exactly the max-(ms, event_id) row —
+    replayed with a python max over the collected raw events (ts truncated
+    to ms, matching unix_millis ordering)."""
+    raw = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .collect()
+    )
+    best: dict[tuple, tuple] = {}
+    for r in raw:
+        ms = r.ts.replace(microsecond=(r.ts.microsecond // 1000) * 1000)
+        k = (r.user_id, r.event_type)
+        if k not in best or (ms, r.event_id) > best[k][:2]:
+            best[k] = (ms, r.event_id)
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in _q("dedup_keep_latest")(spark, SF).collect()
+    }
+    assert got == {k: v[1] for k, v in best.items()}
+
+
+def test_sessionize_partitions_each_users_events(spark):
+    per_user = {
+        r.user_id: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = _q("events_sessionize")(spark, SF).collect()
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        assert r.n_events == per_user[r.user_id]  # sessions partition events
+        assert 1 <= r.n_sessions <= r.n_events
+        assert r.max_session_ms >= 0
+
+
+def test_rolling_7d_users_dominates_daily(spark):
+    e = load_table(spark, SF, "events")
+    daily = {
+        r.day: r.n
+        for r in e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_total = e.select("user_id").distinct().count()
+    rows = _q("events_rolling_7d_users")(spark, SF).collect()
+    assert len(rows) == len(daily)
+    for r in rows:
+        day = dt.datetime.fromtimestamp(
+            r.window_day_ms / 1000.0, tz=dt.timezone.utc
+        ).date()
+        # the 7d window ending on `day` contains that day's users
+        assert daily[day] <= r.active_users_7d <= n_total
+
+
+def test_scd2_versions_chain_without_gaps(spark):
+    """SCD2 contract per user: dense versions 1..k, exactly one current
+    row, and each version's valid_to equals the next version's
+    valid_from (half-open chaining)."""
+    rows = _q("events_scd2_dimension")(spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1)), user
+        assert sum(1 for v in vs if v.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to_ms is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_ms == b.valid_from_ms, user
+            assert a.state != b.state, user  # a version exists only on change
+
+
+def test_interval_overlap_counts_are_bounded(spark):
+    e = load_table(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    types = {r.event_type for r in e.select("event_type").distinct().collect()}
+    rows = _q("events_interval_overlap")(spark, SF).collect()
+    # every type overlaps at least its own emitters' same-day spans
+    assert {r.event_type for r in rows} == types
+    for r in rows:
+        assert 0 < r.n_users <= min(n_users, r.n_pairs)
+
+
+def test_range_frame_python_replay(spark):
+    """Trailing-5-minute RANGE frame replayed per user in python: for each
+    row, sum/count over rows with ts in (t-300s, t] by VALUE (peers with
+    equal ts included regardless of row order)."""
+    raw = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for rows_u in by_user.values():
+        for r in rows_u:
+            win = [
+                x for x in rows_u if r.ts_us - 300_000_000 <= x.ts_us <= r.ts_us
+            ]
+            expect[r.event_id] = (round(sum(x.value for x in win), 2), len(win))
+    got = {
+        r.event_id: (r.trailing_5m_value, r.trailing_5m_events)
+        for r in _q("window_range_frame")(spark, SF).collect()
+    }
+    assert len(got) == len(expect)
+    for eid, (v, n) in expect.items():
+        gv, gn = got[eid]
+        assert gn == n, eid
+        assert abs(gv - v) <= 0.02, eid  # double-sum association at 2dp
+
+
+def test_vocab_coverage_is_monotone(spark):
+    rows = sorted(
+        _q("text_vocab_coverage")(spark, SF).collect(), key=lambda r: r.vocab_size
+    )
+    assert rows
+    prev_types = prev_cov = 0
+    for r in rows:
+        assert 0 <= r.covered_occurrences <= r.total_occurrences
+        assert r.n_types >= prev_types and r.covered_occurrences >= prev_cov
+        assert r.n_types <= r.vocab_size
+        prev_types, prev_cov = r.n_types, r.covered_occurrences
+
+
+def test_decontam_sweep_is_monotone_in_n(spark):
+    """A doc containing a matched (n+1)-gram necessarily contains a matched
+    n-gram, so contamination counts are non-increasing in n."""
+    rows = sorted(
+        _q("decontam_ngram_sweep")(spark, SF).collect(), key=lambda r: r.ngram_n
+    )
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_contaminated <= a.n_contaminated
+        assert 0.0 <= b.contaminated_frac <= a.contaminated_frac <= 1.0

@@ -384,3 +384,118 @@ def test_decontam_sweep_is_monotone_in_n(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.n_contaminated <= a.n_contaminated
         assert 0.0 <= b.contaminated_frac <= a.contaminated_frac <= 1.0
+
+
+def test_sliding_window_double_counts_exactly(spark):
+    """A 2h/1h sliding window assigns every event to exactly two windows,
+    so per-cell counts sum to 2x the table; window starts are hour-aligned
+    and one hour apart within a type's coverage."""
+    rows = _q("events_sliding_window")(spark, SF).collect()
+    assert sum(r.n_events for r in rows) == 2 * load_table(spark, SF, "events").count()
+    for r in rows:
+        assert r.w_start_ms % 3_600_000 == 0
+
+
+def test_pit_join_matches_every_event_exactly_once(spark):
+    """The SCD2 validity windows partition each user's timeline from the
+    first event on, so the point-in-time join matches every event to
+    exactly one version: per-user joined counts equal raw counts."""
+    per_user = {
+        r.user_id: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = _q("events_pit_versioned_join")(spark, SF).collect()
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        assert r.n_events == per_user[r.user_id]
+        assert 1 <= r.n_states_seen <= r.n_versions
+
+
+def test_cdc_apply_python_replay(spark):
+    """Keyed I/U/D merge replayed with dict arithmetic over the snapshot:
+    ids < 100 doubled, 100 <= id < 200 deleted, ids < 50 re-inserted at
+    +10M, everything else untouched."""
+    base = {
+        r.event_id: (r.user_id, r.value)
+        for r in load_table(spark, SF, "events")
+        .select("event_id", "user_id", "value")
+        .collect()
+    }
+    expect = {}
+    for eid, (uid, v) in base.items():
+        if eid < 100:
+            expect[eid] = (uid, v * 2)
+        elif eid < 200:
+            pass  # deleted
+        else:
+            expect[eid] = (uid, v)
+    for eid, (uid, v) in base.items():
+        if eid < 50:
+            expect[eid + 10_000_000] = (uid, v)
+    got = {
+        r.event_id: (r.user_id, r.value)
+        for r in _q("events_cdc_apply")(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for eid, (uid, v) in expect.items():
+        guid, gv = got[eid]
+        assert guid == uid and abs(gv - v) < 1e-9, eid
+
+
+def test_doc_fingerprint_is_content_determined(spark):
+    """Equal text => equal fingerprint (bottom-k sketch is a pure content
+    function); non-empty texts get non-null fingerprints."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    text_of = {r.doc_id: r.text for r in docs}
+    fp = {r.doc_id: r.fingerprint for r in _q("text_doc_fingerprint")(spark, SF).collect()}
+    assert set(fp) == set(text_of)
+    by_text: dict = {}
+    for did, t in text_of.items():
+        by_text.setdefault(t, set()).add(fp[did])
+    for t, fps in by_text.items():
+        assert len(fps) == 1, "same text must fingerprint identically"
+        if t:
+            assert next(iter(fps)) is not None
+
+
+def test_quality_score_token_count_python_replay(spark):
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    rows = _q("text_quality_score")(spark, SF).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        t = docs[r.doc_id]
+        n = len([x for x in t.split(" ") if x != ""]) if t else 0
+        assert r.n_tokens == n, r.doc_id
+
+
+def test_stratified_cap_respects_the_cap(spark):
+    d = load_table(spark, SF, "documents")
+    per_lang = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rows = _q("sample_stratified_cap")(spark, SF).collect()
+    assert {r.lang for r in rows} == set(per_lang)
+    for r in rows:
+        assert r.n_sampled == min(50, per_lang[r.lang])
+
+
+def test_error_bursts_exceed_triple_the_mean(spark):
+    """Every reported window genuinely exceeds 3x the mean errors per
+    15-minute window (recomputed from the raw error stream)."""
+    e = load_table(spark, SF, "events").filter(F.col("event_type") == "error")
+    per_w = (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    mean = sum(r.n for r in per_w) / len(per_w)
+    rows = _q("events_error_bursts")(spark, SF).collect()
+    for r in rows:
+        assert r.n_errors > 3 * mean
+        assert abs(r.mean_errors - round(mean, 4)) < 1e-9
+    # completeness: every window above the gate is reported
+    assert len(rows) == sum(1 for r in per_w if r.n > 3 * mean)

@@ -499,3 +499,137 @@ def test_error_bursts_exceed_triple_the_mean(spark):
         assert abs(r.mean_errors - round(mean, 4)) < 1e-9
     # completeness: every window above the gate is reported
     assert len(rows) == sum(1 for r in per_w if r.n > 3 * mean)
+
+
+def test_ivf_health_cells_partition_the_corpus(spark):
+    from log_agent_spark.operators.similarity import N_CENTROIDS
+
+    n_emb = load_table(spark, SF, "embeddings").count()
+    rows = _q("ann_ivf_health")(spark, SF).collect()
+    assert len(rows) == N_CENTROIDS  # the spine reports every cell
+    assert sum(r.n_vectors for r in rows) == n_emb
+    for r in rows:
+        assert r.is_empty == (r.n_vectors == 0)
+        assert abs(r.imbalance - round(r.n_vectors * N_CENTROIDS / n_emb, 4)) < 1e-9
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3  # 4dp rounding drift
+
+
+def test_ngram_novelty_conserves_first_sightings(spark):
+    """Every distinct corpus n-gram is novel in exactly one doc (its
+    min-doc_id first sighting), so Σ n_novel == |distinct n-grams|, and
+    the lowest doc_id with any n-grams is fully novel."""
+    rows = _q("text_ngram_novelty")(spark, SF).collect()
+    from log_agent_spark.operators.decontaminate import token_ngrams
+
+    n_distinct = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(token_ngrams(F.col("text"))).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_distinct_ngrams
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_distinct_ngrams  # nothing precedes it
+
+
+def test_debounce_keep_last_emits_one_event_per_session(spark):
+    """The batch debounce twin keeps exactly one event per (user, session):
+    row count equals Σ n_sessions from the sessionizer, and every kept
+    event is the latest of its session (ts_ms is the session max)."""
+    sess_rows = _q("events_sessionize")(spark, SF).collect()
+    kept = _q("debounce_keep_last")(spark, SF).collect()
+    assert len(kept) == sum(r.n_sessions for r in sess_rows)
+    latest = {}
+    for r in kept:
+        k = (r.user_id, r.session_seq)
+        assert k not in latest, "one event per session"
+        latest[k] = r.ts_ms
+    per_user_sessions: dict = {}
+    for (u, _s) in latest:
+        per_user_sessions[u] = per_user_sessions.get(u, 0) + 1
+    assert per_user_sessions == {r.user_id: r.n_sessions for r in sess_rows}
+
+
+def test_langid_prediction_is_the_argmax(spark):
+    from log_agent_spark.operators.text import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    for r in _q("text_langid_heuristic")(spark, SF).collect():
+        hits = {l: getattr(r, f"hits_{l}") for l in langs}
+        best = max(hits.values())
+        if best == 0:
+            assert r.predicted_lang == "und"
+        else:
+            assert r.predicted_lang in langs
+            assert hits[r.predicted_lang] == best
+            # deterministic tie-break: the FIRST profile with max hits wins
+            assert r.predicted_lang == next(l for l in langs if hits[l] == best)
+
+
+def test_lang_profile_partitions_documents(spark):
+    d = load_table(spark, SF, "documents")
+    rows = _q("text_lang_profile")(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert len(rows) == d.select("lang").distinct().count()
+    for r in rows:
+        assert r.n_sources > 0 and r.total_tokens > 0
+
+
+def test_token_bpe_python_replay(spark):
+    """Whitespace token counts replayed with str.split; the ratio column
+    re-derived from the two counts."""
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    rows = _q("text_token_bpe")(spark, SF).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        t = docs[r.doc_id]
+        assert r.n_ws_tokens == (len([x for x in t.split(" ") if x]) if t else 0)
+        if r.n_ws_tokens:
+            assert abs(r.bpe_per_word - round(r.n_bpe_tokens / r.n_ws_tokens, 4)) < 1e-9
+        else:
+            assert r.bpe_per_word is None
+
+
+def test_tfidf_topterms_are_in_their_documents(spark):
+    """Membership + ranking contract: every reported term occurs in its
+    doc (python substring-token replay), ranks are dense from 1, and
+    tfidf is non-increasing within a doc."""
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    by_doc: dict = {}
+    for r in _q("text_tfidf_topterms")(spark, SF).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        toks = set((docs[did] or "").split(" "))
+        for a, b in zip(rs, rs[1:]):
+            assert a.tfidf >= b.tfidf
+        for r in rs:
+            assert r.term in toks, (did, r.term)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # self-checking roundtrips / report queries whose oracle already
+        # carries the semantic load: pin non-emptiness + rerun stability
+        "sql_interface",
+        "kafka_wire_roundtrip",
+        "ingest_avro_roundtrip",
+        "logs_template_mining",
+        "sample_importance_weighted",
+        "sample_temperature_mixture",
+    ],
+)
+def test_remaining_singles_nonempty_and_rerun_stable(spark, name):
+    a = sorted(map(tuple, _q(name)(spark, SF).collect()))
+    b = sorted(map(tuple, _q(name)(spark, SF).collect()))
+    assert a, name
+    assert a == b, name

@@ -50,85 +50,80 @@ _MODULES = [
 # in iteration order, so the window below is rotated each round until every
 # family has driver-level hard signal (COVERAGE.json tracks the cumulative
 # map; rounds 1-6 verified all 250 distinct queries at least once).
-# Round-9 window, per VERDICT r8's orders (items 1/2) + ADVICE r8:
+# Round-10 window, per VERDICT r9's orders (items 1/2):
 #  - the canary (q01),
-#  - the 6 broadcast-hint-sweep queries (VERDICT r8 item 1 + the same-class
-#    cohort_ltv): hint removal never changes values, but the bodies changed
-#    so they get driver re-proof (dq_constraint_audit doubles as an r3
-#    single),
-#  - skew_pairgen_radar: ADVICE r8 re-keyed its attribution leg to
-#    (user, day) clicks at _ATTR_DAY_CLICK_CAP and added a `cap` column —
-#    values AND schema changed, oracle rewritten to match,
-#  - dedup_ngram_jaccard / dedup_containment (the stop-shingle cap is now
-#    an import-frozen explicit parameter) and dedup_minhash_lsh (in-plan
-#    pair-mass Observation) — value-stable body changes, re-proven,
-#  - oldest-first second-signal fill (after r8, ~112 queries hold exactly
-#    one lifetime signal): text_zipf_fit (the r2 single displaced from r8),
-#    then the r3 singles alphabetically; window_range_frame + the r4
-#    singles rotate in from r10 onward.
-_R9_WINDOW = [
+#  - the 12 forced-broadcast-sweep queries (VERDICT r9 items 1+2): the 11
+#    TPC-H part/supplier dim hints dropped (FORCED_BROADCAST_ALLOWLIST in
+#    tests/test_plan_lint.py is now EMPTY) plus dedup_incremental's
+#    prior-corpus broadcast behind a bcast.maybe_broadcast count guard.
+#    Hint removal / guarding never changes values, but the bodies changed
+#    so they get driver re-proof (AQE fixture-scale BHJ pinned by
+#    tests/test_broadcast_hint_sweep.py),
+#  - oldest-first second-signal fill (77 singles after r9, VERDICT r9
+#    item 3): the two r3 singles deferred at r9 (text_ngram_novelty,
+#    window_range_frame), all 31 r4 singles, then the r5 singles
+#    alphabetically as far as the window reaches (through
+#    dedup_cluster_sizes); the rest rotate in from r11.
+_R10_WINDOW = [
     # canary
     "q01_pricing_summary",
-    # r9 body-changed: forced-broadcast sweep (VERDICT r8 item 1)
-    "events_retention_cohort",
-    "cohort_ltv",
-    "stats_regression_by_brand",
-    "supplier_leadtime",
-    "nation_share_of_region",
-    "dq_constraint_audit",
-    # r9 body+schema-changed: radar legs re-keyed to their real valves
-    "skew_pairgen_radar",
-    # r9 value-stable body changes (cap freezing, pair-mass observation,
-    # flat-ntile RFM — text_ngram_novelty yields its slot to it and
-    # rotates at r10 with window_range_frame)
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_lsh",
-    "customer_rfm",
-    # oldest single-signal queries: the r2 single, then r3 alphabetical
-    "text_zipf_fit",
-    "corpus_drift_psi",
-    "corpus_snapshot_diff",
-    "dedup_repeated_spans",
-    "events_ab_test_ztest",
-    "events_approx_sketches",
-    "events_asof_join",
-    "events_countmin_heavyhitters",
-    "events_cusum_shift",
-    "events_dwell_percentiles",
-    "events_forecast_backtest",
-    "events_forecast_holt",
-    "events_forecast_holt_winters",
-    "events_funnel",
-    "events_hll_incremental",
-    "events_hll_report",
-    "events_hypertable_rollup",
-    "events_quantile_sketch_report",
-    "events_range_join",
-    "events_sax_similarity",
-    "events_session_window_native",
-    "events_trend_robust",
-    "events_user_lifecycle",
-    "events_weekly_load_profile",
-    "filter_patterns",
-    "graph_bfs_hops",
-    "graph_pagerank",
-    "lineitem_sequence_audit",
-    "media_features",
-    "order_backlog",
-    "orders_join_ivm",
-    "pipeline_corpus_funnel",
-    "q12_late_shipments",
-    "scalar_functions",
-    "skew_salted_distinct",
-    "skew_salted_join",
-    "text_contamination_spans",
-    "text_inverted_index",
+    # r10 body-changed: forced-broadcast sweep (VERDICT r9 items 1+2)
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_banded_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "dedup_incremental",
+    # oldest single-signal queries: the two r3 leftovers, then r4
+    # alphabetical, then r5 alphabetical
+    "text_ngram_novelty",
+    "window_range_frame",
+    "ann_ivf_health",
+    "ann_ivf_multiprobe",
+    "ann_nprobe_recall",
+    "anomaly_zscore",
+    "corpus_datasheet",
+    "curriculum_quality_bins",
+    "decontam_ngram_sweep",
+    "dedup_savings",
+    "embedding_dim_audit",
+    "epoch_projections",
+    "events_ewma_daily",
+    "events_gaps_islands",
+    "events_json_extract",
+    "events_variant_extract",
+    "gapfill_locf",
+    "histogram_totalprice",
+    "mixture_doremi_step",
+    "pareto_revenue_concentration",
+    "part_supplier_hhi",
+    "pipeline_corpus_build",
+    "sample_bootstrap_ci",
+    "sample_hash_split",
+    "sample_importance_weighted",
+    "sample_source_mixture",
+    "sample_stratified_cap",
+    "sample_temperature_mixture",
+    "sql_interface",
+    "time_weighted_avg",
+    "training_manifest",
+    "unpivot_measures",
+    "winsorized_stats",
+    "al_margin_sample",
+    "ann_ndcg_report",
+    "debounce_keep_last",
+    "dedup_cluster_sizes",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above
 # is renamed each rotation; this name is not.
-DRIVER_WINDOW = _R9_WINDOW
+DRIVER_WINDOW = _R10_WINDOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,13 +134,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered(full: dict) -> dict:
     """Window names first (in window order), then the rest in module order."""
-    missing = [name for name in _R9_WINDOW if name not in full]
+    missing = [name for name in _R10_WINDOW if name not in full]
     if missing:
         # a typo in the window list must fail loudly, not silently shrink
         # the driver's 50-slot verification window (and must survive -O,
         # so no assert)
         raise ValueError(f"window names not in queries(): {missing}")
-    out = {name: full[name] for name in _R9_WINDOW}
+    out = {name: full[name] for name in _R10_WINDOW}
     out.update((k, v) for k, v in full.items() if k not in out)
     return out
 

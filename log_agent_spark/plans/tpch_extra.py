@@ -35,9 +35,11 @@ def _rev():
 # ---------------------------------------------------------------------------
 # TPC-H Q7 volume shipping: revenue flow between two nations by year.
 # Scale: lineitem⋈orders⋈customer shuffle on their keys; both nation copies
-# and supplier are broadcast (dim tables), so the fact side shuffles only
-# twice regardless of input size. The year projection happens after the
-# joins — no pre-aggregation shuffle is wasted.
+# (constant-size) are broadcast-hinted; supplier GROWS with sf so it gets
+# no hint — AQE broadcasts it while the runtime size is under threshold
+# and falls back to a shuffle join when it is not (r10 sweep; a forced
+# broadcast of a growing dim is an OOM at 100 TB). The year projection
+# happens after the joins — no pre-aggregation shuffle is wasted.
 # ---------------------------------------------------------------------------
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -61,7 +63,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == n1.supp_nationkey)
         .join(F.broadcast(n2), c.c_nationkey == n2.cust_nationkey)
         .filter(pair | rpair)
@@ -93,7 +95,9 @@ GROUP BY supp_nation, cust_nation, l_year
 # TPC-H Q8 market share: one nation's share of PROMO-part revenue within a
 # region, by year. Scale: the conditional-sum-over-sum form computes the
 # share in the SAME aggregation pass (no self-join); part filter cuts the
-# probe side before the join; region/nation/customer-side dims broadcast.
+# probe side before the join; region/nation (constant-size) broadcast by
+# hint; part/supplier grow with sf so they are unhinted — AQE broadcasts
+# them only while their runtime size fits (r10 sweep).
 # ---------------------------------------------------------------------------
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -112,12 +116,12 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.cust_nationkey)
         .join(F.broadcast(r), n1.cust_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == n2.supp_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
@@ -152,7 +156,8 @@ GROUP BY o_year
 # ---------------------------------------------------------------------------
 # TPC-H Q9 product-type profit (adapted: fixture has no partsupp, so profit
 # = discounted revenue, no supplycost term). Scale: part filter (LIKE) is
-# evaluated on the broadcast build side; supplier+nation broadcast; the only
+# pushed into the part scan; nation (constant-size) broadcasts by hint,
+# part/supplier are unhinted growing dims left to AQE (r10 sweep); the only
 # big shuffle is the final (nation, year) aggregation, pre-reduced map-side.
 # The sum runs in DECIMAL so the result is independent of summation order
 # (large groups make double-rounding diverge across engines).
@@ -164,9 +169,9 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     n = _t(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
@@ -265,8 +270,9 @@ GROUP BY c_count
 
 # ---------------------------------------------------------------------------
 # TPC-H Q14 promotion effect: PROMO revenue as % of total for one month.
-# Scale: date predicate pushed to the lineitem scan; part broadcast; the
-# ratio is a conditional sum over sum in one pass (no second scan).
+# Scale: date predicate pushed to the lineitem scan; part is an unhinted
+# growing dim — AQE broadcasts while it fits (r10 sweep); the ratio is a
+# conditional sum over sum in one pass (no second scan).
 # ---------------------------------------------------------------------------
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
@@ -276,7 +282,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -345,17 +351,20 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 # p_container in fixture). Parts whose lineitems fall below 20% of that
 # part's average quantity. Scale: the per-part average is a pre-aggregation
 # over the SAME join key (l_partkey) — Catalyst reuses the shuffle
-# partitioning; the filtered part dim broadcasts into both sides.
+# partitioning; the filtered part slice and the per-part threshold table
+# both grow with sf, so neither is hinted — AQE broadcasts them while
+# they fit and falls back to the key-aligned shuffle join when they
+# don't (r10 sweep).
 # ---------------------------------------------------------------------------
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     l = _t(spark, sf_dir, "lineitem")
-    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+    lp = l.join(p.select("p_partkey"), l.l_partkey == p.p_partkey)
     avg_qty = lp.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        lp.join(F.broadcast(avg_qty), lp.l_partkey == avg_qty.ap_partkey)
+        lp.join(avg_qty, lp.l_partkey == avg_qty.ap_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -422,8 +431,10 @@ LIMIT 100
 # ---------------------------------------------------------------------------
 # TPC-H Q19 discounted revenue (adapted: brand/size/quantity bands replace
 # the container/shipmode predicates). Scale: the OR-of-ANDs predicate is a
-# pure row filter evaluated INSIDE the broadcast hash join's generated code
-# — one lineitem pass, no shuffle at all.
+# pure row filter evaluated inside the join's generated code — one
+# lineitem pass. part is an unhinted growing dim (r10 sweep): AQE keeps
+# the zero-shuffle broadcast form while part fits, and degrades to one
+# key shuffle instead of an OOM when it doesn't.
 # ---------------------------------------------------------------------------
 def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -444,7 +455,7 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity").between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(band1 | band2 | band3)
         .agg(
             F.round(F.sum(_rev()), 2).alias("revenue"),
@@ -510,7 +521,8 @@ GROUP BY cntrycode
 # Spark plan rewrites both as window counts over l_orderkey — ONE shuffle
 # on the fact instead of two self-join semi/anti shuffles, with per-order
 # state bounded by lines-per-order (~7), so it holds at any order count.
-# supplier/nation stay broadcast dims.
+# nation (constant-size) stays hinted; supplier grows with sf and is
+# unhinted — AQE's call (r10 sweep).
 # ---------------------------------------------------------------------------
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -542,7 +554,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_late") & (F.col("supp_cnt") >= 2) & (F.col("late_cnt") == 1))
     )
     return (
-        flagged.join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        flagged.join(s, flagged.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -71,9 +71,11 @@ partsupp AS (
 # TPC-H Q2 minimum-cost supplier: for STANDARD parts of one size, the
 # supplier(s) in EUROPE offering the minimum supplycost. The correlated
 # min-subquery is a window MIN over ps_partkey — computed on the already
-# region-filtered join, one pass, no self-join. part is broadcast (filtered
-# dim); supplier/nation/region broadcast; the only shuffle is the window's
-# partition on ps_partkey, which AQE coalesces.
+# region-filtered join, one pass, no self-join. nation/region
+# (constant-size) broadcast by hint; part and supplier grow with sf so
+# they are unhinted — AQE broadcasts them while their runtime size fits
+# (r10 sweep). The only other shuffle is the window's partition on
+# ps_partkey, which AQE coalesces.
 # ---------------------------------------------------------------------------
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
@@ -85,8 +87,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     w = Window.partitionBy("ps_partkey")
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .withColumn("min_cost", F.min("ps_supplycost").over(w))
@@ -128,16 +130,17 @@ LIMIT 100
 # suppliers, kept when above a fraction of the nation's total. The total is
 # a scalar-subquery → broadcast singleton cross-join (no second scan: the
 # per-part aggregate is computed once and reused for both sides via a
-# self-agg of the SMALL grouped result, not of lineitem). Threshold compare
-# is done in exact integer-valued arithmetic (×500 both sides) so the
-# boundary cannot flip between engines.
+# self-agg of the SMALL grouped result, not of lineitem). supplier grows
+# with sf → unhinted, AQE's call (r10 sweep); nation stays hinted.
+# Threshold compare is done in exact integer-valued arithmetic (×500 both
+# sides) so the boundary cannot flip between engines.
 # ---------------------------------------------------------------------------
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     val = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("ps_partkey")
         .agg(
@@ -177,8 +180,10 @@ ORDER BY part_value DESC, ps_partkey
 # TPC-H Q16 parts/supplier relationship: distinct supplier counts per
 # (brand, type, size) bucket, excluding one brand, one type, and suppliers
 # with negative balance (the complaints NOT-IN, adapted). The exclusion is
-# a broadcast LEFT ANTI join — no shuffle added; COUNT(DISTINCT) runs as
-# Spark's two-phase expand/agg, partial-aggregated map-side.
+# a LEFT ANTI join and the bucket lookup an inner join — both sides are
+# growing slices (supplier/part), so neither is hinted; AQE keeps them
+# broadcast while they fit (r10 sweep). COUNT(DISTINCT) runs as Spark's
+# two-phase expand/agg, partial-aggregated map-side.
 # ---------------------------------------------------------------------------
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
@@ -193,8 +198,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("bad_suppkey"))
     )
     return (
-        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.bad_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad, ps.ps_suppkey == bad.bad_suppkey, "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -219,10 +224,13 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # TPC-H Q20 potential part promotion: NATION_1 suppliers whose availqty for
 # some 'small*' part exceeds half that part-supplier's 1996 shipped volume.
 # Double-nested IN becomes: inner join of partsupp with the 1996 per-pair
-# aggregate (same (partkey,suppkey) key — exchange reuse), part-prefix
-# broadcast semi join, then a broadcast-able distinct-suppkey semi join
-# into supplier. Both aggregates are sums of integer-valued doubles →
-# exact; the ×2 compare avoids the 0.5× rounding hazard.
+# aggregate (same (partkey,suppkey) key — exchange reuse), a part-prefix
+# semi join (part grows with sf → unhinted, AQE's call; r10 sweep), then
+# a distinct-suppkey semi join into supplier whose build side is
+# Deduplicate-bounded (kept hinted: its size is opaque to the static
+# planner, and it is a strict subset of one nation's suppliers). Both
+# aggregates are sums of integer-valued doubles → exact; the ×2 compare
+# avoids the 0.5× rounding hazard.
 # ---------------------------------------------------------------------------
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
@@ -251,7 +259,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps.ps_partkey == qty96.q_partkey)
             & (ps.ps_suppkey == qty96.q_suppkey),
         )
-        .join(F.broadcast(small_parts), ps.ps_partkey == small_parts.p_partkey, "left_semi")
+        .join(small_parts, ps.ps_partkey == small_parts.p_partkey, "left_semi")
         # availqty > 0.5 * qty_1996  ⇔  2*availqty > qty_1996, exactly
         .filter(F.col("ps_availqty") * 2 > F.col("qty_1996"))
         .select(F.col("ps_suppkey").alias("ok_suppkey"))

@@ -143,26 +143,16 @@ GROWING_RELATION_SIGS = {
 # filtered slice of a growing table still grows with sf.
 _BOUNDING_OPS = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
 
-# Known hinted raw growing-dim sites, each with its disposition. These are
-# the classic TPC-H dim hints (part/supplier slices): same policy class the
-# r9 sweep fixed in analytics/relational, SCHEDULED for the r10 sweep so
-# their driver re-proof gets r10 window slots (hint removal never changes
-# values; AQE picks BHJ at fixture scale — see the r9-swept precedents in
-# tests/test_broadcast_hint_sweep.py). A NEW name appearing here without a
-# disposition is exactly what this lint exists to catch.
-FORCED_BROADCAST_ALLOWLIST = {
-    "q02_min_cost_supplier": "r10 sweep (part + supplier dims)",
-    "q07_volume_shipping": "r10 sweep (supplier dim)",
-    "q08_market_share": "r10 sweep (part + supplier dims)",
-    "q09_product_profit": "r10 sweep (part + supplier dims)",
-    "q11_important_stock": "r10 sweep (supplier dim x2)",
-    "q14_promo_effect": "r10 sweep (part dim)",
-    "q16_supplier_part_counts": "r10 sweep (part + complaint suppliers)",
-    "q17_small_qty_revenue": "r10 sweep (part dim x2)",
-    "q19_banded_revenue": "r10 sweep (part dim)",
-    "q20_promotion_suppliers": "r10 sweep (part semi-join)",
-    "q21_waiting_suppliers": "r10 sweep (supplier dim)",
-}
+# Known hinted raw growing-dim sites, each with its disposition. EMPTY
+# since the r10 sweep dropped the last 11 (the classic TPC-H part/supplier
+# dim hints in tpch_extra/tpch_partsupp — hint removal never changes
+# values; AQE still picks BHJ at fixture scale, pinned by
+# tests/test_broadcast_hint_sweep.py on final adaptive plans). A NEW name
+# appearing in the lint's output without a disposition here is exactly
+# what this lint exists to catch. Aggregated/derived build sides the lint
+# cannot see get bcast.maybe_broadcast count guards instead (e.g.
+# dedup_incremental's prior-corpus hash set).
+FORCED_BROADCAST_ALLOWLIST: dict[str, str] = {}
 
 
 def _op_offset(line: str) -> int:

@@ -101,10 +101,14 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     * ``sc.setCheckpointDir(...)`` configured: eager RELIABLE
       ``checkpoint()`` — each round's state is written to the (HDFS/S3)
       checkpoint dir, so an executor loss recomputes nothing and loses
-      nothing. Costs one distributed FS write per round; the files'
-      lifecycle follows the checkpoint dir (set
-      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to GC
-      them with the RDD, or point the dir at a TTL'd bucket path).
+      nothing. Spark writes the checkpoint files in a SECOND job that
+      would recompute the whole plan unless the data is cached (ADVICE
+      r9), so the frame is persisted for the duration of the eager
+      materialization and unpersisted immediately after — the per-round
+      cost is one compute + one cache read + one distributed FS write,
+      not two computes. The files' lifecycle follows the checkpoint dir
+      (set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to
+      GC them with the RDD, or point the dir at a TTL'd bucket path).
 
     The mode is per-session config, not per-call: a 100 TB operator sets
     the checkpoint dir once and every iterative operator (k-core, CC,
@@ -113,8 +117,15 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         # reliable mode: data lives in the checkpoint dir, not in executor
-        # block storage — nothing to unpersist at wrapped-query end
-        return df.checkpoint(eager=True)
+        # block storage — nothing to unpersist at wrapped-query end. The
+        # transient persist() below only backs the checkpoint WRITE job
+        # (which otherwise recomputes the plan, ADVICE r9) and is dropped
+        # before returning.
+        df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     out = df.localCheckpoint(eager=True)
     pins = _ACTIVE_PINS.get()
     if pins is not None:

@@ -57,6 +57,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    flaky: dict[str, str] = {}  # passed once, then crashed — keep the trace
     retimed: list[str] = []
     canary = {"start": round(bench._canary_sample(), 3)}
     mid_at = len(names) // 2
@@ -91,6 +92,12 @@ def main() -> None:
                 retimed.append(name)
         if attempts:
             timings[name] = round(min(attempts), 3)
+            # mirror bench.py (ADVICE r2/r9): a pass-then-crash query keeps
+            # its clean measurement but reports as flaky, never as BOTH a
+            # timing and a failure
+            late = failures.pop(name, None)
+            if late is not None:
+                flaky[name] = late
             print(f"{name:36s} {timings[name]:7.3f}s", flush=True)
 
     canary.setdefault("mid", canary["start"])
@@ -111,6 +118,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "failures": failures,
+        "flaky": flaky,
         "retimed_best_of_3": retimed,
         "canary": canary,
         "contaminated": contaminated,

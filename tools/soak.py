@@ -212,9 +212,16 @@ def main() -> int:
     durs = [b.duration_ms for b in batches if b.duration_ms]
     states = [b.state_rows for b in batches if b.state_rows is not None]
     n = len(durs)
-    early = statistics.median(durs[max(1, n // 10) : max(2, n // 2)])
-    late = statistics.median(durs[n // 2 :])
-    drift = late / early if early else 0.0
+    if n < 2:
+        # too few data batches to compute a drift (source never started /
+        # deadline hit early): zero the latency figures and let the
+        # 'latency flat' and batch-count gates fail WITH the report intact
+        # instead of dying on statistics.median of an empty slice (ADVICE r9)
+        early = late = drift = 0.0
+    else:
+        early = statistics.median(durs[max(1, n // 10) : max(2, n // 2)])
+        late = statistics.median(durs[n // 2 :])
+        drift = late / early if early else 0.0
     upsert_rows = spark.read.parquet(table_dir).count()
     upsert_keys = (
         spark.read.parquet(table_dir)

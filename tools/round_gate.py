@@ -21,6 +21,16 @@ Steps, in order:
            fails on any query failure or flake.  ~13 min
   scale    tools/scale_probe.py --all — refreshes SCALING.md; fails on
            a super-linear sf0.01→sf0.1 tail slope.  ~18 min
+  shuffles tools/shuffle_ledger.py — regenerates SHUFFLES.md and fails
+           when any query's shuffle-exchange count ROSE vs the committed
+           ledger (the counts are stable upper bounds: AQE only lowers
+           them at runtime, so a +1 is a plan regression the fixture
+           bench may not show). An INTENTIONAL +1 is acknowledged by
+           committing the refreshed ledger (with the adjudication in the
+           commit/QUERIES.md), after which regeneration matches HEAD and
+           the step is green. Decreases/new queries don't fail — the
+           refreshed file just needs the commit the ledger step asks
+           for.  ~2 min
   ledger   tools/make_coverage.py, then `git status --porcelain` must
            be empty apart from the artifacts the chain itself just
            refreshed — commit those and re-run ledger for a clean exit.
@@ -42,7 +52,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # artifacts the chain itself refreshes; dirty-tree entries for these are
 # reported as "commit me" rather than failing the ledger step outright
-CHAIN_ARTIFACTS = {"BENCH_DETAIL.json", "SCALING.md", "COVERAGE.json"}
+CHAIN_ARTIFACTS = {"BENCH_DETAIL.json", "SCALING.md", "COVERAGE.json", "SHUFFLES.md"}
 
 
 def _run(cmd: list[str]) -> tuple[int, str]:
@@ -179,6 +189,63 @@ def step_scale() -> bool:
     return not bad
 
 
+def parse_shuffle_ledger(text: str) -> dict[str, int]:
+    """Extract {query: shuffle_count} from a SHUFFLES.md table. The query
+    column is backtick-quoted and `shuffle` is the first count column —
+    stable properties of tools/shuffle_ledger.py's output."""
+    rows: dict[str, int] = {}
+    for line in text.splitlines():
+        if not line.startswith("| `"):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        try:
+            rows[cells[0].strip("` ")] = int(cells[1])
+        except ValueError:
+            continue
+    return rows
+
+
+def risen_shuffles(committed: str, fresh: str) -> dict[str, tuple[int, int]]:
+    """Queries whose shuffle count ROSE in `fresh` vs `committed`.
+
+    Only increases on queries present in BOTH ledgers fail the gate: a
+    new query has no prior (its first ledger row IS the prior), and a
+    decrease is the optimization working — both just leave SHUFFLES.md
+    for the ledger step's commit-me list.
+    """
+    old = parse_shuffle_ledger(committed)
+    new = parse_shuffle_ledger(fresh)
+    return {
+        name: (old[name], count)
+        for name, count in new.items()
+        if name in old and count > old[name]
+    }
+
+
+def step_shuffles() -> bool:
+    rc, _ = _run([sys.executable, "tools/shuffle_ledger.py"])
+    if rc != 0:
+        return False
+    committed = subprocess.check_output(
+        ["git", "show", "HEAD:SHUFFLES.md"], cwd=REPO, text=True
+    )
+    with open(os.path.join(REPO, "SHUFFLES.md")) as f:
+        fresh = f.read()
+    risen = risen_shuffles(committed, fresh)
+    if risen:
+        print("GATE shuffles: shuffle count rose vs committed SHUFFLES.md:")
+        for name, (old_n, new_n) in sorted(risen.items()):
+            print(f"  {name}: {old_n} -> {new_n}")
+        print(
+            "GATE shuffles: fix the plan regression, or commit the"
+            " refreshed ledger with a written adjudication if the"
+            " increase is intentional"
+        )
+    return not risen
+
+
 def step_ledger() -> bool:
     rc, _ = _run([sys.executable, "tools/make_coverage.py"])
     if rc != 0:
@@ -213,6 +280,7 @@ STEPS = {
     "pytest": step_pytest,
     "bench": step_bench,
     "scale": step_scale,
+    "shuffles": step_shuffles,
     "ledger": step_ledger,
 }
 

@@ -230,20 +230,63 @@ N_CENTROIDS = 16
 
 
 def ivf_assign(
-    vectors: DataFrame, centroids: DataFrame, nprobe: int = 1
+    vectors: DataFrame, centroids: DataFrame, nprobe: int = 1, keep_rank: bool = False
 ) -> DataFrame:
     """vectors (vec_id, emb) × centroids (centroid_id, c_emb) → (vec_id, emb,
     cell): the ``nprobe`` nearest centroids by dot product (vectors are
     unit-norm ⇒ same as cosine), ties to the lowest centroid_id. nprobe=1
-    is index assignment; nprobe>1 is the query-side multi-probe set."""
+    is index assignment; nprobe>1 is the query-side multi-probe set.
+    ``keep_rank`` additionally exposes the probe rank (1 = nearest cell) as
+    ``probe_rank`` so one max-nprobe assignment can serve every smaller
+    setting by filtering (the nprobe-curve flatten)."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "vec_id", "emb", "centroid_id", _dot(F.col("emb"), F.col("c_emb")).alias("dot")
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= nprobe
+    )
+    cols = ["vec_id", "emb", F.col("centroid_id").alias("cell")]
+    if keep_rank:
+        cols.append(F.col("_rn").alias("probe_rank"))
+    return ranked.select(*cols)
+
+
+def _score_pairs(
+    probes: DataFrame,
+    candidates: DataFrame,
+    on: str = "cell",
+    carry: tuple[str, ...] = (),
+    broadcast_probes: bool = False,
+) -> DataFrame:
+    """Bucketed-search scoring half: probes (query_id, q_emb, <on>) ⋈
+    candidates (vec_id, emb, <on>) on the bucket key → per-pair cosine.
+    Norms hoisted out of the per-pair score (see brute_force_topk);
+    ``carry`` passes extra probe-side columns through (e.g. probe_rank
+    for the nprobe-curve flatten)."""
+    q = probes.withColumn("q_norm", _norm(F.col("q_emb")))
+    if broadcast_probes:
+        q = F.broadcast(q)
+    return q.join(candidates.withColumn("c_norm", _norm(F.col("emb"))), on).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        *carry,
+    )
+
+
+def _topk_tail(
+    pairs: DataFrame, k: int = TOP_K, partition: tuple[str, ...] = ("query_id",)
+) -> DataFrame:
+    """Canonical per-partition cosine top-k tail: (cos DESC, neighbor_id
+    ASC) tie-break, rank as long. ONE definition so a cast/tie-break
+    change cannot drift between the IVF, sign-LSH, and filtered variants
+    (round-6 review)."""
+    w = W.partitionBy(*partition).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select("vec_id", "emb", F.col("centroid_id").alias("cell"))
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*partition, "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -254,29 +297,11 @@ def _cell_topk(
     on: str = "cell",
     broadcast_probes: bool = False,
 ) -> DataFrame:
-    """Shared bucketed-search body: probes (query_id, q_emb, <on>) ⋈
-    candidates (vec_id, emb, <on>) on the bucket key → per-query cosine
-    top-k with the canonical (cos DESC, neighbor_id ASC) tie-break. Norms
-    hoisted out of the per-pair score (see brute_force_topk). ONE
-    definition of the scoring tail so a cast/tie-break change cannot
-    drift between the IVF, sign-LSH, and filtered variants (round-6
-    review)."""
-    q = probes.withColumn("q_norm", _norm(F.col("q_emb")))
-    if broadcast_probes:
-        q = F.broadcast(q)
-    pairs = (
-        q.join(candidates.withColumn("c_norm", _norm(F.col("emb"))), on)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    """Shared bucketed-search body: _score_pairs + _topk_tail (see those
+    for the conventions)."""
+    return _topk_tail(
+        _score_pairs(probes, candidates, on=on, broadcast_probes=broadcast_probes),
+        k=k,
     )
 
 
@@ -1184,32 +1209,47 @@ def q_ann_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
     )
-    # NOT pinned: a review suggested persisting these loop invariants,
-    # but Spark already plans ReusedExchange across the 4-way union's
-    # identical subplans, and a measured pin() variant was ~1.7x SLOWER
-    # at sf0.1 (materialization + broken pipelining cost more than the
-    # re-execution it saves) — measured 2026-08, keep unpinned
+    # FLATTENED (r10, the customer_rfm-flatten class): the old form
+    # unioned 4 near-identical subplans — each setting re-ran its own
+    # probe assignment, probe×candidate join, and per-query window, so
+    # the shared work compiled and executed up to 4×. Now the probe
+    # assignment runs ONCE at max(nprobe) keeping the probe rank, the
+    # cosine scoring join runs ONCE over the union of probed cells, and
+    # the settings fan out as a row explode (pair with probe_rank r
+    # serves every n >= r) into a single (nprobe, query) top-k window —
+    # same values by construction (rn<=n filtering is monotone in n).
+    # NOT pinned: a review suggested persisting the loop invariants of
+    # the old form; a measured pin() variant was ~1.7x SLOWER at sf0.1
+    # (materialization + broken pipelining cost more than re-execution)
+    # — the flatten removes the re-execution instead.
     truth = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     candidates = ivf_assign(emb, centroids).filter(F.col("vec_id") >= N_QUERIES)
     qemb = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = None
     denom = float(N_QUERIES * TOP_K)
-    for n in NPROBE_CURVE:
-        probes = ivf_assign(qemb, centroids, nprobe=n).select(
-            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
+    probes = ivf_assign(
+        qemb, centroids, nprobe=max(NPROBE_CURVE), keep_rank=True
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "cell",
+        "probe_rank",
+    )
+    pairs = _score_pairs(probes, candidates, carry=("probe_rank",))
+    fanned = pairs.select(
+        "*",
+        F.explode(F.array(*[F.lit(n) for n in NPROBE_CURVE])).alias("nprobe"),
+    ).filter(F.col("probe_rank") <= F.col("nprobe"))
+    topk = _topk_tail(fanned, partition=("nprobe", "query_id"))
+    return (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_recovered"))
+        .select(
+            "nprobe",
+            "n_recovered",
+            F.round(F.col("n_recovered") / denom, 4).alias("recall_at_k"),
         )
-        topk = _cell_topk(probes, candidates).select("query_id", "neighbor_id")
-        rec = (
-            truth.join(topk, ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count("*").alias("n_recovered"))
-            .select(
-                F.lit(n).alias("nprobe"),
-                "n_recovered",
-                F.round(F.col("n_recovered") / denom, 4).alias("recall_at_k"),
-            )
-        )
-        out = rec if out is None else out.unionByName(rec)
-    return out
+    )
 
 
 def _nprobe_recall_oracle() -> str:

@@ -36,14 +36,17 @@ def _toks(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
-def token_ngrams(text: Column, n: int = NGRAM_N) -> Column:
-    """Space-joined token n-grams as an array column (empty if < n tokens)."""
+def token_ngrams(text: Column, n: int | Column = NGRAM_N) -> Column:
+    """Space-joined token n-grams as an array column (empty if < n tokens).
+    ``n`` may be a Column (the sweep flatten fans settings out as rows and
+    derives each row's n-grams from its own ``ngram_n`` value)."""
     toks = _toks(text)
+    n_col = n if isinstance(n, Column) else F.lit(n)
     return F.when(
-        F.size(toks) >= n,
+        F.size(toks) >= n_col,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(1), F.size(toks) - n_col + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n_col)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -776,37 +779,78 @@ ORACLE_CORPUS_FUNNEL = _funnel_oracle()
 # rate stabilizes. Each setting is the audited decontaminate shape: eval
 # n-grams distinct + broadcast, one semi-join over the train explode; the
 # train-doc denominator is computed once.
+#
+# FLATTENED (r10, the nprobe-flatten class): the old form unioned 4
+# near-identical subplans, re-scanning and re-tokenizing the corpus per
+# setting. Now the settings fan out as a row explode BEFORE the n-gram
+# derivation (token_ngrams takes the per-row ngram_n column), so the scan
+# + tokenize run once, the semi-join keys on (ngram_n, ngram), and one
+# groupBy rolls up all settings — same values (n-gram strings of
+# different n cannot collide across the composite key; a settings spine
+# keeps the zero-contamination rows the old per-setting count emitted).
 # ---------------------------------------------------------------------------
 NGRAM_SWEEP = [6, 8, 10, 13]
 
 
 def q_decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    train = d.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "text")
-    evald = d.filter(F.col("source") == EVAL_SOURCE).select("text")
+    # rebalance BEFORE the settings fan (the similarity.py embeddings
+    # precedent): the whole sweep is one Generate pipeline, and a corpus
+    # that scans as few partitions (the 17 MB fixture reads as ONE) would
+    # run it single-task — 4x the work of any one union branch with none
+    # of the old form's inter-branch stage parallelism (measured 10.4s vs
+    # 4.0s at sf0.1 without this). One row-group-sized shuffle of the raw
+    # text buys full-core parallelism for the 4-fanned tokenize+explode;
+    # at cluster scale the scan is already thousands of partitions and
+    # the rebalance is a cheap even-out, while the flatten saves three
+    # full corpus re-scans.
+    par = spark.sparkContext.defaultParallelism
+    train = (
+        d.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
+    evald = (
+        d.filter(F.col("source") == EVAL_SOURCE).select("text").repartition(par)
+    )
     n_train = train.count()  # scalar denominator, one cheap count
-    out = None
-    for n in NGRAM_SWEEP:
-        eval_ngrams = evald.select(
-            F.explode(token_ngrams(F.col("text"), n)).alias("ngram")
-        ).distinct()
-        contaminated = (
-            train.select(
-                "doc_id", F.explode(token_ngrams(F.col("text"), n)).alias("ngram")
-            )
-            .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
-            .select("doc_id")
-            .distinct()
+    ns = F.explode(
+        F.array(*[F.lit(n) for n in NGRAM_SWEEP])
+    ).alias("ngram_n")
+    eval_ngrams = (
+        evald.select("text", ns)
+        .select(
+            "ngram_n",
+            F.explode(token_ngrams(F.col("text"), F.col("ngram_n"))).alias("ngram"),
         )
-        rec = contaminated.agg(F.count("*").alias("n_contaminated")).select(
-            F.lit(n).alias("ngram_n"),
+        .distinct()
+    )
+    contaminated = (
+        train.select("doc_id", "text", ns)
+        .select(
+            "doc_id",
+            "ngram_n",
+            F.explode(token_ngrams(F.col("text"), F.col("ngram_n"))).alias("ngram"),
+        )
+        .join(F.broadcast(eval_ngrams), ["ngram_n", "ngram"], "left_semi")
+        .select("ngram_n", "doc_id")
+        .distinct()
+    )
+    spine = spark.range(1).select(ns)
+    counts = contaminated.groupBy("ngram_n").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return (
+        spine.join(counts, "ngram_n", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            "ngram_n",
             "n_contaminated",
             F.round(F.col("n_contaminated") / float(n_train), 4).alias(
                 "contaminated_frac"
             ),
         )
-        out = rec if out is None else out.unionByName(rec)
-    return out
+    )
 
 
 def _ngram_sweep_oracle() -> str:

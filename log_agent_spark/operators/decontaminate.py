@@ -211,21 +211,38 @@ FROM diff GROUP BY status
 # ---------------------------------------------------------------------------
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: distinct 8-grams, how many are corpus-first here, and the
-    novelty ratio."""
-    d = load_table(spark, sf_dir, "documents")
+    novelty ratio.
+
+    r10 shape: the gram table is never joined back to itself. A gram is
+    novel for exactly the doc holding its MIN(doc_id), so n_novel per
+    doc is just a COUNT over the (small) per-ngram first-doc table —
+    both sides reduce to |docs|-row aggregates that join at the end,
+    replacing the old |grams|⋈|grams'| join + re-aggregation (a window
+    MIN over the ngram partition was measured WORSE — WindowExec sorts
+    the full gram table, the hash aggregate doesn't). The corpus is also
+    rebalanced before the explode (the fixture scans as one partition,
+    which made the tokenize+explode stage single-task; at cluster scale
+    the rebalance is a cheap even-out). Same-session A/B best-of-3 at
+    sf0.1: 3.0s → 1.2s; values identical by the min-partition
+    identity."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = d.select(
         "doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram")
     ).distinct()
-    first = grams.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        grams.join(first, "ngram")
+    counts = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_ngrams")
+    )
+    novel = (
+        grams.groupBy("ngram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct_ngrams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        counts.join(novel, "doc_id", "left")
+        .na.fill({"n_novel": 0})
         .select(
             "doc_id",
             "n_distinct_ngrams",

@@ -78,7 +78,12 @@ GROUP BY split
 # with the pipeline that enforces them.
 # Scale: one scan computes all single-pass metrics (one agg row); the
 # dedup rate is one md5-distinct aggregate; contamination is the audited
-# broadcast semi-join. Three passes total, all map-side heavy.
+# broadcast semi-join. Three passes total, all map-side heavy — over a
+# REBALANCED corpus: the fixture scans as one partition, which ran the
+# md5/tokenize partials and the contamination explode single-task
+# (same-session A/B best-of-3 at sf0.1: 3.8s → 1.3s with the rebalance;
+# at cluster scale the input is already many partitions and the
+# round-robin exchange is a cheap even-out).
 # ---------------------------------------------------------------------------
 def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_agent_spark.operators.decontaminate import (
@@ -88,7 +93,9 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_ngrams,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ntoks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
     qpred = (ntoks >= MIN_TOKENS) & (
         F.length("text") / ntoks <= MAX_MEAN_WORD_LEN

@@ -412,13 +412,24 @@ def q_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash ONCE per order, BEFORE the B-way explode — md5+conv is ~the
     # whole per-row cost, and computing it post-explode would repeat it
     # B times per order (measured ~2x total query time at sf0.1).
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").cast("decimal(18,4)").alias("v"),
-        F.conv(
-            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    # Rebalance first (r10): the fixture scans orders as 3 partitions, so
+    # the md5 + 32-way fan + finalizer pipeline ran on 3 cores
+    # (same-session A/B best-of-3 at sf0.1: 2.3s → 1.0s rebalanced); at
+    # cluster scale the scan is already wide and the exchange is a cheap
+    # even-out next to the B-way explode it feeds.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("o_totalprice").cast("decimal(18,4)").alias("v"),
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h32"),
         )
-        .cast("bigint")
-        .alias("h32"),
     )
     reps = o.select(
         "h32",

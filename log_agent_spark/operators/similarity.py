@@ -1240,10 +1240,20 @@ def q_ann_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(n) for n in NPROBE_CURVE])).alias("nprobe"),
     ).filter(F.col("probe_rank") <= F.col("nprobe"))
     topk = _topk_tail(fanned, partition=("nprobe", "query_id"))
-    return (
+    counts = (
         topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
         .agg(F.count("*").alias("n_recovered"))
+    )
+    # settings spine: a setting that recovers NOTHING must still emit its
+    # (n, 0, 0.0) row like the old per-setting agg (and the oracle's
+    # UNION ALL) did — groupBy drops empty groups (degenerate-sweep catch)
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in NPROBE_CURVE])).alias("nprobe")
+    )
+    return (
+        spine.join(counts, "nprobe", "left")
+        .na.fill({"n_recovered": 0})
         .select(
             "nprobe",
             "n_recovered",

@@ -97,6 +97,29 @@ def test_dedup_incremental_prior_broadcast_is_count_guarded(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_dedup_incremental_shuffle_path_equals_broadcast_path(spark, monkeypatch):
+    """Guard invariance: forcing the over-limit route (shuffle anti-join)
+    must produce byte-identical results to the broadcast route — the
+    guard is a plan decision, never a semantics decision."""
+    from log_agent_spark.operators import dedup
+
+    base = sorted(
+        dedup.q_dedup_incremental(spark, SF).collect(),
+        key=lambda r: r.lang,
+    )
+    # force the over-limit route by making the guard a pass-through (the
+    # limit default is frozen at def time, so patching the module global
+    # would NOT reach it — the SHINGLE_DF_CAP import-freeze class)
+    monkeypatch.setattr(
+        dedup, "maybe_broadcast", lambda df, n_rows_bound, limit=0: df
+    )
+    forced = sorted(
+        dedup.q_dedup_incremental(spark, SF).collect(),
+        key=lambda r: r.lang,
+    )
+    assert base == forced
+
+
 def test_maybe_broadcast_guard_routes_on_bound(spark):
     from log_agent_spark.bcast import maybe_broadcast
 

@@ -79,6 +79,35 @@ def opt_plans(all_plans):
     return all_plans[1]
 
 
+# Row-at-a-time Python allowances: query -> why the pickled-row path is
+# the POINT of the query rather than an accident, with its input bound.
+ROW_PYTHON_OK = {
+    # §2.7 UDAF/UDTF surface: a Python UDTF necessarily plans as
+    # BatchEvalPythonUDTF — this query EXISTS to exercise that extension
+    # point, and its input is hard-bounded (doc_id < 50) so the slow path
+    # never sees data-scaled rows. The hot-path splitters are the
+    # built-in split/explode (complex_types.py docstring).
+    "text_udtf_words": "UDTF surface demo, input bounded to 50 docs",
+}
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    """Mechanizes the per-round manual audit: Python on the datapath must
+    be Arrow-batched (ArrowEvalPython / MapInPandas / MapInArrow /
+    FlatMapGroupsInPandas — 10-100x the row-at-a-time throughput). A
+    plain ``F.udf`` (or UDTF) plans as BatchEvalPython* (pickled row
+    pipes); none is allowed in any registered query's physical plan
+    outside the explicit bounded-input allowances above."""
+    bad = {
+        n: "BatchEvalPython"
+        for n, p in plans.items()
+        if "BatchEvalPython" in p and n not in ROW_PYTHON_OK
+    }
+    assert not bad, sorted(bad)
+    stale = [n for n in ROW_PYTHON_OK if "BatchEvalPython" not in plans[n]]
+    assert not stale, f"allowance no longer needed: {stale}"
+
+
 def test_no_cartesian_product_anywhere(plans):
     # Broadcast cross joins of one-row stats/total tables are fine
     # (BroadcastNestedLoopJoin is bounded by the broadcast side); the

@@ -64,6 +64,12 @@ REPRESENTATIVES = [
     # converts to BroadcastHashJoin at fixture scale)
     ("Retention cohort (per-user first-seen join UNHINTED — AQE picks broadcast at this SF, shuffle join at 100x)", "events_retention_cohort"),
     ("Supplier lead time (supplier dim unhinted, nation hint kept — only constant-size tables carry hints)", "supplier_leadtime"),
+    # round-10-touched families: the r10 sweep finished the hint policy
+    # (part/supplier unhinted in every TPC-H plan) and the flatten class
+    # collapsed per-setting union loops into one plan
+    ("TPC-H Q9 profit (part + supplier slices UNHINTED after the r10 sweep; nation keeps its constant-size hint)", "q09_product_profit"),
+    ("nprobe recall curve (FLATTENED: one max-nprobe probe assignment, settings fanned as a row explode into a single (nprobe, query) top-k window — was a 4-way union of near-identical subplans, 56 -> ~15 static shuffles)", "ann_nprobe_recall"),
+    ("n-gram sweep (FLATTENED: settings explode BEFORE the n-gram derivation, one scan+tokenize; rebalance ahead of the fan because fixture files are single row groups)", "decontam_ngram_sweep"),
 ]
 
 

@@ -34,6 +34,12 @@ Steps, in order:
   ledger   tools/make_coverage.py, then `git status --porcelain` must
            be empty apart from the artifacts the chain itself just
            refreshed — commit those and re-run ledger for a clean exit.
+  soak     OPT-IN (not in the default chain — name it via --only): the
+           full standing-pipeline endurance run with injected sink
+           crashes (tools/soak.py, ~4-6 min). Kept out of the default
+           because its latency gates measure host weather a loaded
+           round-end box can fail spuriously; run it whenever streaming
+           sinks/state/supervisor code changed.  ~5 min
 
 Each step streams its child output; the gate's own verdict lines are
 prefixed GATE. Exit code 0 = every requested step green.
@@ -52,7 +58,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # artifacts the chain itself refreshes; dirty-tree entries for these are
 # reported as "commit me" rather than failing the ledger step outright
-CHAIN_ARTIFACTS = {"BENCH_DETAIL.json", "SCALING.md", "COVERAGE.json", "SHUFFLES.md"}
+CHAIN_ARTIFACTS = {
+    "BENCH_DETAIL.json",
+    "SCALING.md",
+    "COVERAGE.json",
+    "SHUFFLES.md",
+    "SOAK.md",  # refreshed only by the opt-in soak step
+}
 
 
 def _run(cmd: list[str]) -> tuple[int, str]:
@@ -274,6 +286,11 @@ def step_ledger() -> bool:
     return True
 
 
+def step_soak() -> bool:
+    rc, out = _run([sys.executable, "tools/soak.py"])
+    return rc == 0 and "SOAK PASS" in out
+
+
 STEPS = {
     "mirror": step_mirror,
     "sweep": step_sweep,
@@ -282,12 +299,16 @@ STEPS = {
     "scale": step_scale,
     "shuffles": step_shuffles,
     "ledger": step_ledger,
+    "soak": step_soak,
 }
+
+# steps that run only when NAMED (--only): see the docstring
+OPTIONAL_STEPS = {"soak"}
 
 
 def main() -> int:
     args = sys.argv[1:]
-    selected = list(STEPS)
+    selected = [s for s in STEPS if s not in OPTIONAL_STEPS]
     i = 0
     while i < len(args):
         a = args[i]

@@ -59,11 +59,17 @@ _MODULES = [
 #    Hint removal / guarding never changes values, but the bodies changed
 #    so they get driver re-proof (AQE fixture-scale BHJ pinned by
 #    tests/test_broadcast_hint_sweep.py),
+#  - four serial-scan rebalances landed late in r10 (the measured
+#    text_repetition_gates / text_decontaminate / dedup_repeated_spans /
+#    dedup_minhash_estimate input rebalances — body changes, so they get
+#    driver re-proof in this window, displacing the last four singles
+#    back into the r11 backlog),
 #  - oldest-first second-signal fill (77 singles after r9, VERDICT r9
 #    item 3): the two r3 singles deferred at r9 (text_ngram_novelty,
-#    window_range_frame), all 31 r4 singles, then the r5 singles
-#    alphabetically as far as the window reaches (through
-#    dedup_cluster_sizes); the rest rotate in from r11.
+#    window_range_frame) and all 31 r4 singles; the r5 singles rotate in
+#    from r11 (the four rebalance slots above displaced the r5 head:
+#    al_margin_sample, ann_ndcg_report, debounce_keep_last,
+#    dedup_cluster_sizes).
 _R10_WINDOW = [
     # canary
     "q01_pricing_summary",
@@ -80,6 +86,12 @@ _R10_WINDOW = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "dedup_incremental",
+    # r10 body-changed: serial-scan rebalances (measured wins; see the
+    # per-body comments and SHUFFLES.md adjudication)
+    "text_repetition_gates",
+    "text_decontaminate",
+    "dedup_repeated_spans",
+    "dedup_minhash_estimate",
     # oldest single-signal queries: the two r3 leftovers, then r4
     # alphabetical, then r5 alphabetical
     "text_ngram_novelty",
@@ -115,10 +127,6 @@ _R10_WINDOW = [
     "training_manifest",
     "unpivot_measures",
     "winsorized_stats",
-    "al_margin_sample",
-    "ann_ndcg_report",
-    "debounce_keep_last",
-    "dedup_cluster_sizes",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

@@ -73,7 +73,14 @@ _SQL_NGRAMS = _sql_ngrams_n(NGRAM_N)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs (source != EVAL_SOURCE) sharing >= 1 token 8-gram with
     the eval split, with distinct-hit counts and overlap ratio (4dp)."""
-    d = load_table(spark, sf_dir, "documents")
+    # Rebalance first (r10): the fixture documents parquet is ONE row
+    # group, so the two train-side 8-gram tokenize passes ran single-task
+    # (same-session A/B best-of-3 at sf0.1: 3.7s → 1.2s rebalanced); at
+    # cluster scale the scan is already wide and the exchange is cheap
+    # next to the explode it feeds.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     eval_ngrams = (
         d.filter(F.col("source") == EVAL_SOURCE)
         .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))
@@ -500,7 +507,15 @@ DUP_RATIO_CUT = 0.2
 
 
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Rebalance first (r10): single-row-group fixture scan — the 8-gram
+    # explode below otherwise runs single-task (same-session A/B
+    # best-of-3 at sf0.1: 3.0s → 1.1s rebalanced); cheap even-out at
+    # cluster scale where the scan is already wide.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+    )
     spans = d.select(
         "doc_id", F.explode(token_ngrams(F.col("text"))).alias("ngram")
     )

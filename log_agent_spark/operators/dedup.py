@@ -543,7 +543,13 @@ FROM bands a JOIN bands b
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per LSH candidate pair: minhash agreement count + estimated
     Jaccard vs exact shingle Jaccard."""
-    docs = with_planted_dups(load_table(spark, sf_dir, "documents"))
+    # Rebalance first (r10): single-row-group fixture scan — the minhash
+    # signature + shingle-array maps otherwise run single-task
+    # (same-session A/B best-of-3 at sf0.1: 3.2s → 2.2s rebalanced);
+    # cheap even-out at cluster scale where the scan is already wide.
+    docs = with_planted_dups(
+        load_table(spark, sf_dir, "documents")
+    ).repartition(spark.sparkContext.defaultParallelism)
     # ONE signature pipeline expression feeds both the band self-join and
     # the per-pair signature columns (round-6 review); deliberately NOT
     # pin()ed — identical subtrees get ReusedExchange from Catalyst, and

@@ -1882,7 +1882,14 @@ def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds — pure integer pass/fail on both engines."""
     from log_agent_spark.operators.decontaminate import token_ngrams
 
-    d = load_table(spark, sf_dir, "documents")
+    # Rebalance first (r10): the fixture documents parquet is ONE row
+    # group, so the three tokenize+explode passes below ran single-task
+    # (same-session A/B best-of-3 at sf0.1: 4.2s → 2.3s rebalanced); at
+    # cluster scale the scan is already wide and the exchange is a cheap
+    # even-out next to the n-gram explodes it feeds.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = d.select(
         "doc_id",
         "source",

@@ -59,17 +59,17 @@ _MODULES = [
 #    Hint removal / guarding never changes values, but the bodies changed
 #    so they get driver re-proof (AQE fixture-scale BHJ pinned by
 #    tests/test_broadcast_hint_sweep.py),
-#  - four serial-scan rebalances landed late in r10 (the measured
-#    text_repetition_gates / text_decontaminate / dedup_repeated_spans /
-#    dedup_minhash_estimate input rebalances — body changes, so they get
-#    driver re-proof in this window, displacing the last four singles
-#    back into the r11 backlog),
+#  - five serial-scan rebalances landed late in r10 (the measured
+#    text_repetition_gates / text_decontaminate / text_contamination_spans
+#    / dedup_repeated_spans / dedup_minhash_estimate input rebalances —
+#    body changes, so they get driver re-proof in this window, displacing
+#    the last five singles back into the r11 backlog),
 #  - oldest-first second-signal fill (77 singles after r9, VERDICT r9
 #    item 3): the two r3 singles deferred at r9 (text_ngram_novelty,
-#    window_range_frame) and all 31 r4 singles; the r5 singles rotate in
-#    from r11 (the four rebalance slots above displaced the r5 head:
-#    al_margin_sample, ann_ndcg_report, debounce_keep_last,
-#    dedup_cluster_sizes).
+#    window_range_frame) and the first 30 r4 singles; the rest rotate in
+#    from r11 (the five rebalance slots above displaced the r4 tail
+#    winsorized_stats and the r5 head: al_margin_sample, ann_ndcg_report,
+#    debounce_keep_last, dedup_cluster_sizes).
 _R10_WINDOW = [
     # canary
     "q01_pricing_summary",
@@ -90,6 +90,7 @@ _R10_WINDOW = [
     # per-body comments and SHUFFLES.md adjudication)
     "text_repetition_gates",
     "text_decontaminate",
+    "text_contamination_spans",
     "dedup_repeated_spans",
     "dedup_minhash_estimate",
     # oldest single-signal queries: the two r3 leftovers, then r4
@@ -126,7 +127,6 @@ _R10_WINDOW = [
     "time_weighted_avg",
     "training_manifest",
     "unpivot_measures",
-    "winsorized_stats",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

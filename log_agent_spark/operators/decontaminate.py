@@ -294,7 +294,13 @@ GROUP BY doc_id ORDER BY doc_id
 def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per contaminated training doc: longest consecutive matched-8-gram
     span (in tokens), total matched n-grams, and island count."""
-    d = load_table(spark, sf_dir, "documents")
+    # Rebalance first (r10): single-row-group fixture scan — the
+    # posexplode tokenize pass otherwise runs single-task (same-session
+    # A/B best-of-3 at sf0.1: 3.1s → 1.5s rebalanced); cheap even-out at
+    # cluster scale where the scan is already wide.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     eval_ngrams = (
         d.filter(F.col("source") == EVAL_SOURCE)
         .select(F.explode(token_ngrams(F.col("text"))).alias("ngram"))

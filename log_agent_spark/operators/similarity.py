@@ -1434,6 +1434,11 @@ _CENTROID_Q = 1 << 20
 def _label_centroid_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, c_label, cos, rn) — every vector scored against every
     label centroid, rn = 1 for the nearest centroid (ties → lower label)."""
+    # Deliberately NOT rebalanced (r10 A/B, best-of-3 at sf0.1): an input
+    # repartition of the embeddings scan makes both consumers SLOWER
+    # (label_noise_audit 1.36→1.69s, al_margin_sample 1.51→1.93s) — the
+    # 2,000-vector frame is small enough that the exchange overhead
+    # exceeds the serial-scan cost it removes.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),

@@ -59,17 +59,21 @@ _MODULES = [
 #    Hint removal / guarding never changes values, but the bodies changed
 #    so they get driver re-proof (AQE fixture-scale BHJ pinned by
 #    tests/test_broadcast_hint_sweep.py),
-#  - five serial-scan rebalances landed late in r10 (the measured
-#    text_repetition_gates / text_decontaminate / text_contamination_spans
-#    / dedup_repeated_spans / dedup_minhash_estimate input rebalances —
-#    body changes, so they get driver re-proof in this window, displacing
-#    the last five singles back into the r11 backlog),
+#  - six perf bodies landed late in r10 (the five measured serial-scan
+#    rebalances text_repetition_gates / text_decontaminate /
+#    text_contamination_spans / dedup_repeated_spans /
+#    dedup_minhash_estimate, plus pipeline_corpus_funnel for the
+#    corpus_stage_flags shared-exchange fix — its other consumer
+#    pipeline_corpus_build is already in the singles fill below); body
+#    changes get driver re-proof in this window, displacing the last six
+#    singles back into the r11 backlog,
 #  - oldest-first second-signal fill (77 singles after r9, VERDICT r9
 #    item 3): the two r3 singles deferred at r9 (text_ngram_novelty,
-#    window_range_frame) and the first 30 r4 singles; the rest rotate in
-#    from r11 (the five rebalance slots above displaced the r4 tail
-#    winsorized_stats and the r5 head: al_margin_sample, ann_ndcg_report,
-#    debounce_keep_last, dedup_cluster_sizes).
+#    window_range_frame) and the first 29 r4 singles; the rest rotate in
+#    from r11 (the six perf slots above displaced the r4 tail
+#    unpivot_measures + winsorized_stats and the r5 head:
+#    al_margin_sample, ann_ndcg_report, debounce_keep_last,
+#    dedup_cluster_sizes).
 _R10_WINDOW = [
     # canary
     "q01_pricing_summary",
@@ -93,6 +97,9 @@ _R10_WINDOW = [
     "text_contamination_spans",
     "dedup_repeated_spans",
     "dedup_minhash_estimate",
+    # r10 body-changed: corpus_stage_flags shared-exchange fix (its other
+    # consumer, pipeline_corpus_build, is already in the singles fill)
+    "pipeline_corpus_funnel",
     # oldest single-signal queries: the two r3 leftovers, then r4
     # alphabetical, then r5 alphabetical
     "text_ngram_novelty",
@@ -126,7 +133,6 @@ _R10_WINDOW = [
     "sql_interface",
     "time_weighted_avg",
     "training_manifest",
-    "unpivot_measures",
 ]
 
 # Stable alias for tools (tools/make_coverage.py): the per-round list above

@@ -624,9 +624,24 @@ def corpus_stage_flags(d: DataFrame, plant_fixture_dups: bool = False) -> DataFr
             Window.partitionBy(F.md5("text"))
         ),
     )
-    exact = keyed.filter(
-        F.col("q") & (F.col("doc_id") == F.col("rootq"))
-    ).select("doc_id", "text")
+    # The explicit repartition gives the four heavy consumers below (the
+    # LSH signature pipeline, the two token-set sides, the n-gram
+    # explode) ONE shared exchange subtree: without it, per-consumer
+    # column pruning pushes different projections below the md5-window
+    # exchange, the subtrees stop being identical, and the whole
+    # scan→quality→window prefix recomputes once per leg (r10 A/B,
+    # interleaved best-of-5 medians at sf0.1: funnel agg 3.67s → 2.55s;
+    # NOT an AQE-coalesce artifact — measured unchanged with
+    # spark.sql.adaptive.coalescePartitions.enabled=false). It also
+    # guarantees the legs run at defaultParallelism. At cluster scale one
+    # reused exchange of the deduped corpus replaces four recomputes of
+    # the scan+window prefix — the same trade the serial-scan rebalances
+    # make, one stage later.
+    exact = (
+        keyed.filter(F.col("q") & (F.col("doc_id") == F.col("rootq")))
+        .select("doc_id", "text")
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+    )
     tokset = F.array_distinct(_toks(F.col("text")))
     ta = exact.select(F.col("doc_id").alias("doc_a"), tokset.alias("ta"))
     tb = exact.select(F.col("doc_id").alias("doc_b"), tokset.alias("tb"))

@@ -35,7 +35,7 @@ REPRESENTATIVES = [
     ("Avro OCF round trip (Python DataSource scan, one task per part file)", "ingest_avro_roundtrip"),
     ("Split-leakage audit (split = pure hash of id: no join beyond the LSH candidate join)", "dedup_split_leakage"),
     ("IVF multi-probe (broadcast centroid assignment, per-query k-row probe window, cell equi-join)", "ann_ivf_multiprobe"),
-    ("Curation build (single flags lineage, two bounded exclusion side-tables, map-side split)", "pipeline_corpus_build"),
+    ("Curation build (single flags lineage; exact-dedup survivors pass one shared repartition the four heavy legs ReusedExchange; map-side split)", "pipeline_corpus_build"),
     ("Distributed exact NTILE (range repartition + P-row offset table; no SinglePartition sort)", "curriculum_quality_bins"),
     ("PMI collocations (two keyed counts with partial agg, broadcast unigram model, TakeOrdered top-k)", "text_pmi_top_pairs"),
     # round-6-touched families (VERDICT r6 stretch 7): the plan evidence

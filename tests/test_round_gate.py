@@ -19,14 +19,16 @@ _SPEC.loader.exec_module(round_gate)  # type: ignore[union-attr]
 
 _HEADER = (
     "# SHUFFLES — per-query plan-shape ledger\n\n"
-    "| query | shuffle | bcast | reused | BHJ | SMJ | BNLJ | cartesian | topk | pyarrow |\n"
-    "|---|---|---|---|---|---|---|---|---|---|\n"
+    "| query | shuffle | bcast | reused | BHJ | SMJ | BNLJ | cartesian | topk | pyarrow | single_part |\n"
+    "|---|---|---|---|---|---|---|---|---|---|---|\n"
 )
 
 
-def _ledger(rows: dict[str, int]) -> str:
+def _ledger(rows: dict[str, int], single: dict[str, int] | None = None) -> str:
+    single = single or {}
     body = "".join(
-        f"| `{name}` | {n} | 0 | 0 | 1 | 0 | 0 | 0 | 0 | 0 |\n"
+        f"| `{name}` | {n} | 0 | 0 | 1 | 0 | 0 | 0 | 0 | 0 |"
+        f" {single.get(name, 0)} |\n"
         for name, n in rows.items()
     )
     return _HEADER + body + "\nTotals: x shuffle exchanges across y queries.\n"
@@ -57,6 +59,34 @@ def test_parse_tolerates_prose_and_malformed_rows():
         "| `broken` | not-a-number | ... |\n| not a table row\nplain prose |\n"
     )
     assert round_gate.parse_shuffle_ledger(text) == {"ok": 4}
+
+
+def test_single_part_plus_one_trips_the_gate():
+    """A new Exchange SinglePartition on an untouched query (e.g. an
+    unpartitioned window creeping into a refactor) must trip the gate
+    even when the total shuffle count is unchanged."""
+    committed = _ledger({"a": 2, "b": 5}, single={"b": 1})
+    fresh = _ledger({"a": 2, "b": 5}, single={"b": 2})
+    assert round_gate.risen_shuffles(committed, fresh) == {}
+    assert round_gate.risen_shuffles(committed, fresh, "single_part") == {
+        "b": (1, 2)
+    }
+
+
+def test_single_part_diff_skips_pre_column_committed_ledger():
+    """Diffing against a committed ledger from before the single_part
+    column existed must not trip (no prior to compare) — the first
+    regenerated ledger simply becomes the prior."""
+    old_header = (
+        "# SHUFFLES — per-query plan-shape ledger\n\n"
+        "| query | shuffle | bcast | reused | BHJ | SMJ | BNLJ | cartesian | topk | pyarrow |\n"
+        "|---|---|---|---|---|---|---|---|---|---|\n"
+        "| `a` | 2 | 0 | 0 | 1 | 0 | 0 | 0 | 0 | 0 |\n"
+    )
+    fresh = _ledger({"a": 2}, single={"a": 3})
+    assert round_gate.risen_shuffles(old_header, fresh, "single_part") == {}
+    # the shuffle column still diffs across the format change
+    assert round_gate.risen_shuffles(old_header, fresh, "shuffle") == {}
 
 
 def test_committed_shuffles_md_parses_nonempty():

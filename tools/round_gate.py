@@ -201,34 +201,47 @@ def step_scale() -> bool:
     return not bad
 
 
-def parse_shuffle_ledger(text: str) -> dict[str, int]:
-    """Extract {query: shuffle_count} from a SHUFFLES.md table. The query
-    column is backtick-quoted and `shuffle` is the first count column —
-    stable properties of tools/shuffle_ledger.py's output."""
+def parse_shuffle_ledger(
+    text: str, column: str = "shuffle"
+) -> dict[str, int]:
+    """Extract {query: count} for one count column of a SHUFFLES.md
+    table. The query column is backtick-quoted; other columns are found
+    by header name, so the parser survives appended columns. Returns {}
+    when the header lacks `column` (e.g. a committed ledger from before
+    that column existed — the gate then has no prior to diff)."""
     rows: dict[str, int] = {}
+    col_idx: int | None = None
     for line in text.splitlines():
+        if col_idx is None and line.startswith("| query |"):
+            header = [c.strip() for c in line.strip().strip("|").split("|")]
+            if column not in header:
+                return {}
+            col_idx = header.index(column)
+            continue
         if not line.startswith("| `"):
             continue
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if len(cells) < 2:
+        if col_idx is None or len(cells) <= col_idx:
             continue
         try:
-            rows[cells[0].strip("` ")] = int(cells[1])
+            rows[cells[0].strip("` ")] = int(cells[col_idx])
         except ValueError:
             continue
     return rows
 
 
-def risen_shuffles(committed: str, fresh: str) -> dict[str, tuple[int, int]]:
-    """Queries whose shuffle count ROSE in `fresh` vs `committed`.
+def risen_shuffles(
+    committed: str, fresh: str, column: str = "shuffle"
+) -> dict[str, tuple[int, int]]:
+    """Queries whose `column` count ROSE in `fresh` vs `committed`.
 
     Only increases on queries present in BOTH ledgers fail the gate: a
     new query has no prior (its first ledger row IS the prior), and a
     decrease is the optimization working — both just leave SHUFFLES.md
     for the ledger step's commit-me list.
     """
-    old = parse_shuffle_ledger(committed)
-    new = parse_shuffle_ledger(fresh)
+    old = parse_shuffle_ledger(committed, column)
+    new = parse_shuffle_ledger(fresh, column)
     return {
         name: (old[name], count)
         for name, count in new.items()
@@ -245,17 +258,24 @@ def step_shuffles() -> bool:
     )
     with open(os.path.join(REPO, "SHUFFLES.md")) as f:
         fresh = f.read()
-    risen = risen_shuffles(committed, fresh)
-    if risen:
-        print("GATE shuffles: shuffle count rose vs committed SHUFFLES.md:")
-        for name, (old_n, new_n) in sorted(risen.items()):
-            print(f"  {name}: {old_n} -> {new_n}")
+    ok = True
+    for column in ("shuffle", "single_part"):
+        risen = risen_shuffles(committed, fresh, column)
+        if risen:
+            ok = False
+            print(
+                f"GATE shuffles: {column} count rose vs committed"
+                " SHUFFLES.md:"
+            )
+            for name, (old_n, new_n) in sorted(risen.items()):
+                print(f"  {name}: {old_n} -> {new_n}")
+    if not ok:
         print(
             "GATE shuffles: fix the plan regression, or commit the"
             " refreshed ledger with a written adjudication if the"
             " increase is intentional"
         )
-    return not risen
+    return ok
 
 
 def step_ledger() -> bool:

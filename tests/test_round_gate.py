@@ -83,10 +83,14 @@ def test_single_part_diff_skips_pre_column_committed_ledger():
         "|---|---|---|---|---|---|---|---|---|---|\n"
         "| `a` | 2 | 0 | 0 | 1 | 0 | 0 | 0 | 0 | 0 |\n"
     )
-    fresh = _ledger({"a": 2}, single={"a": 3})
+    fresh = _ledger({"a": 3}, single={"a": 3})
     assert round_gate.risen_shuffles(old_header, fresh, "single_part") == {}
-    # the shuffle column still diffs across the format change
-    assert round_gate.risen_shuffles(old_header, fresh, "shuffle") == {}
+    # the shuffle column still diffs across the format change — a real
+    # rise (2 -> 3) must be detected even though the fresh ledger has an
+    # extra column the committed one lacks
+    assert round_gate.risen_shuffles(old_header, fresh, "shuffle") == {
+        "a": (2, 3)
+    }
 
 
 def test_committed_shuffles_md_parses_nonempty():

@@ -260,6 +260,17 @@ def step_shuffles() -> bool:
         fresh = f.read()
     ok = True
     for column in ("shuffle", "single_part"):
+        # the FRESH ledger is generated by our own tool this run: a gated
+        # column missing from it means the tool lost the column and the
+        # detector would silently become a no-op — fail loudly instead
+        if not parse_shuffle_ledger(fresh, column):
+            print(
+                f"GATE shuffles: freshly generated SHUFFLES.md has no"
+                f" parseable `{column}` column — tools/shuffle_ledger.py"
+                " and the gate parser are out of sync"
+            )
+            ok = False
+            continue
         risen = risen_shuffles(committed, fresh, column)
         if risen:
             ok = False

@@ -58,7 +58,12 @@ SF = os.environ.get("SPARK_GRAFT_LEDGER_SF", "/root/testdata/sf0.001")
 OUT = os.path.join(REPO, "SHUFFLES.md")
 
 COUNTERS = [
-    # column, regex over plan text
+    # column, regex over plan text. The exchange counters are evaluated
+    # per-line with ReusedExchange lines EXCLUDED (see _count): a reused
+    # exchange renders as "ReusedExchange [cols], Exchange SinglePartition,
+    # ..." — the Exchange text there describes the reuse TARGET, not a new
+    # exchange, and counting it would make a pure static-reuse optimization
+    # look like a plan regression to the gate.
     ("shuffle", re.compile(r"\bExchange (hash|range|SinglePartition|RoundRobin|rebalance)", re.I)),
     ("bcast", re.compile(r"\bBroadcastExchange\b")),
     ("reused", re.compile(r"\bReusedExchange\b")),
@@ -79,6 +84,22 @@ COUNTERS = [
 ]
 
 
+# exchange-node columns whose regex can also match the reuse-target text
+# inside a "ReusedExchange [...], Exchange ..." line — those lines are a
+# reuse, not a new exchange, and must not count
+_EXCHANGE_COLS = {"shuffle", "bcast", "single_part"}
+
+
+def _count(col: str, rx: re.Pattern, plan: str) -> int:
+    if col not in _EXCHANGE_COLS:
+        return len(rx.findall(plan))
+    return sum(
+        len(rx.findall(line))
+        for line in plan.splitlines()
+        if "ReusedExchange" not in line
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from log_agent_spark.scratch import _persistent_ids, _release_new
@@ -93,7 +114,7 @@ def main() -> None:
             plan = df._jdf.queryExecution().executedPlan().toString()
         finally:
             _release_new(spark, before)
-        counts = {col: len(rx.findall(plan)) for col, rx in COUNTERS}
+        counts = {col: _count(col, rx, plan) for col, rx in COUNTERS}
         rows.append((name, counts))
 
     rows.sort(key=lambda r: (-r[1]["shuffle"], r[0]))

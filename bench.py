@@ -270,12 +270,48 @@ def _canary_sample() -> float:
     return best
 
 
+def _mc_spin(iters: int) -> int:
+    x = 0
+    for i in range(iters):
+        x = (x * 31 + i) & 0xFFFFFFFF
+    return x
+
+
+def _canary_mc_sample(nproc: int = 8) -> float:
+    """Min-of-2 wall time for `nproc` CONCURRENT spins in separate
+    processes (threads would serialize on the GIL). The single-thread
+    canary measures host speed for ONE core and systematically
+    under-measures multi-core steal: twice in the r10 round-end window a
+    spread-clean run still carried 1.5-2x inflation concentrated on the
+    parallel-heavy (graph/funnel) queries. This sample inflates with
+    aggregate core contention. REPORT-ONLY for now — recorded in the
+    canary dict (mc_start/mc_mid/mc_end/mc_spread) so quiet-vs-contended
+    history accumulates in committed BENCH_DETAILs; gating needs that
+    calibration first (pool spawn overhead and the 8-of-32-core shape
+    make its quiet-window variance different from the scalar spin's)."""
+    import multiprocessing as mp
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with mp.Pool(nproc) as pool:
+            pool.map(_mc_spin, [_CANARY_ITERS] * nproc)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _canary_verdict(canary: dict) -> list[str]:
     """Annotate the canary dict with spread / vs_baseline and return the
     contamination findings (empty = run is publishable). Pure, for tests."""
     c_vals = [canary["start"], canary["mid"], canary["end"]]
     canary["spread"] = round(max(c_vals) / min(c_vals), 3)
     canary["vs_baseline"] = round(min(c_vals) / CANARY_BASELINE_SEC, 3)
+    mc_vals = [
+        canary[k] for k in ("mc_start", "mc_mid", "mc_end") if k in canary
+    ]
+    if len(mc_vals) == 3:
+        # report-only (see _canary_mc_sample): never contaminates the run
+        canary["mc_spread"] = round(max(mc_vals) / min(mc_vals), 3)
     contaminated: list[str] = []
     if canary["spread"] > CANARY_SPREAD_LIMIT:
         contaminated.append(
@@ -383,10 +419,12 @@ def main() -> None:
     retimed: list[str] = []  # queries that needed the third attempt
     retimed_vs_prior: list[str] = []  # third attempt forced by the prior
     canary = {"start": round(_canary_sample(), 3)}
+    canary["mc_start"] = round(_canary_mc_sample(), 3)
     mid_at = len(headline) // 2
     for qi, name in enumerate(headline):
         if qi == mid_at:
             canary["mid"] = round(_canary_sample(), 3)
+            canary["mc_mid"] = round(_canary_mc_sample(), 3)
         attempts: list[float] = []
         n_attempts = 3 if name in ALWAYS_BEST3 else 2
         i = 0
@@ -453,7 +491,9 @@ def main() -> None:
                 flaky[name] = late
 
     canary.setdefault("mid", canary["start"])  # empty/1-query HEADLINE guard
+    canary.setdefault("mc_mid", canary["mc_start"])
     canary["end"] = round(_canary_sample(), 3)
+    canary["mc_end"] = round(_canary_mc_sample(), 3)
     contaminated = _canary_verdict(canary)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

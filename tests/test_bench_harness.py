@@ -41,6 +41,22 @@ def test_canary_verdict_quiet_run_passes():
     assert c["vs_baseline"] == round(0.70 / bench.CANARY_BASELINE_SEC, 3)
 
 
+def test_mc_canary_is_report_only():
+    """The multicore canary annotates mc_spread but NEVER contaminates
+    (gating waits for quiet-vs-contended calibration history), and the
+    verdict stays correct when the mc keys are absent (bench_full and
+    older callers pass scalar-only dicts)."""
+    c = {
+        "start": 0.71, "mid": 0.72, "end": 0.70,
+        "mc_start": 0.9, "mc_mid": 2.7, "mc_end": 0.95,  # wild mc swing
+    }
+    assert bench._canary_verdict(c) == []
+    assert c["mc_spread"] == 3.0
+    scalar_only = {"start": 0.71, "mid": 0.72, "end": 0.70}
+    assert bench._canary_verdict(scalar_only) == []
+    assert "mc_spread" not in scalar_only
+
+
 def test_canary_verdict_flags_mid_run_steal():
     # steal begins mid-run: end sample inflated, spread gate fires
     c = {"start": 0.71, "mid": 0.72, "end": 1.05}

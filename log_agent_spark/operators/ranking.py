@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["with_global_order", "exact_ntile"]
+__all__ = ["with_global_order", "exact_ntile", "exact_percentiles"]
 
 _PID = "__rank_pid"
 _LOCAL_RANK = "__rank_local"
@@ -154,3 +154,64 @@ def exact_ntile(
     if key_cols is not None:
         out = out.select(*key_cols, out_col)
     return out
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value: Column,
+    qs: list[float],
+    out_q: str = "q",
+    out_value: str = "value",
+) -> DataFrame:
+    """(q, value) rows replicating ``percentile(value, array(qs))``
+    bit-exactly, computed as a range-partitioned distributed sort instead
+    of Spark's ``Percentile`` aggregate.
+
+    Why (guide §5, r10): the built-in exact ``percentile`` buffers EVERY
+    value in the final merge task — a single-task O(n) value buffer that
+    measured 3.2 s alone on sf0.1 lineitem (vs 0.3 s for a min/max/count
+    pass over the same rows) and is an executor OOM at 100 TB. Here the
+    sort is the parallel range-exchange from :func:`with_global_order`,
+    the per-q target ranks are found with a 2·|qs|-row broadcast
+    nested-loop join (bounded: |qs| is a literal list), and the final
+    interpolation uses Spark's own formula in the same operand order —
+    ``position = q * (n-1)``; ``(higher - position) * lowerVal +
+    (position - lower) * higherVal`` (Percentile.getPercentile) — so the
+    doubles come out identical and oracle hashes are unchanged.
+
+    NULL values are dropped first (the aggregate's semantics); an empty
+    input yields an empty frame (callers that join on ``q`` get the same
+    no-rows result the NULL-array explode form produced).
+    """
+    spark = df.sparkSession
+    src = df.select(value.cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    ranked = with_global_order(
+        src, [F.col("__v")], rank_col="__gr", total_col="__n"
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], f"{out_q} double")
+    pos = F.col(out_q) * (F.col("__n") - F.lit(1)).cast("double")
+    lo = F.floor(pos)
+    hi = F.ceil(pos)
+    hit = ranked.join(
+        F.broadcast(qdf),
+        (F.col("__gr") == lo + 1) | (F.col("__gr") == hi + 1),
+    )
+    agg = hit.groupBy(out_q).agg(
+        F.min(F.when(F.col("__gr") == F.floor(pos) + 1, F.col("__v"))).alias(
+            "__v_lo"
+        ),
+        F.min(F.when(F.col("__gr") == F.ceil(pos) + 1, F.col("__v"))).alias(
+            "__v_hi"
+        ),
+        F.min("__n").alias("__n"),
+    )
+    apos = F.col(out_q) * (F.col("__n") - F.lit(1)).cast("double")
+    alo = F.floor(apos)
+    ahi = F.ceil(apos)
+    val = F.when(alo == ahi, F.col("__v_lo")).otherwise(
+        (ahi.cast("double") - apos) * F.col("__v_lo")
+        + (apos - alo.cast("double")) * F.col("__v_hi")
+    )
+    return agg.select(out_q, val.alias(out_value))

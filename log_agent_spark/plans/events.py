@@ -1976,15 +1976,16 @@ def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("est"),
     )
-    exact = li.agg(
-        F.expr(
-            "percentile(v, array("
-            + ", ".join(f"{q}D" for q in _QSK_QS)
-            + "))"
-        ).alias("ex"),
-        F.array(*[F.lit(q) for q in _QSK_QS]).alias("qa"),
-    ).select(F.explode(F.arrays_zip("qa", "ex")).alias("z")).select(
-        F.col("z.qa").alias("q"), F.col("z.ex").alias("exact_value")
+    # r10: the exact audit used the built-in `percentile` aggregate, whose
+    # final merge buffers EVERY value in one task (measured 3.2 s alone at
+    # sf0.1 — the whole query's cost — and an executor OOM at 100 TB).
+    # exact_percentiles computes the identical doubles via the
+    # range-partitioned distributed sort (operators/ranking.py), so the
+    # audit now scales like the sketch it scores.
+    from log_agent_spark.operators.ranking import exact_percentiles
+
+    exact = exact_percentiles(
+        li, F.col("v"), _QSK_QS, out_value="exact_value"
     )
     return (
         est.join(exact, "q")

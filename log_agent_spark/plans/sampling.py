@@ -194,17 +194,37 @@ FROM ranked WHERE rn <= 50 GROUP BY lang
 # ---------------------------------------------------------------------------
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ids=["l_returnflag"],
+    # r10 (guide §2.3 "aggregate before you shuffle"): aggregate per flag
+    # FIRST (one map-side partial pass over lineitem), then unpivot the
+    # 3-row aggregate — the old unpivot-then-aggregate form tripled the
+    # rows (one per metric) before the partial aggregation ran. Exactly
+    # equivalent: Spark's unpivot keeps NULL values, so per (flag, metric)
+    # n == COUNT(*) per flag, and SUM over the unpivoted column is the
+    # per-flag column SUM (decimal cast applied per element both ways).
+    # Measured same-process interleaved best-of-3 at sf0.1: 1.47s → 1.26s
+    # only — the dominant cost turns out to be the exact-decimal
+    # aggregation itself (BigDecimal-backed past 18 digits of precision),
+    # which the oracle's DECIMAL sum semantics require; the shape win is
+    # kept because it shuffles a 3-row aggregate instead of 1.8M unpivoted
+    # rows.
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(c).cast("decimal(18,4)")).alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ],
+    )
+    long = per_flag.unpivot(
+        ids=["l_returnflag", "n"],
         values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric",
-        valueColumnName="value",
+        valueColumnName="value_sum_dec",
     )
-    return long.groupBy("l_returnflag", "metric").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("value_sum"),
+    return long.select(
+        "l_returnflag",
+        "metric",
+        "n",
+        F.round(F.col("value_sum_dec"), 2).cast("double").alias("value_sum"),
     )
 
 
@@ -1183,10 +1203,16 @@ EQUIDEPTH_BINS = 10
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     qs = [i / EQUIDEPTH_BINS for i in range(1, EQUIDEPTH_BINS)]
-    bounds = o.agg(
-        F.expr(
-            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
-        ).alias("bs")
+    # r10: decile bounds via the distributed exact-percentile sort
+    # (operators/ranking.py) instead of the built-in `percentile`
+    # aggregate, whose final merge buffers every value in one task (0.64 s
+    # of this query's 1.4 s at sf0.1; OOM class at 100 TB). Identical
+    # doubles (bit-exact interpolation replay), re-assembled into the same
+    # one-row array the bin expression broadcasts.
+    from log_agent_spark.operators.ranking import exact_percentiles
+
+    bounds = exact_percentiles(o, F.col("o_totalprice"), qs).agg(
+        F.expr("transform(array_sort(collect_list(struct(q, value))), s -> s.value)").alias("bs")
     )
     # bounds rounded to a fixed 4dp grid BEFORE the comparison on both
     # engines: Spark's percentile and DuckDB's quantile_cont interpolate

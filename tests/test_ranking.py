@@ -75,3 +75,50 @@ def test_rank_keys_only_projection(spark):
     )
     assert out.columns == ["id", "q"]
     assert out.count() == 50
+
+
+@pytest.mark.parametrize(
+    "n,qs",
+    [
+        (500, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]),
+        (10, [0.0, 0.5, 1.0]),
+        (1, [0.25, 0.5, 0.75]),
+        (97, [1.0 / 3.0, 2.0 / 3.0]),  # irrational-ish interpolation points
+    ],
+)
+def test_exact_percentiles_matches_builtin(spark, n, qs):
+    # heavy ties + non-integer values so interpolation arithmetic matters;
+    # the distributed form must be BIT-identical to Spark's Percentile
+    # aggregate (same operand order in the interpolation formula).
+    from log_agent_spark.operators.ranking import exact_percentiles
+
+    df = spark.range(0, n).select(
+        ((F.col("id") % 13).cast("double") * 1.37 + 0.001).alias("v")
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in exact_percentiles(df, F.col("v"), qs).collect()
+    }
+    arr = ", ".join(f"{q!r}D" for q in qs)
+    want_row = df.agg(
+        F.expr(f"percentile(v, array({arr}))").alias("p")
+    ).collect()[0]["p"]
+    assert len(got) == len(qs)
+    for q, w in zip(qs, want_row):
+        assert got[q] == w, (q, got[q], w)  # exact equality, not approx
+
+
+def test_exact_percentiles_empty_and_nulls(spark):
+    from log_agent_spark.operators.ranking import exact_percentiles
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert exact_percentiles(empty, F.col("v"), [0.5]).count() == 0
+    # NULLs dropped first, like the aggregate
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "v double"
+    )
+    out = {
+        r["q"]: r["value"]
+        for r in exact_percentiles(withnull, F.col("v"), [0.5]).collect()
+    }
+    assert out == {0.5: 2.0}

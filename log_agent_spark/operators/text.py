@@ -1597,9 +1597,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
     ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
-    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # r10 (guide §1.2/§2.4): the per-doc total used to be a SECOND
+    # aggregate of `counts` joined back on doc_id — a forked DataFrame
+    # that re-derived the whole scan→explode→(doc,ch) aggregation (one
+    # row per CHARACTER) twice, plus a (doc,ch)-stream hash join. A
+    # doc-partitioned window sum reads the counts once and needs no
+    # join: 3 scans/11 exchanges → 2/4, 2.31→2.08 s median interleaved
+    # at sf0.1, values identical (same c and n per row, same terms
+    # summed).
     ent = (
-        counts.join(tot, "doc_id")
+        counts.withColumn(
+            "n", F.sum("c").over(W.partitionBy("doc_id"))
+        )
         .groupBy("doc_id")
         .agg(
             # + 0.0 normalizes IEEE -0.0 → 0.0: a single-distinct-char doc

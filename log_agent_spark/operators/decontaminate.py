@@ -421,13 +421,19 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
-    totals = binned.agg(
-        F.sum("n_v1").alias("t1"), F.sum("n_v2").alias("t2")
-    )
+    # r10 (guide §1.2): t1/t2 via unpartitioned window sums over the
+    # bounded _PSI_BINS-row histogram instead of a second aggregate of
+    # `binned` cross-joined back — the totals subtree re-derived both
+    # snapshot scans + the binning groupBy. bin ∈ [0, _PSI_BINS) by
+    # construction (v ≥ lo, least(·, BINS-1)), so the spine left-join
+    # keeps every binned row and the filled zeros leave the exact integer
+    # sums unchanged.
+    tw = Window.partitionBy()
     filled = (
         spine.join(F.broadcast(binned), "bin", "left")
         .na.fill({"n_v1": 0, "n_v2": 0})
-        .crossJoin(F.broadcast(totals))
+        .withColumn("t1", F.sum("n_v1").over(tw))
+        .withColumn("t2", F.sum("n_v2").over(tw))
     )
     p = (F.col("n_v1") + 1) / (F.col("t1") + _PSI_BINS)
     q = (F.col("n_v2") + 1) / (F.col("t2") + _PSI_BINS)

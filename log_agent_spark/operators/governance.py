@@ -93,9 +93,16 @@ def q_privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_groups"),
         F.sum("grp_sz").alias("n_rows"),
     )
-    tot = groups.agg(F.sum("grp_sz").alias("tot_rows"))
+    # r10 (guide §1.2): the total used to be a second aggregate of
+    # `groups` joined back — re-deriving the whole scan+QI-groupBy. The
+    # same integer arrives as Σ n_rows over the BOUNDED count-of-counts
+    # histogram (one row per distinct group size), so a single
+    # unpartitioned window over the histogram replaces the duplicate
+    # subtree and the 1-row cross join.
     return (
-        hist.join(F.broadcast(tot))
+        hist.withColumn(
+            "tot_rows", F.sum("n_rows").over(W.partitionBy())
+        )
         .select(
             "k",
             "n_groups",
@@ -155,13 +162,17 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("grp_sz"),
         F.countDistinct("c_mktsegment").alias("l_div"),
     )
-    tot = groups.agg(F.sum("grp_sz").alias("tot_rows"))
     hist = groups.groupBy(F.col("l_div").alias("l")).agg(
         F.count("*").alias("n_groups"),
         F.sum("grp_sz").alias("n_rows"),
     )
+    # r10: total via window over the bounded l histogram (≤ #distinct
+    # l values rows) — see q_privacy_kanonymity; drops the duplicate
+    # scan+groupBy subtree the totals join re-derived.
     return (
-        hist.join(F.broadcast(tot))
+        hist.withColumn(
+            "tot_rows", F.sum("n_rows").over(W.partitionBy())
+        )
         .select(
             "l",
             "n_groups",
@@ -216,7 +227,6 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n")
     )
-    tot = obs.agg(F.sum("n").alias("tot"))
     exp_pct = F.element_at(
         F.create_map(
             *[F.lit(x) for d in range(1, 10) for x in (d, _BENFORD_PCT[d])]
@@ -224,8 +234,11 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("digit").cast("int"),
     )
     obs_pct = F.col("n") * 100.0 / F.col("tot")
+    # r10: total via window over the 9-row digit histogram instead of a
+    # second aggregate of `obs` joined back (which re-derived the whole
+    # orders scan+groupBy).
     return (
-        obs.join(F.broadcast(tot))
+        obs.withColumn("tot", F.sum("n").over(W.partitionBy()))
         .select(
             "digit",
             "n",
@@ -526,8 +539,16 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt_gv")
     )
     grp = cells.groupBy("priority", "yr").agg(F.sum("cnt_gv").alias("n_g"))
-    glob = cells.groupBy("status").agg(F.sum("cnt_gv").alias("cnt_v"))
-    tot = glob.agg(F.sum("cnt_v").alias("n_total"))
+    # r10: n_total rides on `glob` as a window sum over the bounded
+    # status histogram (≤ #distinct order statuses rows) instead of a
+    # second aggregate of `glob` cross-joined back — the totals subtree
+    # re-derived the whole orders scan + cells groupBy. Exact integer
+    # sum: order-independent, value-identical.
+    glob = (
+        cells.groupBy("status")
+        .agg(F.sum("cnt_gv").alias("cnt_v"))
+        .withColumn("n_total", F.sum("cnt_v").over(W.partitionBy()))
+    )
     # complete the bounded group×value grid so absent cells still count.
     # eqNullSafe: a NULL-orderdate QI group must match ITS OWN cells (a
     # null-unsafe join would orphan it and report a constant bogus t).
@@ -550,12 +571,12 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr",
             "n_g",
             "cnt_v",
+            "n_total",
             F.coalesce(F.col("cnt_gv"), F.lit(0)).alias("cnt_gv"),
         )
     )
     per_group = (
-        full.crossJoin(F.broadcast(tot))
-        .groupBy("priority", "yr", "n_g")
+        full.groupBy("priority", "yr", "n_g")
         .agg(
             F.sum(
                 F.abs(

@@ -1013,10 +1013,18 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast BEFORE the square: a long*long product wraps silently past
     # d_c ~ 3e9 (non-ANSI); decimal*decimal is exact at any degree sum
     d_dec = F.col("degree_sum").cast("decimal(38,0)")
-    tot = comm.agg(
-        F.sum("intra_edges").alias("e_in"),
-        F.sum(d_dec * d_dec).cast("double").alias("s2"),
-    )
+    # r10 (guide §1.2): e_in/s2 via unpartitioned window sums over the
+    # per-community frame instead of a second aggregate of `comm`
+    # cross-joined back — the totals subtree re-derived `deg` (edge
+    # union + groupBy) and `intra` (two label joins + groupBy) wholesale
+    # (labels itself is pinned, but nothing downstream of it was). The
+    # window's single partition holds one row per COMMUNITY (≤ #parts,
+    # LPA-coarsened), not per edge. Long and exact-decimal sums (cast to
+    # double only after summing): order-independent, value-identical.
+    tw = W.partitionBy()
+    comm = comm.withColumn(
+        "e_in", F.sum("intra_edges").over(tw)
+    ).withColumn("s2", F.sum(d_dec * d_dec).over(tw).cast("double"))
     two_m = 2.0 * F.col("m")
     contrib = (
         F.col("intra_edges") / F.col("m")
@@ -1027,7 +1035,6 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         comm.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(tot))
         .select(
             "community",
             "n_nodes",

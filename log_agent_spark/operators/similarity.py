@@ -1145,11 +1145,17 @@ def q_ann_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
     )
     spine = centroids.select(F.col("centroid_id").alias("cell"))
-    total = occ.agg(F.sum("n_vectors").alias("n_total"))
+    # r10 (guide §1.2): n_total via an unpartitioned window sum over the
+    # bounded N_CENTROIDS-row occupancy frame instead of a second
+    # aggregate of `occ` cross-joined back — the totals subtree
+    # re-derived the whole embeddings scan + ivf_assign (a distance pass
+    # against every centroid) + groupBy. Every assigned cell is a
+    # centroid_id by construction, so the spine left-join keeps all occ
+    # rows and the filled zeros leave the exact integer sum unchanged.
     return (
         spine.join(occ, "cell", "left")
         .na.fill({"n_vectors": 0})
-        .crossJoin(F.broadcast(total))
+        .withColumn("n_total", F.sum("n_vectors").over(W.partitionBy()))
         .select(
             "cell",
             "n_vectors",

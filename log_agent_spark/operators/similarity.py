@@ -238,17 +238,48 @@ def ivf_assign(
     is index assignment; nprobe>1 is the query-side multi-probe set.
     ``keep_rank`` additionally exposes the probe rank (1 = nearest cell) as
     ``probe_rank`` so one max-nprobe assignment can serve every smaller
-    setting by filtering (the nprobe-curve flatten)."""
-    scored = vectors.join(F.broadcast(centroids)).select(
-        "vec_id", "emb", "centroid_id", _dot(F.col("emb"), F.col("c_emb")).alias("dot")
+    setting by filtering (the nprobe-curve flatten).
+
+    r10 form (guide §2.3/§2.4): the centroid table collapses to ONE
+    broadcast array row and each vector ranks its cells in a per-row
+    sorted projection — the k-fanned (n_vectors × k) intermediate and the
+    row_number window's hash exchange on vec_id (a full shuffle of the
+    corpus WITH its embedding payload) are gone; assignment is now a
+    zero-shuffle map over the vector scan. Ordering is value-identical:
+    the sort key (-dot, centroid_id) ascending IS (dot DESC, centroid_id
+    ASC), the dot is the same ``_dot`` left-fold over the same doubles,
+    and centroid_id is unique so ties cannot reorder. Empty centroid
+    frames still assign zero rows (posexplode of an empty probe slice).
+    """
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct(F.col("centroid_id"), F.col("c_emb"))).alias(
+            "_cents"
+        )
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= nprobe
+    ranked = (
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "emb",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            (-_dot(F.col("emb"), c["c_emb"])).alias("_negdot"),
+                            c["centroid_id"].alias("_cid"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_probes"),
+        )
+        .select("vec_id", "emb", F.posexplode("_probes").alias("_pos", "_probe"))
     )
-    cols = ["vec_id", "emb", F.col("centroid_id").alias("cell")]
+    cols = ["vec_id", "emb", F.col("_probe._cid").alias("cell")]
     if keep_rank:
-        cols.append(F.col("_rn").alias("probe_rank"))
+        cols.append((F.col("_pos") + 1).cast("int").alias("probe_rank"))
     return ranked.select(*cols)
 
 
@@ -857,6 +888,7 @@ GROUP BY e.query_id
 MRL_DIMS = [64, 32, 16, 8]
 
 
+@pinned_query("mrl_")
 def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of prefix-truncated embeddings vs full-dim ground truth,
     one row per retained dimensionality."""
@@ -869,24 +901,66 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = emb.filter(F.col("vec_id") >= N_QUERIES).repartition(
         spark.sparkContext.defaultParallelism
     )
-    full = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    # the d = 64 "prefix" is the identity slice — reuse the ground-truth
-    # search instead of re-running the most expensive of the four scans
-    parts = [full.withColumn("dim", F.lit(MRL_DIMS[0]))]
-    for d in MRL_DIMS[1:]:
-        qd = queries.select(
-            "query_id", F.slice("q_emb", 1, d).alias("q_emb")
+    # r10 (guide §2.3/§2.4): the four per-dim searches used to run as four
+    # independent query×candidate passes (the d=64 ground truth plus three
+    # prefix brute-force scans), and the final semi-join re-derived the
+    # ground-truth search once more — five pair passes total. One pair
+    # pass now computes every prefix cosine side by side (prefix norms
+    # hoisted per side, exactly as brute_force_topk hoists them), explodes
+    # to (dim, cos), and ranks per (dim, query) in a single window; the
+    # per-dim cosines are the same `_dot`/`_norm` doubles over the same
+    # slices, and d = MRL_DIMS[0] keeps the UNSLICED arrays so its doubles
+    # are bit-identical to q_ann_cosine_topk's. The dims×queries×k top-k
+    # table is pinned (released by pinned_query) so the recall semi-join
+    # reads cache instead of re-running the pass.
+    def _slice(col: str, d: int) -> Column:
+        return F.col(col) if d == MRL_DIMS[0] else F.slice(col, 1, d)
+
+    q = F.broadcast(
+        queries.select(
+            "query_id",
+            "q_emb",
+            *[
+                _norm(_slice("q_emb", d)).alias(f"q_norm_{d}")
+                for d in MRL_DIMS
+            ],
         )
-        cd = candidates.select("vec_id", F.slice("emb", 1, d).alias("emb"))
-        parts.append(
-            brute_force_topk(qd, cd)
-            .select("query_id", "neighbor_id")
-            .withColumn("dim", F.lit(d))
-        )
-    trunc = parts[0]
-    for p in parts[1:]:
-        trunc = trunc.unionByName(p)
-    hits = trunc.join(full, ["query_id", "neighbor_id"], "left_semi")
+    )
+    c = candidates.select(
+        "vec_id",
+        "emb",
+        *[_norm(_slice("emb", d)).alias(f"c_norm_{d}") for d in MRL_DIMS],
+    )
+    pairs = q.crossJoin(c).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        (
+                            _dot(_slice("q_emb", d), _slice("emb", d))
+                            / (F.col(f"q_norm_{d}") * F.col(f"c_norm_{d}"))
+                        ).alias("cos"),
+                    )
+                    for d in MRL_DIMS
+                ]
+            )
+        ).alias("dc"),
+    )
+    w = W.partitionBy("dc.dim", "query_id").orderBy(
+        F.desc("dc.cos"), F.asc("neighbor_id")
+    )
+    topk = pin(
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("dc.dim").alias("dim"), "query_id", "neighbor_id")
+    )
+    full = topk.filter(F.col("dim") == MRL_DIMS[0]).select(
+        "query_id", "neighbor_id"
+    )
+    hits = topk.join(full, ["query_id", "neighbor_id"], "left_semi")
     denom = N_QUERIES * TOP_K
     return (
         hits.groupBy("dim")

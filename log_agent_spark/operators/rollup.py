@@ -72,6 +72,13 @@ def merge_rollup(
             )
         )
     (
+        # r10 note: clustering by the partition column before this write
+        # (repartition(day_col) → one file per touched partition) measured
+        # flat-to-+15% across all three rollup queries at sf0.1 — the
+        # extra exchange outweighs the file fan-in here because the
+        # partials are k-row. At warehouse scale the tasks×partitions
+        # small-file fan-out is real but is the compaction job's problem,
+        # not the merge path's.
         partials.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(day_col)

@@ -33,7 +33,12 @@ from log_agent_spark.baskets import (
     capped_basket_items,
     capped_pp_sql,
 )
-from log_agent_spark.scratch import pin, pin_checkpoint, pinned_query
+from log_agent_spark.scratch import (
+    pin,
+    pin_checkpoint,
+    pin_checkpoint_observed,
+    pinned_query,
+)
 
 from log_agent_spark.sources.tables import load_table
 
@@ -58,10 +63,14 @@ def connected_components(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
 
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).transform(pin_checkpoint)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # r10 (guide §2.4): the per-round convergence witness rides the
+    # checkpoint materialization as an in-plan observe() metric instead of
+    # a separate agg job — one pass per round, not two.
+    labels, m = pin_checkpoint_observed(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp")),
+        F.sum("comp").alias("s"),
+    )
+    prev_sum = m["s"]
 
     converged = False
     # max_iter budgets CHANGING (propagation) rounds; convergence is only
@@ -73,15 +82,15 @@ def connected_components(
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "comp")
         )
-        labels = (
-            labels.unionByName(nbr_min)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .transform(pin_checkpoint)
-        )
         # labels only ever decrease → the sum is a monotone convergence
         # witness; one scalar to the driver per round, no row comparison.
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        labels, m = pin_checkpoint_observed(
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp")),
+            F.sum("comp").alias("s"),
+        )
+        cur_sum = m["s"]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -97,15 +106,6 @@ def connected_components(
             "connected_components_star for diameter-independent convergence"
         )
     return labels
-
-
-def _edge_checksum(e: DataFrame) -> tuple[int, int]:
-    # decimal sum: 64-bit hash values overflow a LONG sum under ANSI mode
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-    ).first()
-    return (row.n or 0, int(row.h or 0))
 
 
 def connected_components_star(
@@ -132,17 +132,28 @@ def connected_components_star(
 
     Output schema matches ``connected_components``: (node, comp).
     """
-    e = (
+    # (count, decimal hash-sum) convergence witness, collected in-plan by
+    # the SAME job that materializes the round's edge list (r10, guide
+    # §2.4 — the separate _edge_checksum agg cost one extra job per round).
+    _witness = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    )
+
+    def _key(m: dict) -> tuple[int, int]:
+        return (m["n"] or 0, int(m["h"] or 0))
+
+    e, m0 = pin_checkpoint_observed(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .transform(pin_checkpoint)
+        .distinct(),
+        *_witness,
     )
 
-    def half_step(e: DataFrame, large: bool) -> DataFrame:
+    def half_step(e: DataFrame, large: bool) -> tuple[DataFrame, dict]:
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -165,17 +176,15 @@ def connected_components_star(
                     F.greatest(F.col("u"), F.col("m")).alias("v"),
                 )
             )
-        return (
-            out.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .transform(pin_checkpoint)
+        return pin_checkpoint_observed(
+            out.filter(F.col("u") != F.col("v")).distinct(), *_witness
         )
 
-    prev = _edge_checksum(e)
+    prev = _key(m0)
     for _ in range(max_iter):
-        e = half_step(e, large=True)
-        e = half_step(e, large=False)
-        cur = _edge_checksum(e)
+        e, _ = half_step(e, large=True)
+        e, mr = half_step(e, large=False)
+        cur = _key(mr)
         if cur == prev:
             break
         prev = cur

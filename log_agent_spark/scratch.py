@@ -57,7 +57,7 @@ import shutil
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
 _SCRATCH_ROOT: str | None = None
 
@@ -137,6 +137,27 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
         if jrdd is not None:
             pins.append(("jrdd", jrdd))
     return out
+
+
+def pin_checkpoint_observed(
+    df: DataFrame, *metrics: Column
+) -> tuple[DataFrame, dict]:
+    """``pin_checkpoint`` + in-plan ``observe`` metrics, collected from the
+    SAME materialization job (guide §1.2/§2.4): iterative operators need a
+    per-round convergence witness, and computing it as a separate
+    ``agg(...).first()`` costs one extra job (a full pass over the
+    round's output, albeit cache-backed) per round. A CollectMetrics node
+    rides the checkpoint's materialization for free — the witness arrives
+    with the data, halving the per-round job count of every convergence
+    loop (CC, CC-star, and anything else built on this pattern).
+
+    Returns ``(checkpointed_df, {metric_name: value})``. Works in both
+    pin_checkpoint modes (localCheckpoint and reliable ``checkpoint()``),
+    pinned by tests/test_scratch_reliable.py.
+    """
+    obs = Observation()
+    out = pin_checkpoint(df.observe(obs, *metrics))
+    return out, obs.get
 
 
 def _release(pins: list) -> None:

@@ -53,3 +53,47 @@ def test_graph_family_identical_under_reliable_checkpoint(spark, tmp_path):
             map(tuple, graph.QUERIES["graph_kcore"](spark, SF).collect())
         )
     assert rel == base and len(base) > 0
+
+
+def test_pin_checkpoint_observed_both_modes(spark, tmp_path):
+    """r10: the fused convergence witness (observe() metrics collected by
+    the checkpoint materialization itself) must return the same values as
+    a separate agg, in BOTH checkpoint modes — the CC/CC-star loops now
+    depend on it."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    expected = df.agg(F.sum("v")).first()[0]
+
+    out, m = scratch.pin_checkpoint_observed(df, F.sum("v").alias("s"))
+    assert m["s"] == expected
+    assert out.count() == 100
+
+    with _checkpoint_dir(spark, tmp_path):
+        out_rel, m_rel = scratch.pin_checkpoint_observed(
+            df, F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        assert m_rel["s"] == expected and m_rel["n"] == 100
+        assert sorted(r.v for r in out_rel.collect()) == sorted(
+            r.v for r in out.collect()
+        )
+
+
+def test_cc_star_identical_under_reliable_checkpoint(spark, tmp_path):
+    """CC-star's witness now rides the checkpoint job; results must stay
+    identical in reliable mode (which exercises the persist-around-
+    checkpoint path of the observed variant)."""
+    from log_agent_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id bigint")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], "src bigint, dst bigint"
+    )
+    base = sorted(map(tuple, connected_components_star(nodes, edges).collect()))
+    with _checkpoint_dir(spark, tmp_path):
+        rel = sorted(
+            map(tuple, connected_components_star(nodes, edges).collect())
+        )
+    assert rel == base
+    comp = dict(base)
+    assert comp[1] == comp[0] and comp[4] == comp[3] and comp[5] == 5

@@ -436,6 +436,8 @@ _SUPP_OFFSET = 1_000_000
 
 @pinned_query("graph_pagerank_")
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.sources.tables import footer_column_max
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -448,8 +450,12 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").transform(pin)
+    # r10 (guide §2.4): out-degree as a window count over the key the edge
+    # list already shuffles on — the groupBy+join-back form re-exchanged
+    # the |E|-row edge list a second time (4 exchanges → 3).
+    edges_deg = edges.withColumn(
+        "deg", F.count("*").over(W.partitionBy("src"))
+    ).transform(pin)
     nodes = (
         edges_deg.select(F.col("src").alias("node"))
         .union(edges_deg.select(F.col("dst").alias("node")))
@@ -473,6 +479,37 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
+
+    # r10 (guide §1.1 first-principles): while the cust and supp+offset id
+    # spaces are DISJOINT, every edge points cust→supp, so the graph is a
+    # depth-1 DAG and the rank vector reaches its fixpoint at iteration 2:
+    # sources (never a dst) hold r_k = t = (1-d)/n exactly from iteration 1
+    # on (t + d·0.0 ≡ t in IEEE), hence every later contribution sum is
+    # Σ t/deg(u) and r_3 = r_2 = t + d·Σ t/deg(u). The closed form below
+    # computes the identical doubles — the per-edge term t/deg(u) and the
+    # d·coalesce(s, 0) fold are the same operations the unrolled loop's
+    # last iteration performs — replacing 3 chained join+agg+broadcast
+    # rounds with ONE. Disjointness is a STRUCTURAL precondition, checked
+    # from parquet footer stats (no job): TPC-H custkeys pass _SUPP_OFFSET
+    # around sf ≈ 7, and a collided id would be both a source and a sink —
+    # there the fixpoint argument fails and the general unrolled loop runs
+    # unchanged. (Oracle-equal either way; proven at sf0.01/0.001.)
+    max_cust = footer_column_max(sf_dir, "orders", "o_custkey")
+    if max_cust is not None and max_cust < _SUPP_OFFSET:
+        t = (1.0 - PAGERANK_D) / n
+        contribs = (
+            edges_deg.select("dst", (F.lit(t) / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        cb = _maybe_bcast(contribs)
+        ranks = nodes.join(cb, nodes.node == cb.dst, "left").select(
+            "node",
+            (F.lit(t) + PAGERANK_D * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "r"
+            ),
+        )
+        return ranks.select("node", F.round("r", 8).alias("rank"))
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(PAGERANK_ITERS):
@@ -579,8 +616,16 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrap; a standalone assert_true column gets pruned by Catalyst the
     # moment it's dropped — verified). Output partkey is bigint either
     # way, so the schema is width-independent.
+    from log_agent_spark.sources.tables import footer_column_max
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    max_pk = lineitem.agg(F.max("l_partkey")).first()[0] or 0
+    # r10 (guide §1.2): the width precheck reads parquet row-group max
+    # statistics (metadata-only, exact) instead of running a full-column
+    # aggregate job; a footer without stats falls back to the scan. The
+    # in-plan raise_error backstop below is unchanged either way.
+    max_pk = footer_column_max(sf_dir, "lineitem", "l_partkey")
+    if max_pk is None:
+        max_pk = lineitem.agg(F.max("l_partkey")).first()[0] or 0
     if max_pk < 2_147_483_648:
         pk = F.when(
             F.col("l_partkey") < F.lit(2_147_483_648),
@@ -898,39 +943,46 @@ BFS_ITERS = 3
 
 @pinned_query("graph_bfs_")
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_agent_spark.sources.tables import footer_row_count
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    edges = (
+    # r10 (guide §2.4): the seed (min src) rides the edge materialization
+    # as an observe() metric, and the edge list is checkpointed BEFORE the
+    # seed is needed — the old form ran a separate agg job that re-derived
+    # the whole orders⨝lineitem+distinct subtree just for one scalar.
+    edges, m = pin_checkpoint_observed(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
         )
-        .distinct()
+        .distinct(),
+        F.min("src").alias("seed"),
     )
     # Symmetrize: the two id spaces are disjoint, so the union is dup-free.
     # (r10 note: an explode-both-endpoints form measured +45% here — the
-    # union legs read the distinct's exchange via runtime reuse, so the
-    # 2× union is effectively one derivation already.)
+    # union legs read the checkpointed edges, so the 2× union is two cache
+    # scans, not two derivations.)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(pin)
     # broadcast-size guard from an UPPER BOUND that costs two parquet
-    # footer counts (customer + supplier row counts) instead of a
-    # distinct+count over the edge list — the guard only needs to know
-    # "can the node set broadcast", never the exact order
-    n_nodes_bound = (
-        load_table(spark, sf_dir, "customer").count()
-        + load_table(spark, sf_dir, "supplier").count()
+    # footer counts (customer + supplier row counts — metadata-only, no
+    # Spark job) instead of a distinct+count over the edge list — the
+    # guard only needs to know "can the node set broadcast", never the
+    # exact order
+    n_nodes_bound = footer_row_count(sf_dir, "customer") + footer_row_count(
+        sf_dir, "supplier"
     )
     small = n_nodes_bound <= 10_000_000
 
     def _maybe_bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    seed = edges.agg(F.min("src")).first()[0]
+    seed = m["seed"]
     visited = spark.createDataFrame([(seed, 0)], "node bigint, hop int")
     frontier = visited.select("node")
     for k in range(1, BFS_ITERS + 1):

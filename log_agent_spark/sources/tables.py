@@ -75,3 +75,58 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# ---------------------------------------------------------------------------
+# Parquet-footer statistics (r10, guide §1.2/§6): several queries need a
+# cheap scalar about a base table BEFORE building their plan — a row-count
+# upper bound for a broadcast guard (graph BFS), or a column max for an
+# adaptive width/structure precheck (triangle counting's int32 ladder, the
+# PageRank id-space disjointness guard). Running a Spark aggregate for
+# these costs a full column scan job; the parquet footers already carry
+# exact row counts and per-row-group min/max statistics. Reading them
+# driver-side is metadata-only work (same class as merge_rollup's glob),
+# linear in the FILE count, not the data — at warehouse scale the same
+# answers come from the table format's manifest (Iceberg/Delta stats).
+# ---------------------------------------------------------------------------
+def _parquet_files(sf_dir: str, name: str) -> list[str]:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _, files in os.walk(path):
+        out += [
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+def footer_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet footers (no job)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _parquet_files(sf_dir, name)
+    )
+
+
+def footer_column_max(sf_dir: str, name: str, column: str):
+    """Exact max of ``column`` from parquet row-group statistics, or None
+    when any row group lacks min/max stats (callers must fall back to a
+    Spark aggregate — statistics are optional in the format)."""
+    import pyarrow.parquet as pq
+
+    mx = None
+    for f in _parquet_files(sf_dir, name):
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx

@@ -231,3 +231,25 @@ def test_modularity_identities(spark):
     # intra-edge count can never exceed what the degree sum allows
     for r in rows:
         assert 2 * r.intra_edges <= r.degree_sum, r
+
+
+def test_pagerank_closed_form_equals_iterative_loop(spark, monkeypatch):
+    """r10: while the cust / supp+offset id spaces are disjoint the trade
+    graph is a depth-1 DAG and the unrolled 3-iteration loop has a closed
+    form (fixpoint at iteration 2). Force the guard down the general
+    iterative path and require value-identical output."""
+    from log_agent_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(
+        map(tuple, graph.q_pagerank_trade_graph(spark, sf).collect())
+    )
+    # a pretend max custkey past the offset forces the iterative fallback
+    monkeypatch.setattr(
+        "log_agent_spark.sources.tables.footer_column_max",
+        lambda *_a, **_k: graph._SUPP_OFFSET + 1,
+    )
+    slow = sorted(
+        map(tuple, graph.q_pagerank_trade_graph(spark, sf).collect())
+    )
+    assert fast == slow and len(fast) > 0

@@ -36,7 +36,11 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
     for name in names:
-        df = qs[name](spark, SF_DIR)
+        # pinned_query wrappers execute the body and return a scratch-
+        # parquet readback scan — dump the BODY's plan (the thing the
+        # optimization claims are about), same as tools/shuffle_ledger.py
+        fn = getattr(qs[name], "__wrapped__", qs[name])
+        df = fn(spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")

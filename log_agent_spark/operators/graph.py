@@ -791,16 +791,17 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     for _ in range(LPA_ROUNDS):
-        votes = (
-            sym.join(labels, sym.s == labels.node)
-            .groupBy(F.col("d").alias("node"), "lbl")
-            .agg(F.count("*").alias("cnt"))
-        )
-        wv = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+        # r10 (guide §2.4): deterministic mode == the old two-stage vote
+        # (groupBy (node,lbl) count → row_number over (cnt DESC, lbl ASC))
+        # — mode picks the most frequent lbl and breaks count ties by
+        # LOWEST value, identical integer output — but runs as ONE keyed
+        # aggregation with map-side partials: the (node,lbl) exchange and
+        # the per-node window sort are gone (2 exchanges+1 sort → 1
+        # exchange per round, for every consumer of the labels).
         labels = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.mode("lbl", True).alias("lbl"))
         )
     return labels
 

@@ -775,27 +775,46 @@ POWER_ITERS = 3
 
 @pinned_query("power_iter_")
 def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    # r10 (guide §2.4): the pos-exploded matrix form joined x with a
+    # broadcast v on pos and with broadcast scores on vec_id — two joins +
+    # a vec_id-keyed aggregation over n·d rows per iteration. The array
+    # form keeps each vector whole: sᵢ = xᵢ·v is an in-row fold against a
+    # ONE-ROW broadcast coefficient array (no join, no vec_id agg at all),
+    # and v' = Σᵢ xᵢ[p]·sᵢ is one posexplode + pos-keyed aggregation whose
+    # map-side partials reduce to d rows per task. Per iteration: 2 joins
+    # + 2 n·d-row aggs → 1 map pass + 1 d-row agg. The corpus is pinned
+    # once as n array rows (smaller than the old n·d exploded pin).
+    # Float semantics: sᵢ becomes an index-ordered fold instead of an
+    # unordered partition sum — same ±1e-15-class noise the round-6
+    # output boundary already absorbs on both engines.
+    emb = pin(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("emb")
+        ).repartition(spark.sparkContext.defaultParallelism)
     )
-    x = emb.select(
-        "vec_id", F.posexplode("emb").alias("pos", "val")
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id").transform(pin)
-    v = x.select("pos").distinct().select(
-        "pos", F.when(F.col("pos") == 0, 1.0).otherwise(0.0).alias("v")
+    # v₀ = e₀ as a one-row array (fixture embeddings are fixed-width; a
+    # width change would surface as an oracle rows/hash mismatch)
+    varr = emb.agg(F.max(F.size("emb")).alias("d")).select(
+        F.transform(
+            F.sequence(F.lit(0), F.col("d") - 1),
+            lambda i: F.when(i == 0, 1.0).otherwise(0.0),
+        ).alias("varr")
     )
     # Normalization deferred to the END: scaling cancels in the direction,
     # and growth over a fixed 3 iterations stays far inside double range —
     # dropping the per-iteration norm + rescale removes two stages per
     # round (measured ~25% of the operator's wall time).
+    v = None
     for _ in range(POWER_ITERS):
-        scores = (
-            x.join(F.broadcast(v), "pos")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        if v is not None:
+            varr = v.agg(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv")
+            ).select(F.transform("pv", lambda s: s["v"]).alias("varr"))
+        scored = emb.crossJoin(F.broadcast(varr)).select(
+            _dot(F.col("emb"), F.col("varr")).alias("s"), "emb"
         )
         v = (
-            x.join(F.broadcast(scores), "vec_id")
+            scored.select("s", F.posexplode("emb").alias("pos", "val"))
             .groupBy("pos")
             .agg(F.sum(F.col("val") * F.col("s")).alias("v"))
         )

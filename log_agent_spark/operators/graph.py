@@ -302,13 +302,34 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_edges = labels_old.select(
         F.col("node").alias("src"), F.col("comp").alias("dst")
     )
-    merged = connected_components(
-        nodes,
-        label_edges.unionByName(edges.filter(is_delta)),
-        id_col="doc_id",
-        max_iter=25,
-    )
-    one_shot = connected_components(nodes, edges, id_col="doc_id", max_iter=25)
+    # r10 (guide §2.6 "overlap independent jobs"): the one-shot audit CC
+    # depends only on the pinned edges — which labels_old's rounds have
+    # already materialized into the cache by now — so its convergence loop
+    # runs on a driver thread WHILE the merged CC runs here: each loop's
+    # per-round checkpoint jobs backfill executor slots the other's round
+    # tail leaves idle; the scheduler interleaves them FIFO. The thread
+    # runs in a copy of this context, so its pins land in the SAME
+    # pinned_query release list (list.append is atomic), and
+    # inheritable_thread_target carries the JVM thread-locals.
+    import contextvars
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    ctx = contextvars.copy_context()
+
+    def _one_shot():
+        return connected_components(nodes, edges, id_col="doc_id", max_iter=25)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(inheritable_thread_target(lambda: ctx.run(_one_shot)))
+        merged = connected_components(
+            nodes,
+            label_edges.unionByName(edges.filter(is_delta)),
+            id_col="doc_id",
+            max_iter=25,
+        )
+        one_shot = fut.result()
 
     # assignment-exact check, not just the size multiset: a contraction
     # bug that permutes node→component assignments while preserving sizes

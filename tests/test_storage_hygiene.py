@@ -30,6 +30,10 @@ PINNING_QUERIES = [
     "graph_kcore",
     "graph_bfs_hops",
     "dedup_connected_components",
+    # r10: the one-shot audit CC runs on a driver thread (guide §2.6
+    # overlap); its pins are recorded via a shared contextvars copy and
+    # must still be released by the wrapper on the main thread
+    "graph_cc_incremental",
     # dedup/similarity pins outside the graph family
     "dedup_bloom_prefilter",
     "dedup_canonical_corpus",

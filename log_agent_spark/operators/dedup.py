@@ -911,7 +911,18 @@ def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = pin(
         ivf_assign(corpus, centroids).withColumn("norm", _norm(F.col("emb")))
     )
-    lhs, rhs = cells.hint("merge").alias("a"), cells.hint("merge").alias("b")
+    # r10 (guide §3.1): unlike the minhash band join, both sides here read
+    # the PINNED assignment table, so a fixture-scale broadcast build is a
+    # cache read, not a recompute — the merge hint only forced two sorts
+    # of the cells table. maybe_broadcast keeps BHJ while the parquet
+    # footer bounds the corpus (≤ 2× embeddings rows incl. planted) under
+    # 10M rows and degrades to the AQE-chosen shuffle join past it — the
+    # dedup_incremental guard pattern.
+    from log_agent_spark.sources.tables import footer_row_count
+
+    corpus_bound = 2 * footer_row_count(sf_dir, "embeddings")
+    lhs = cells.alias("a")
+    rhs = maybe_broadcast(cells, corpus_bound).alias("b")
     cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.norm") * F.col("b.norm")),
         4,

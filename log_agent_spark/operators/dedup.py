@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log_agent_spark.bcast import maybe_broadcast
+from log_agent_spark.bcast import DEFAULT_BROADCAST_ROW_LIMIT, maybe_broadcast
 from log_agent_spark.ladder import is_floor, pick_rung
 from log_agent_spark.scratch import pin, pinned_query
 
@@ -766,7 +766,8 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESH
 
     # structural parameter -> eager precheck (the triangle-count width
     # pattern): one count picks the bucket width off the ladder
-    dims = pick_rung(vectors.count(), _COSINE_SIGN_DIM_LADDER)
+    n_corpus = vectors.count()
+    dims = pick_rung(n_corpus, _COSINE_SIGN_DIM_LADDER)
     b = vectors.select(
         "vec_id",
         "emb",
@@ -786,13 +787,22 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = COSINE_DUP_THRESH
     else:
         lhs = b.alias("a")
     rhs = b.alias("b")
+    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    # r10 (guide §3.1): unlike the minhash band join (whose md5+min
+    # signature pipeline must not be re-computed into a broadcast build),
+    # this build side is a MAP-ONLY projection (norm + sign bucket) —
+    # re-deriving it into a broadcast is one cheap pass, far less than the
+    # two corpus sorts the forced merge join paid. The exact corpus count
+    # is already in hand from the ladder precheck; past the broadcast
+    # limit the merge hints return and keep the AQE-proof shuffle shape.
+    if n_corpus <= DEFAULT_BROADCAST_ROW_LIMIT:
+        joined = lhs.join(F.broadcast(rhs), cond)
+    else:
+        joined = lhs.hint("merge").join(rhs.hint("merge"), cond)
     return (
-        lhs.hint("merge")
-        .join(
-            rhs.hint("merge"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        joined
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -153,7 +153,8 @@ def connected_components_star(
         *_witness,
     )
 
-    def half_step(e: DataFrame, large: bool) -> tuple[DataFrame, dict]:
+    def half_step(e: DataFrame, large: bool) -> DataFrame:
+        """One star half-step as a PURE plan transform (no materialization)."""
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -176,14 +177,23 @@ def connected_components_star(
                     F.greatest(F.col("u"), F.col("m")).alias("v"),
                 )
             )
-        return pin_checkpoint_observed(
-            out.filter(F.col("u") != F.col("v")).distinct(), *_witness
-        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev = _key(m0)
     for _ in range(max_iter):
-        e, _ = half_step(e, large=True)
-        e, mr = half_step(e, large=False)
+        # r11 (guide §2.4/§5): large-star ∘ small-star FUSED into one
+        # checkpoint materialization per round (was two). The large-star
+        # output's trailing distinct (Exchange by (u,v) + HashAggregate) is
+        # an identical subtree at every reference inside the small-star
+        # plan, so ReuseExchange/AQE stage reuse computes it ONCE within
+        # the fused job — the old per-half-step localCheckpoint bought no
+        # dedup, only an extra |E|-row block write + read + job barrier
+        # per round. The convergence witness was always taken from the
+        # small-star output only (the large-star witness was discarded),
+        # so round semantics and the O(log n) bound are unchanged.
+        e, mr = pin_checkpoint_observed(
+            half_step(half_step(e, large=True), large=False), *_witness
+        )
         cur = _key(mr)
         if cur == prev:
             break

@@ -253,3 +253,45 @@ def test_pagerank_closed_form_equals_iterative_loop(spark, monkeypatch):
         map(tuple, graph.q_pagerank_trade_graph(spark, sf).collect())
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_star_cc_one_materialization_per_round(spark, monkeypatch):
+    """r11 fusion: each large∘small star round materializes ONCE (one
+    pin_checkpoint_observed call per round, plus one for the canonical
+    edge list) — the pre-r11 form checkpointed each half-step separately,
+    costing an extra |E|-row block write + read + job barrier per round."""
+    import log_agent_spark.operators.graph as graph_mod
+
+    calls = {"n": 0}
+    real = graph_mod.pin_checkpoint_observed
+
+    def counting(df, *metrics):
+        calls["n"] += 1
+        return real(df, *metrics)
+
+    monkeypatch.setattr(graph_mod, "pin_checkpoint_observed", counting)
+    # clique of 6 + chain of 4: converges in k rounds, k >= 1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6),
+             (10, 11), (11, 12), (12, 13)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)] +
+                                  [(i,) for i in range(10, 14)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = graph_mod.connected_components_star(nodes, e, id_col="id")
+    got = {r["node"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+    # n_calls = 1 (canonical edges) + rounds; the old two-half-step form
+    # gave 1 + 2*rounds.
+    n = calls["n"]
+    rounds = n - 1
+    assert rounds >= 1, f"expected at least 1 round, saw {rounds}"
+    # Exact count on a graph whose round count is known: a single edge
+    # (1, 2) is already star-shaped, so round 1 reproduces the canonical
+    # edge list and the witness converges immediately — 1 (canonical)
+    # + 1 (round) = 2 calls fused; the old per-half-step form made
+    # 1 + 2 = 3.
+    calls["n"] = 0
+    tiny_nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    tiny_e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    graph_mod.connected_components_star(tiny_nodes, tiny_e, id_col="id").collect()
+    assert calls["n"] == 2, f"expected 2 materializations, saw {calls['n']}"

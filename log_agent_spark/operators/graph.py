@@ -305,19 +305,16 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-execute O(rounds × 3) times
     edges = pin(edges)
     is_delta = (F.col("src") * 131 + F.col("dst")) % _CC_IVM_DELTA_MOD == 0
-    labels_old = connected_components(
-        nodes, edges.filter(~is_delta), id_col="doc_id", max_iter=25
-    )
-    # the stored labels as edges: node—comp is a spanning contraction
-    label_edges = labels_old.select(
-        F.col("node").alias("src"), F.col("comp").alias("dst")
-    )
-    # r10 (guide §2.6 "overlap independent jobs"): the one-shot audit CC
-    # depends only on the pinned edges — which labels_old's rounds have
-    # already materialized into the cache by now — so its convergence loop
-    # runs on a driver thread WHILE the merged CC runs here: each loop's
-    # per-round checkpoint jobs backfill executor slots the other's round
-    # tail leaves idle; the scheduler interleaves them FIFO. The thread
+    # r10, widened r11 (guide §2.6 "overlap independent jobs"): the
+    # one-shot audit CC depends only on the pinned edges, while
+    # labels_old → merged is a sequential two-phase chain — so the
+    # one-shot's convergence loop runs on a driver thread from the START,
+    # overlapping BOTH phases (r10 overlapped only the merged phase):
+    # each loop's per-round checkpoint jobs backfill executor slots the
+    # other's round tail leaves idle; the scheduler interleaves them
+    # FIFO. The first jobs of both threads race to materialize the pin —
+    # Spark's cache block locking computes each partition once and blocks
+    # the other reader, so the pin is still computed once. The thread
     # runs in a copy of this context, so its pins land in the SAME
     # pinned_query release list (list.append is atomic), and
     # inheritable_thread_target carries the JVM thread-locals.
@@ -333,6 +330,13 @@ def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(inheritable_thread_target(lambda: ctx.run(_one_shot)))
+        labels_old = connected_components(
+            nodes, edges.filter(~is_delta), id_col="doc_id", max_iter=25
+        )
+        # the stored labels as edges: node—comp is a spanning contraction
+        label_edges = labels_old.select(
+            F.col("node").alias("src"), F.col("comp").alias("dst")
+        )
         merged = connected_components(
             nodes,
             label_edges.unionByName(edges.filter(is_delta)),

@@ -1011,13 +1011,25 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         F.min("src").alias("seed"),
     )
-    # Symmetrize: the two id spaces are disjoint, so the union is dup-free.
-    # (r10 note: an explode-both-endpoints form measured +45% here — the
-    # union legs read the checkpointed edges, so the 2× union is two cache
-    # scans, not two derivations.)
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(pin)
+    # r11 (guide §2.3 "shuffle/scan fewer bytes"): while the two id
+    # spaces are DISJOINT (footer-checked, the pagerank closed-form
+    # pattern — TPC-H custkeys pass _SUPP_OFFSET around sf ≈ 7), the
+    # graph is bipartite, so a frontier of customers can only match the
+    # cust→supp direction and vice versa: probing the symmetrized union
+    # wastes HALF of every level's scan on rows whose src is in the other
+    # id space. Level k alternates direction (the seed = min src is a
+    # customer), each a zero-cost projection over the checkpointed edge
+    # blocks. Collided ids fall back to the symmetrized union — same
+    # rows, no bipartite structure to exploit.
+    # (r10 note kept: an explode-both-endpoints form measured +45% here —
+    # the union legs read the checkpointed edges, so the 2× union is two
+    # cache scans, not two derivations.)
+    from log_agent_spark.sources.tables import footer_column_max
+
+    max_cust = footer_column_max(sf_dir, "orders", "o_custkey")
+    bipartite = max_cust is not None and max_cust < _SUPP_OFFSET
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = None if bipartite else edges.union(rev).transform(pin)
     # broadcast-size guard from an UPPER BOUND that costs two parquet
     # footer counts (customer + supplier row counts — metadata-only, no
     # Spark job) instead of a distinct+count over the edge list — the
@@ -1036,8 +1048,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = visited.select("node")
     for k in range(1, BFS_ITERS + 1):
         fr = _maybe_bcast(frontier)
+        probe = (edges if k % 2 == 1 else rev) if bipartite else und
         nxt = (
-            und.join(fr, und.src == fr.node)
+            probe.join(fr, probe.src == fr.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(_maybe_bcast(visited.select("node")), "node", "left_anti")

@@ -603,9 +603,16 @@ def phash_table(
     ints = [
         (
             F.length(F.expr(f"substring(p, 1 + {b} * l, l)"))
+            # r11 (guide §1.2 per-task work): the probe is a LITERAL one-
+            # char string, so literal replace() — no regex compilation or
+            # NFA walk per block per row — computes the identical count
+            # the oracle's plain replace() mirrors. regexp_replace here
+            # was blocks× regex evaluations per row.
             - F.length(
-                F.regexp_replace(
-                    F.expr(f"substring(p, 1 + {b} * l, l)"), _PHASH_PROBE, ""
+                F.replace(
+                    F.expr(f"substring(p, 1 + {b} * l, l)"),
+                    F.lit(_PHASH_PROBE),
+                    F.lit(""),
                 )
             )
         ).alias(f"i{b}")

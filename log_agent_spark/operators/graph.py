@@ -633,7 +633,6 @@ ORACLE_PAGERANK = _pagerank_oracle()
 # via capped_pp_sql(), so the oracles stay exact mirrors past the cap.
 
 
-@pinned_query("graph_tri_")
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Endpoints travel as int32 through the array-heavy stages: the
     # adjacency arrays + intersect shuffle is allocation-bound, and
@@ -688,17 +687,23 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.pk") < F.col("b.pk"))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
-        # r11 (guide §3.3/§7.3): localCheckpoint, NOT for runtime reuse
-        # (the trailing distinct's Exchange was already shared as a
-        # ReusedExchange — and an explicit persist() measured ~2x slower
-        # in r10 because it kept the full lineage AND added storage
-        # writes) but to TRUNCATE THE STATIC PLAN: the un-checkpointed
-        # tree embeds this subtree ~15x through deg/ranked/adj/tri
-        # (139 KB formatted, 214 static Exchange nodes) and Catalyst
-        # planning alone measured 1.5 s of the query's ~5.5 s at sf0.1.
-        # The blocks are 1.2M (int32, int32) rows — trivial; released by
-        # the pinned_query wrapper.
-        .transform(pin_checkpoint)
+        # NOT persisted although two branches (degree pass, orientation
+        # join) consume it: the trailing distinct's Exchange is shared as
+        # a ReusedExchange, so both consumers read the same shuffle files
+        # and nothing upstream recomputes. An explicit persist measured
+        # ~2x SLOWER interleaved at sf0.1 (storage write + double read vs
+        # free shuffle reuse).
+        # r11 counter-result: NOT localCheckpointed either. The static
+        # plan embeds this subtree ~15x (139 KB formatted; Catalyst
+        # planning alone 1.5 s at sf0.1) and checkpointing edges+oriented
+        # cut it to 10 Exchanges / 5 KB — but E2E it A/B'd a WASH across
+        # three interleaved sessions (1.07x, 0.96x): the eager
+        # materialization barriers give back what planning saves. At
+        # 100 TB it is strictly worse — |E|-row checkpoint storage to
+        # replace free shuffle-file reuse, while planning cost is
+        # constant. A targeted SHUFFLE_HASH hint on the adjacency probe
+        # joins likewise measured NEUTRAL best-of-4 and would block AQE's
+        # SMJ->BHJ conversion (the r10 global-SHJ counter-result).
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -713,27 +718,20 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_rank = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     v_rank = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
     fwd = u_rank < v_rank
-    # r11: localCheckpoint for the same static-plan reason as `edges`
-    # above — three consumers (adjacency build + both probe joins) embed
-    # this subtree three more times in the plan; runtime exchange reuse
-    # already deduplicated the work (so this is NOT the r10 persist
-    # counter-result, which paid storage writes while keeping lineage),
-    # but planning cost scales with the TEXTUAL tree. 1.2M int32-pair
-    # rows; released by the pinned_query wrapper.
+    # No persist despite three consumers: the groupBy(lo) exchange is
+    # reused by the lo-side probe join (ReusedExchange), and the one
+    # extra recompute for the hi-side exchange is just broadcast joins
+    # over the already-shuffled edge list — measured faster interleaved
+    # at sf0.1 than paying the persist's write + reads.
     oriented = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
-    ).transform(pin_checkpoint)
+    )
     # Bounded out-adjacency arrays (≤ O(sqrt|E|) wide under orientation);
     # each edge (lo, hi) closes a triangle per common out-neighbor.
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
     adj_u = adj.select("lo", F.col("nbrs").alias("nbrs_u"))
     adj_v = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nbrs_v"))
-    # r11 note: a targeted SHUFFLE_HASH hint on both adj build sides
-    # (to skip the probe-side sorts) A/B'd NEUTRAL at sf0.1 best-of-4
-    # interleaved — AQE already picks the cheaper strategy per window —
-    # and a forced strategy would block AQE's SMJ->BHJ conversion, the
-    # r10 global-SHJ counter-result. Left to AQE.
     tri = (
         oriented.join(adj_u, "lo")
         .join(adj_v, "hi")

@@ -48,9 +48,7 @@ def test_bigram_lm_broadcasts_models(spark):
 
 
 def test_triangle_count_no_cartesian_no_wedge_shuffle(spark):
-    # r11: body plan — the query is pinned_query-wrapped now (the
-    # returned frame is a scratch readback scan)
-    plan = _body_plan(graph.q_graph_triangle_count, spark, SF)
+    plan = _plan(graph.q_graph_triangle_count(spark, SF))
     assert "CartesianProduct" not in plan, plan
     # adjacency intersection is a Generate (explode), not a 3rd self-join
     assert "Generate" in plan, plan

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
 
+from log_agent_spark.scratch import pinned_query
 from log_agent_spark.sources.tables import load_table
 
 # Evidence-feature constants shared by the Spark plan and its SQL twins —
@@ -205,11 +206,16 @@ _ER_FEATURES_SQL = f"""
   FROM customer"""
 
 
-def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood candidate pairs with integer F-S scores: each
-    record vs its next W=3 (bal_band, custkey)-order neighbors inside the
-    (nation, segment) block; agree/disagree weights sum to an exact
-    integer score, match iff score >= threshold."""
+def _er_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED sorted-neighborhood candidate pairs with integer F-S
+    scores (the shared core): each record vs its next W=3
+    (bal_band, custkey)-order neighbors inside the (nation, segment)
+    block; agree/disagree weights sum to an exact integer score, match
+    iff score >= threshold. q_er_match_pairs adds the report's total
+    order; q_er_golden_record consumes this frame directly — its CC
+    input is a filter+projection that never needed the ~n·W-row range
+    sort (r11, guide §2.4 "an orderBy used only to make output
+    deterministic" is an accidental exchange on the consuming path)."""
     feats = _er_features(load_table(spark, sf_dir, "customer"))
     w = W.partitionBy("nationkey", "segment").orderBy("bal_band", "custkey")
     fields = list(_ER_WEIGHTS)
@@ -239,16 +245,18 @@ def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree = F.col(f) == F.col(f"b_{f}")
         agree_cols.append(agree.alias(f"agree_{f}"))
         score = score + F.when(agree, wa).otherwise(wd)
-    return (
-        pairs.select(
-            F.least("custkey", "b_custkey").alias("rec_a"),
-            F.greatest("custkey", "b_custkey").alias("rec_b"),
-            *agree_cols,
-            score.cast("long").alias("score"),
-            (score >= _ER_THRESHOLD).alias("is_match"),
-        )
-        .orderBy("rec_a", "rec_b")
+    return pairs.select(
+        F.least("custkey", "b_custkey").alias("rec_a"),
+        F.greatest("custkey", "b_custkey").alias("rec_b"),
+        *agree_cols,
+        score.cast("long").alias("score"),
+        (score >= _ER_THRESHOLD).alias("is_match"),
     )
+
+
+def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-pair report, totally ordered (rec_a, rec_b)."""
+    return _er_pairs_frame(spark, sf_dir).orderBy("rec_a", "rec_b")
 
 
 def _er_pairs_sql() -> str:
@@ -299,7 +307,10 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from log_agent_spark.operators.graph import connected_components_star
 
-    matches = q_er_match_pairs(spark, sf_dir).filter("is_match")
+    # r11 (guide §2.4): consume the UNSORTED pair frame — the report's
+    # total order was pure overhead on this path (an n·W-row range sort
+    # + sampling job per derivation).
+    matches = _er_pairs_frame(spark, sf_dir).filter("is_match")
     edges = matches.select(
         F.col("rec_a").alias("src"), F.col("rec_b").alias("dst")
     )

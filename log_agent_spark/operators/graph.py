@@ -59,9 +59,19 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r11 (guide §5 caching): PIN the symmetrized edge list — every
+    # propagation round is a separate checkpoint JOB, and exchange reuse
+    # only dedups within one job, so an unpinned sym re-executes its
+    # whole upstream (e.g. the quadratic levenshtein pair join in the
+    # dedup consumer) once per round. One materialization, O(rounds)
+    # cache reads; released by the caller's pinned_query wrapper (or
+    # owned by the caller when composed directly, as with Spark's own
+    # persist API).
+    sym = pin(
+        sym.union(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
 
     # r10 (guide §2.4): the per-round convergence witness rides the
     # checkpoint materialization as an in-plan observe() metric instead of

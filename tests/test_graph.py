@@ -295,3 +295,20 @@ def test_star_cc_one_materialization_per_round(spark, monkeypatch):
     tiny_e = spark.createDataFrame([(1, 2)], "src long, dst long")
     graph_mod.connected_components_star(tiny_nodes, tiny_e, id_col="id").collect()
     assert calls["n"] == 2, f"expected 2 materializations, saw {calls['n']}"
+
+
+def test_bfs_directional_probes_equal_symmetrized_fallback(spark, monkeypatch):
+    """r11: with disjoint id spaces BFS probes the cust->supp / supp->cust
+    directions alternately; force the guard down the symmetrized-union
+    fallback and require value-identical hop histograms."""
+    from log_agent_spark.operators import graph
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(map(tuple, graph.q_graph_bfs_hops(spark, sf).collect()))
+    # a pretend max custkey past the offset forces the und fallback
+    monkeypatch.setattr(
+        "log_agent_spark.sources.tables.footer_column_max",
+        lambda *_a, **_k: graph._SUPP_OFFSET + 1,
+    )
+    slow = sorted(map(tuple, graph.q_graph_bfs_hops(spark, sf).collect()))
+    assert fast == slow and len(fast) > 0

@@ -931,7 +931,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     round's two semi-joins re-derive every earlier round and the lineage
     recompute grows exponentially in `rounds`."""
     keep = None
-    for _ in range(rounds):
+    for i in range(rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
             .union(edges.select(F.col("v").alias("node")))
@@ -939,11 +939,18 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k)
-        edges = (
-            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .transform(pin_checkpoint)
-        )
+        # r11 (guide §1.2 "don't compute things you throw away"): the
+        # LAST round's restricted edge list is consumed by nobody — the
+        # result is `keep`, computed above it — so its two semi-joins
+        # and the |E|-row checkpoint write were pure waste at any scale.
+        if i < rounds - 1:
+            edges = (
+                edges.join(
+                    keep.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .transform(pin_checkpoint)
+            )
     return keep
 
 
